@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a pure `(SparkSession, sfDir) => DataFrame`
+  * over the synthetic tables (TESTDATA.md); [[oracleSql]] carries the
+  * equivalent DuckDB SQL for the driver's differential check. Column names
+  * and types are aligned on both sides (aggregates computed in exact
+  * decimal, emitted as double; counts as bigint) so value hashing is stable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary" -> (Relational.pricingSummary _),
+    "rel_revenue_by_nation" -> (Relational.revenueByNation _),
+    "rel_orders_per_customer_histogram" -> (Relational.ordersPerCustomerHistogram _),
+    "rel_top_order_per_customer" -> (Relational.topOrderPerCustomer _),
+    "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "rel_priorities_by_status" -> (Relational.prioritiesByStatus _),
+    "rel_nations_with_presence" -> (Relational.nationsWithPresence _),
+    "rel_status_by_priority_pivot" -> (Relational.statusByPriorityPivot _),
+    "rel_customer_order_stats" -> (Relational.customerOrderStats _),
+    "rel_parts_ever_ordered" -> (Relational.partsEverOrdered _),
+    "rel_order_reconciliation" -> (Relational.orderReconciliation _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "rel_orders_per_customer_histogram" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        | SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        |) t GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "rel_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "rel_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_priorities_by_status" ->
+      """SELECT o_orderstatus,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_nations_with_presence" ->
+      """SELECT * FROM (
+        | SELECT DISTINCT n_name, 'customer' AS presence FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | UNION
+        | SELECT DISTINCT n_name, 'supplier' AS presence FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |) t ORDER BY n_name, presence""".stripMargin,
+    "rel_status_by_priority_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_customer_order_stats" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        | coalesce(n_orders, 0) AS n_orders,
+        | coalesce(CAST(d_total AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS d_total
+        | FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_parts_ever_ordered" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "rel_order_reconciliation" ->
+      """SELECT count(*) AS n_customers,
+        | CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey""".stripMargin,
+  )
 }

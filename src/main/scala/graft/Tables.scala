@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry for the synthetic star schema (TESTDATA.md).
+  *
+  * All engine operators are pure `DataFrame => DataFrame` functions; this is
+  * the single place that binds logical table names to parquet paths. At
+  * cluster scale the same names would resolve to catalog tables (possibly
+  * bucketed); keeping resolution here means operators never hard-code paths.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spark session tuned for the local[32] test harness. The settings that
+    * matter at cluster scale (AQE, skew handling) are on by default in
+    * Spark 4.x; shuffle partitions are sized for the local harness and would
+    * be raised (or left to AQE coalescing) on a real cluster.
+    */
+  def session(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 4).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
