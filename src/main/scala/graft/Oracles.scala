@@ -1,0 +1,216 @@
+package graft
+
+/** DuckDB oracle SQL for the extension operator families (text analysis,
+  * dedup, similarity search, events). Kept beside — not inside — the Spark
+  * implementations so each side is independently readable; the contract is
+  * that column names, types, and exact arithmetic match the Spark plan
+  * (integer/decimal internals, one final float op on identical operands).
+  */
+object Oracles {
+
+  /** doc_id → whitespace token list. */
+  private val W =
+    """w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents)"""
+
+  /** doc_id → distinct word-3-shingles. */
+  private val SH =
+    """sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)""".stripMargin
+
+  /** vec_id → integer-quantized embedding + squared norm. */
+  private val QN =
+    """q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, qv,
+      |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q)""".stripMargin
+
+  private def cosine(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1,64), i -> $a.qv[i]*$b.qv[i])) AS BIGINT)
+       | / sqrt(CAST($a.nrm AS DOUBLE)) / sqrt(CAST($b.nrm AS DOUBLE))""".stripMargin
+
+  val textTokenStats: String =
+    s"""WITH $W,
+       |tok AS (SELECT doc_id, t.tok FROM w, UNNEST(ws) AS t(tok))
+       |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       | CAST(sum(length(tok)) AS DOUBLE)/count(*) AS avg_token_len,
+       | CAST(count(DISTINCT tok) AS DOUBLE)/count(*) AS type_token_ratio
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val textQuality: String =
+    s"""WITH $W,
+       |tok AS (SELECT doc_id, lang, t.tok FROM w, UNNEST(ws) AS t(tok)),
+       |agg AS (SELECT doc_id, lang, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+       |  FROM tok GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_tokens, n_stopwords,
+       | CAST(n_stopwords AS DOUBLE)/n_tokens AS stop_ratio,
+       | least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * (1.0 - CAST(n_stopwords AS DOUBLE)/n_tokens) AS quality,
+       | CASE WHEN quality >= 0.7 THEN 'high' WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS quality_class
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  val textLangId: String =
+    s"""WITH $W,
+       |tok AS (SELECT doc_id, lang, t.tok FROM w, UNNEST(ws) AS t(tok)),
+       |profile AS (SELECT lang AS p_lang, tok AS p_tok, count(*) AS p_cnt FROM tok GROUP BY 1, 2),
+       |doctok AS (SELECT doc_id, lang, tok, count(*) AS d_cnt FROM tok GROUP BY 1, 2, 3),
+       |scored AS (SELECT doc_id, lang, p_lang, CAST(sum(d_cnt * p_cnt) AS BIGINT) AS score
+       |  FROM doctok JOIN profile ON tok = p_tok GROUP BY 1, 2, 3),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, lang, p_lang AS predicted, score,
+       | CAST(CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val textFingerprint: String =
+    s"""WITH $W,
+       |nrm AS (SELECT doc_id, array_to_string(ws, ' ') AS norm FROM w)
+       |SELECT doc_id, md5(norm) AS fp_md5,
+       | (('0x' || substr(md5(norm), 1, 15))::BIGINT) AS fp_long
+       |FROM nrm ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    s"""WITH $W,
+       |nrm AS (SELECT doc_id, md5(array_to_string(ws, ' ')) AS fp FROM w)
+       |SELECT doc_id, fp AS fp_md5,
+       | min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       | CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM nrm ORDER BY doc_id""".stripMargin
+
+  /** Exact shingle-Jaccard pairs — also the oracle for MinHash+LSH (whose
+    * verified output must recover exactly this relation). */
+  val dedupJaccardPairs: String =
+    s"""WITH $W,
+       |$SH,
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |i AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(ca.n_sh + cb.n_sh - inter) AS jaccard
+       |FROM i JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupSimhash: String = {
+    val bitSums = (0 until 60)
+      .map(j => s"sum(((h >> $j) & 1)*2 - 1) AS b$j").mkString(",\n  ")
+    val bitExpr = (0 until 60)
+      .map(j => s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH $W,
+       |$SH,
+       |h AS (SELECT doc_id, (('0x' || substr(md5(sh), 1, 15))::BIGINT) AS h FROM sh),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |simh AS (SELECT doc_id, ($bitExpr) AS simhash FROM bits),
+       |ch AS (SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS ck
+       |  FROM simh, UNNEST([0,1,2,3]) AS t(c)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS ha, y.simhash AS hb
+       |  FROM ch x JOIN ch y ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val dedupEmbedding: String =
+    s"""WITH $QN
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       | ${cosine("a", "b")} AS cosine
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+
+  val simBruteTopK: String =
+    s"""WITH $QN,
+       |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+       |  ${cosine("a", "b")} AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val simLshTopK: String =
+    s"""WITH $QN,
+       |b AS (SELECT vec_id, label, qv, nrm,
+       |  CAST(list_sum(list_transform(generate_series(0,7), h ->
+       |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64),
+       |        d -> qv[d] * (((d*131 + h*37) % 7) - 3))) AS BIGINT) >= 0
+       |      THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM n),
+       |pairs AS (SELECT a.vec_id AS query_id, b2.vec_id AS neighbor,
+       |  ${cosine("a", "b2")} AS cosine
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < 10 AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val evtSessionize: String =
+    """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events),
+      |s AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+      |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_break FROM s),
+      |g AS (SELECT *, CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+      |SELECT user_id, session_idx, min(ms) AS session_start_ms,
+      | max(ms) - min(ms) AS duration_ms, count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      | count(DISTINCT event_type) AS n_event_types
+      |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  val evtHourlyRollup: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+      | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val evtRunningTotal: String =
+    """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events)
+      |SELECT user_id, event_id, ms, event_type,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+      | CAST(count(*) OVER w AS BIGINT) AS running_n
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
+  val evtPropsProfile: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(*) AS n,
+      | CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      | min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k,
+      | count(DISTINCT k) AS distinct_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val relPartEnrichment: String =
+    """SELECT p_partkey, p_name,
+      | CAST(regexp_extract(p_brand, '(\d+)$', 1) AS BIGINT) AS brand_num,
+      | CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+      | CASE p_type WHEN 'ECONOMY' THEN 'economy line' WHEN 'PROMO' THEN 'promotional'
+      |   WHEN 'LARGE' THEN 'large format' WHEN 'MEDIUM' THEN 'medium format'
+      |   WHEN 'SMALL' THEN 'small format' WHEN 'STANDARD' THEN 'standard line'
+      |   ELSE p_type END AS type_label,
+      | 'part ''' || p_name || ''' (' || p_type || ') size ' || CAST(p_size AS VARCHAR) AS description,
+      | 'https://parts.example.com/' || CAST(p_partkey AS VARCHAR) AS url
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val relOrdersRollup: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  val relCustomerDeciles: String =
+    """WITH d AS (SELECT c_custkey, c_acctbal,
+      |  CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS decile
+      |  FROM customer)
+      |SELECT decile, count(*) AS n_customers, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  val relCustomerUnpivot: String =
+    """SELECT c_custkey, attr, val FROM (
+      | SELECT c_custkey, 'acctbal' AS attr, CAST(c_acctbal AS DOUBLE) AS val FROM customer
+      | UNION ALL
+      | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+      |) t ORDER BY c_custkey, attr""".stripMargin
+}

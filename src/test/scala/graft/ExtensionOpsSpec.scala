@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class ExtensionOpsSpec extends SparkTestBase {
+
+  test("dedup: minhash+LSH recovers exactly the exact-Jaccard pairs") {
+    val exact = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in the corpus")
+    assert(lsh === exact)
+  }
+
+  test("dedup: exact groups cover all docs, canonical is group min") {
+    val rows = DedupOps.exact(spark, sf).collect()
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("canonical_id")) <= r.getLong(0)))
+  }
+
+  test("dedup: simhash near-dup pairs overlap heavily with Jaccard pairs") {
+    val jac = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = DedupOps.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // SimHash at hamming<=6 is a different sketch; require majority agreement
+    assert(sim.intersect(jac).size * 2 >= sim.size)
+  }
+
+  test("similarity: brute-force top-k returns k ranked neighbors per query") {
+    val rows = SimilarityOps.bruteForceTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.length === 5)
+      val cosines = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("similarity: LSH top-k cosines are a subset of candidates with rank<=5") {
+    val rows = SimilarityOps.lshTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      assert(math.abs(r.getDouble(2)) <= 1.0)
+    }
+  }
+
+  test("text: token stats are internally consistent") {
+    val rows = TextOps.tokenStats(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_distinct")) <= r.getLong(r.fieldIndex("n_tokens")))
+      val ttr = r.getDouble(r.fieldIndex("type_token_ratio"))
+      assert(ttr > 0 && ttr <= 1.0)
+    }
+  }
+
+  test("text: langId predicts a language for every doc") {
+    val rows = TextOps.langId(spark, sf).collect()
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+  }
+
+  test("events: sessionization partitions all events, durations non-negative") {
+    val sess = EventOps.sessionize(spark, sf)
+    val totalEvents = sess.agg(sum("n_events")).head.getLong(0)
+    assert(totalEvents === Tables.load(spark, sf, "events").count())
+    sess.collect().foreach(r => assert(r.getLong(r.fieldIndex("duration_ms")) >= 0))
+  }
+
+  test("events: hourly rollup count matches table size") {
+    val total = EventOps.hourlyRollup(spark, sf).agg(sum("n_events")).head.getLong(0)
+    assert(total === Tables.load(spark, sf, "events").count())
+  }
+}
