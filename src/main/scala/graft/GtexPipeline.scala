@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.GtexEtl
+import graft.io.DatsJsonWriter
+import graft.query.DatsQueries
+
+/** End-to-end GTEx pipeline main — the engine's equivalent of the
+  * reference's `bin/gtex_v7_to_dats.py` followed by the v0.7 query test
+  * drivers (rdflib_test_gtex_public.py): validated ingest → entity graph →
+  * DATS JSON-LD document → all seven canonical queries.
+  *
+  * Usage: runMain graft.GtexPipeline <inputDir> <outJson>
+  * where inputDir holds the portal/manifest files (see FIXTURES.md §1-4).
+  */
+object GtexPipeline {
+  def main(args: Array[String]): Unit = {
+    val inDir = args.lift(0).getOrElse("src/test/resources/gtex")
+    val outJson = args.lift(1).getOrElse("/tmp/gtex_dats.json")
+    val spark = Tables.session("gtex-pipeline")
+
+    val graph = GtexEtl.build(spark, GtexEtl.Inputs(
+      subjectsPath = s"$inDir/GTEx_v7_Annotations_SubjectPhenotypesDS.txt",
+      samplesPath = s"$inDir/GTEx_v7_Annotations_SampleAttributesDS.txt",
+      wgsManifestPath = s"$inDir/wgs_cram_manifest.txt",
+      rnaseqManifestPath = s"$inDir/rnaseq_cram_manifest.txt",
+      doiPath = s"$inDir/doi_manifest.txt"))
+
+    DatsJsonWriter.write(graph, outJson)
+    println(s"[pipeline] wrote DATS JSON-LD to $outJson " +
+      s"(${java.nio.file.Files.size(java.nio.file.Paths.get(outJson))} bytes)")
+
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"== $name (${df.count()} rows) ==")
+      df.show(5, truncate = false)
+    }
+    show("Q1 second-level datasets",
+      DatsQueries.listSecondLevelDatasets(graph, Seq(GtexEtl.TopDatasetTitle)))
+    show("Q2 dataset variables",
+      DatsQueries.listDatasetVariables(graph, Some(GtexEtl.StudyAccession)))
+    show("Q3 study group members",
+      DatsQueries.listStudyGroupMembers(graph, GtexEtl.StudyAccession, "all subjects"))
+    show("Q4 subject samples", DatsQueries.listSubjectSamples(graph))
+    show("Q5 subject characteristics", DatsQueries.listSubjectCharacteristics(graph))
+    show("Q6 sample characteristics", DatsQueries.listSampleCharacteristics(graph))
+    show("Q7 tabular dump", DatsQueries.tabularDump(graph))
+    spark.stop()
+  }
+}

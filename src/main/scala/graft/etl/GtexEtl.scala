@@ -1,0 +1,312 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Dats
+import graft.sources.ValidatedTsv
+import graft.sources.ValidatedTsv.{AnyValue, ColumnSpec, Cv, IntegerCv, Regex}
+
+/** The GTEx ETL pipeline (reference bin/gtex_v7_to_dats.py, SURVEY.md §3.1)
+  * re-expressed as DataFrame transformations producing the normalized DATS
+  * entity tables of [[graft.model.Dats]].
+  *
+  * Every step is a pure DataFrame→DataFrame function; the fatal-assert
+  * semantics of the reference (missing subject for a sample, type
+  * inference conflict) surface as violation DataFrames gated with
+  * `require(... isEmpty)` so one run reports every problem.
+  */
+object GtexEtl {
+
+  /** The normalized entity graph (schemas in [[graft.model.Dats]]). */
+  final case class EntityGraph(
+      datasets: DataFrame,
+      identifiers: DataFrame,
+      studies: DataFrame,
+      studyGroups: DataFrame,
+      groupMembers: DataFrame,
+      materials: DataFrame,
+      anatomicalParts: DataFrame,
+      characteristics: DataFrame,
+      dimensions: DataFrame,
+      distributions: DataFrame,
+      dataAcquisitions: DataFrame)
+
+  // ---- column specs (ccmm/gtex/parsers/portal_files.py:16-108) ----
+
+  /** FIXTURES.md §1 — subject phenotypes. */
+  val subjectSpec: Seq[ColumnSpec] = Seq(
+    ColumnSpec("SUBJID", Regex("^(GTEX|K)\\-[\\dA-Z]+$")),
+    ColumnSpec("SEX", IntegerCv(Dats.Vocab.Sex)),
+    ColumnSpec("AGE", Cv(Dats.Vocab.AgeRanges)),
+    ColumnSpec("DTHHRDY", IntegerCv(Dats.Vocab.HardyScale), emptyOk = true))
+
+  /** FIXTURES.md §2 — the load-bearing subset of the 63-column sample
+    * attribute table (remaining columns are empty-ok passthroughs). */
+  val sampleSpec: Seq[ColumnSpec] = Seq(
+    ColumnSpec("SAMPID", Regex("^(GTEX|K)-[\\dA-Z]+-.+$")),
+    ColumnSpec("SMATSSCR", IntegerCv(Dats.Vocab.SmAtsscr), emptyOk = true),
+    ColumnSpec("SMCENTER", Cv(Seq("B1", "C1", "D1", "B1, A1", "C1, A1", "D1, A1")), emptyOk = true),
+    ColumnSpec("SMTS"),
+    ColumnSpec("SMTSD"),
+    ColumnSpec("SMUBRID", Regex("^(\\d{7}|EFO_\\d+)$")),
+    ColumnSpec("SMNABTCHT"),
+    ColumnSpec("SMAFRZE", Cv(Dats.Vocab.SmAfrze)),
+    ColumnSpec("SMRIN", emptyOk = true),
+    ColumnSpec("SMMAPRT", emptyOk = true),
+    ColumnSpec("SMGNSDTC", emptyOk = true))
+
+  /** FIXTURES.md §4 — CRAM manifests (WGS variant has firecloud_id). */
+  def manifestSpec(withFirecloud: Boolean): Seq[ColumnSpec] = {
+    val base = Seq(
+      ColumnSpec("sample_id"),
+      ColumnSpec("cram_file_gcp", Regex("^gs://.*\\.cram$")),
+      ColumnSpec("cram_index_gcp", Regex("^gs://.*\\.crai$")),
+      ColumnSpec("cram_file_aws", Regex("^s3://.*\\.cram$")),
+      ColumnSpec("cram_index_aws", Regex("^s3://.*\\.crai$")),
+      ColumnSpec("cram_file_md5", Regex("^[a-f\\d]{32}$")),
+      ColumnSpec("cram_file_size", Regex("^\\d+$")),
+      ColumnSpec("cram_index_md5", Regex("^[a-f\\d]{32}$")))
+    if (withFirecloud) base :+ ColumnSpec("firecloud_id", emptyOk = true) else base
+  }
+
+  val doiSpec: Seq[ColumnSpec] = Seq(
+    ColumnSpec("sample_id"),
+    ColumnSpec("Sodium_GUID_cram", Regex("^https://doi\\.org/.+$")),
+    ColumnSpec("Sodium_GUID_crai", Regex("^https://doi\\.org/.+$")))
+
+  /** P3 — subject id derived from sample id
+    * (ccmm/gtex/parsers/portal_files.py:133-146; unparseable ⇒ fatal). */
+  def subjectIdOf(sampid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(sampid, "^((GTEX|K)-[^-]+)", 1)
+
+  final case class Inputs(
+      subjectsPath: String, samplesPath: String,
+      wgsManifestPath: String, rnaseqManifestPath: String, doiPath: String)
+
+  val TopDatasetTitle = "Genotype-Tissue Expression Project (GTEx)"
+  val StudyAccession = "phs000424.v7.p2"
+
+  def build(spark: SparkSession, in: Inputs): EntityGraph = {
+    import Dats.entityId
+
+    // -- step 2 (§3.1): validated portal scans (S1/S2) --
+    val subjects = ValidatedTsv.readStrict(spark, in.subjectsPath, subjectSpec, "SUBJID")
+    val samplesRaw = ValidatedTsv.readStrict(spark, in.samplesPath, sampleSpec, "SAMPID")
+
+    // -- J1: sample → subject link on the derived prefix key; missing
+    //    subject is fatal (portal_files.py:133-146) --
+    val samplesWithSubj = samplesRaw.withColumn("SUBJID", subjectIdOf(col("SAMPID")))
+    val orphans = samplesWithSubj.join(subjects.select("SUBJID"), Seq("SUBJID"), "left_anti")
+    require(orphans.isEmpty, s"samples with no subject: ${orphans.select("SAMPID").collect().mkString(",")}")
+
+    // -- P7: sample type inference (samples.py:99-141): SMAFRZE ⇒ expected
+    //    type, SMNABTCHT ⇒ actual type; EXCLUDE dropped; conflict fatal;
+    //    undetermined dropped --
+    val typed = samplesWithSubj
+      .filter(col("SMAFRZE") =!= "EXCLUDE")
+      .withColumn("expected_type",
+        when(col("SMAFRZE") === "RNASEQ", "RNA").otherwise("DNA"))
+      .withColumn("actual_type",
+        when(upper(col("SMNABTCHT")).contains("RNA"), "RNA")
+          .when(upper(col("SMNABTCHT")).contains("DNA"), "DNA"))
+    val conflicts = typed.filter(
+      col("actual_type").isNotNull && col("actual_type") =!= col("expected_type"))
+    require(conflicts.isEmpty,
+      s"sample type conflicts: ${conflicts.select("SAMPID").collect().mkString(",")}")
+    val samples = typed.filter(col("actual_type").isNotNull).cache()
+
+    // -- U3: anatomy dedup on natural key (samples.py:31-60): shared
+    //    AnatomicalPart entities become one dimension-table row --
+    val anatomicalParts = samples.select(col("SMTSD"), col("SMUBRID")).distinct()
+      .select(
+        entityId("AnatomicalPart", col("SMTSD")).as("anatomy_id"),
+        col("SMTSD").as("name"),
+        when(col("SMUBRID").startsWith("EFO_"), col("SMUBRID"))
+          .otherwise(concat(lit("UBERON:"), col("SMUBRID"))).as("uberon_id"))
+
+    // -- subject materials (ccmm/gtex/subjects.py:10-80) --
+    val subjectMaterials = subjects.select(
+      entityId("Material", col("SUBJID")).as("material_id"),
+      col("SUBJID").as("name"),
+      lit("subject").as("material_type"),
+      lit("donor").as("role"),
+      col("SUBJID").as("subject_id"),
+      lit(null).cast("string").as("derives_from"),
+      lit(null).cast("string").as("anatomy_id"),
+      concat(lit("GTEx subject "), col("SUBJID")).as("description"))
+
+    // -- sample materials with derivesFrom nesting (R3, samples.py:89-152) --
+    val sampleMaterials = samples.select(
+      entityId("Material", col("SAMPID")).as("material_id"),
+      col("SAMPID").as("name"),
+      lit("sample").as("material_type"),
+      lit("specimen").as("role"),
+      col("SUBJID").as("subject_id"),
+      entityId("Material", col("SUBJID")).as("derives_from"),
+      entityId("AnatomicalPart", col("SMTSD")).as("anatomy_id"),
+      // P11 string templating (samples.py:144-150)
+      concat(col("SMTSD"), lit(" specimen collected from subject "), col("SUBJID")).as("description"))
+
+    // -- extract materials, one per typed sample (rna_extracts.py /
+    //    dna_extracts.py): role is what Q4 filters on --
+    val extractMaterials = samples.select(
+      entityId("Material", concat(col("SAMPID"), lit("-extract"))).as("material_id"),
+      concat(col("SAMPID"), lit(" extract")).as("name"),
+      lit("extract").as("material_type"),
+      concat(col("actual_type"), lit(" extract")).as("role"),
+      col("SUBJID").as("subject_id"),
+      entityId("Material", col("SAMPID")).as("derives_from"),
+      entityId("AnatomicalPart", col("SMTSD")).as("anatomy_id"),
+      concat(lit("total "), col("actual_type"),
+        lit(" extracted from "), col("SMTSD"),
+        lit(" specimen collected from subject "), col("SUBJID")).as("description"))
+
+    val materials = subjectMaterials
+      .unionByName(sampleMaterials).unionByName(extractMaterials)
+
+    // -- characteristics: subject phenotypes + the P15-selected sample
+    //    QC columns (samples.py:70-86) --
+    val subjChars = Seq(("SEX", "phv00169061"), ("AGE", "phv00169063"), ("DTHHRDY", "phv00169064"))
+      .map { case (cname, acc) =>
+        subjects.filter(col(cname).isNotNull && col(cname) =!= "").select(
+          entityId("Material", col("SUBJID")).as("material_id"),
+          lit(acc).as("var_acc"), lit(cname).as("name"), col(cname).as("value"))
+      }.reduce(_ unionByName _)
+    val sampleChars = Seq("SMATSSCR", "SMRIN", "SMMAPRT", "SMGNSDTC")
+      .map { cname =>
+        samples.filter(col(cname).isNotNull && col(cname) =!= "").select(
+          entityId("Material", col("SAMPID")).as("material_id"),
+          lit(null).cast("string").as("var_acc"), lit(cname).as("name"), col(cname).as("value"))
+      }.reduce(_ unionByName _)
+    val characteristics = subjChars.unionByName(sampleChars)
+
+    // -- file datasets from CRAM manifests (J3/J4/P6, samples.py:177-326) --
+    val wgsManifest = ValidatedTsv.readStrict(spark, in.wgsManifestPath,
+      manifestSpec(withFirecloud = true), "sample_id").withColumn("data_type", lit("WGS"))
+    val rnaManifest = ValidatedTsv.readStrict(spark, in.rnaseqManifestPath,
+      manifestSpec(withFirecloud = false), "sample_id")
+      .withColumn("firecloud_id", lit(null).cast("string"))
+      .withColumn("data_type", lit("RNA-Seq"))
+    // U1: WGS ∪ RNA-Seq (gtex_v7_to_dats.py:385-397)
+    val manifest = wgsManifest.unionByName(rnaManifest)
+
+    // J3 is inner with a fatal on manifest samples lacking a Material
+    // (samples.py:305-307)
+    val manifestOrphans = manifest.join(
+      samples.select(col("SAMPID").as("sample_id")), Seq("sample_id"), "left_anti")
+    require(manifestOrphans.isEmpty,
+      s"manifest rows with no sample: ${manifestOrphans.select("sample_id").collect().mkString(",")}")
+
+    val dois = ValidatedTsv.readStrict(spark, in.doiPath, doiSpec, "sample_id")
+    val files = manifest.join(dois, Seq("sample_id"), "left") // J4
+      .withColumn("dataset_id", entityId("Dataset", concat(col("sample_id"), lit("|"), col("data_type"))))
+
+    val fileDatasets = files.select(
+      col("dataset_id"),
+      lit(null).cast("string").as("parent_dataset_id"),
+      concat(col("data_type"), lit(" of sample "), col("sample_id")).as("title"),
+      concat(col("data_type"), lit(" CRAM file for "), col("sample_id")).as("description"),
+      lit("v7").as("version"),
+      col("data_type"),
+      lit(null).cast("string").as("study_id"))
+
+    val fileDistributions = files.select(col("dataset_id"),
+        col("cram_file_gcp").as("access_url"),
+        col("cram_file_size").cast("long").as("size"),
+        col("cram_file_md5").as("md5"), col("Sodium_GUID_cram").as("doi"))
+      .unionByName(files.select(col("dataset_id"),
+        col("cram_file_aws").as("access_url"),
+        col("cram_file_size").cast("long").as("size"),
+        col("cram_file_md5").as("md5"), col("Sodium_GUID_cram").as("doi")))
+
+    val fileDimensions = files.select(
+      entityId("Dimension", concat(col("dataset_id"), lit("|md5"))).as("dim_id"),
+      col("dataset_id").as("owner_id"),
+      lit("MD5").as("name"),
+      lit(null).cast("string").as("var_acc"),
+      lit("MD5 checksum of the CRAM file").as("description"),
+      col("cram_file_md5").as("value"))
+
+    // R3/provenance: DataAcquisition input = the sample's extract material
+    val dataAcquisitions = files.select(col("dataset_id"),
+      entityId("Material", concat(col("sample_id"), lit("-extract"))).as("input_material_id"))
+
+    // -- top-level skeleton (steps 5-7 of §3.1) --
+    val topId = entityId("Dataset", lit(TopDatasetTitle))
+    val studyDatasetId = entityId("Dataset", lit(StudyAccession))
+    val studyId = entityId("Study", lit(StudyAccession))
+    val topDatasets = spark.range(1).select(
+        topId.as("dataset_id"), lit(null).cast("string").as("parent_dataset_id"),
+        lit(TopDatasetTitle).as("title"),
+        lit("Common Fund Genotype-Tissue Expression Project").as("description"),
+        lit("v7").as("version"), lit(null).cast("string").as("data_type"),
+        lit(null).cast("string").as("study_id"))
+      .unionByName(spark.range(1).select(
+        studyDatasetId.as("dataset_id"), topId.as("parent_dataset_id"),
+        lit(StudyAccession).as("title"),
+        lit("GTEx dbGaP study").as("description"),
+        lit("v7").as("version"), lit(null).cast("string").as("data_type"),
+        studyId.as("study_id")))
+    // file datasets hang off the study dataset
+    val datasets = topDatasets.unionByName(
+      fileDatasets.withColumn("parent_dataset_id", studyDatasetId))
+
+    val identifiers = spark.range(1).select(
+        topId.as("entity_id"), lit("GTEx").as("identifier"), lit("GTEx").as("identifier_source"))
+      .unionByName(spark.range(1).select(
+        studyDatasetId.as("entity_id"), lit(StudyAccession).as("identifier"),
+        lit("dbGaP").as("identifier_source")))
+
+    val studies = spark.range(1).select(
+      studyId.as("study_id"), lit("GTEx v7").as("name"), studyDatasetId.as("dataset_id"))
+
+    // A1/A2: the "all subjects" StudyGroup with back-links
+    // (gtex_v7_to_dats.py:337-363; the subject↔group cycle lives only in
+    // the serializer)
+    val groupId = entityId("StudyGroup", lit("all subjects"))
+    val studyGroups = spark.range(1).select(
+      groupId.as("group_id"), studyId.as("study_id"), lit("all subjects").as("name"))
+    val groupMembers = subjectMaterials.select(
+      groupId.as("group_id"), col("material_id"))
+
+    // dbGaP variables as study-dataset Dimensions (add_study_vars,
+    // public_metadata.py:352-402)
+    val studyDimensions = Seq(("SEX", "phv00169061"), ("AGE", "phv00169063"), ("DTHHRDY", "phv00169064"))
+      .map { case (n, acc) =>
+        spark.range(1).select(
+          entityId("Dimension", lit(acc)).as("dim_id"),
+          studyDatasetId.as("owner_id"), lit(n).as("name"), lit(acc).as("var_acc"),
+          concat(lit("dbGaP variable "), lit(n)).as("description"),
+          lit(null).cast("string").as("value"))
+      }.reduce(_ unionByName _)
+
+    EntityGraph(
+      datasets = datasets,
+      identifiers = identifiers,
+      studies = studies,
+      studyGroups = studyGroups,
+      groupMembers = groupMembers,
+      materials = materials,
+      anatomicalParts = anatomicalParts,
+      characteristics = characteristics,
+      dimensions = studyDimensions.unionByName(fileDimensions),
+      distributions = fileDistributions,
+      dataAcquisitions = dataAcquisitions)
+  }
+
+  /** J2 — manifest ↔ portal reconciliation tallies
+    * (bin/gtex_v7_to_dats.py:42-94): anti-join counts in both directions. */
+  def reconcile(samples: DataFrame, manifest: DataFrame,
+                sampleCol: String = "SAMPID", manifestCol: String = "sample_id"): DataFrame = {
+    val s = samples.select(col(sampleCol).as("id")).distinct()
+    val m = manifest.select(col(manifestCol).as("id")).distinct()
+    val onlyS = s.join(m, Seq("id"), "left_anti").count()
+    val onlyM = m.join(s, Seq("id"), "left_anti").count()
+    val both = s.join(m, Seq("id"), "left_semi").count()
+    val spark = samples.sparkSession
+    import spark.implicits._
+    Seq(("in_both", both), ("portal_only", onlyS), ("manifest_only", onlyM))
+      .toDF("category", "n")
+  }
+}

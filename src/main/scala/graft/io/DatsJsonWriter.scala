@@ -1,0 +1,226 @@
+package graft.io
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.Row
+
+import graft.etl.GtexEtl.EntityGraph
+
+/** K1 — the single-document DATS JSON-LD sink
+  * (bin/gtex_v7_to_dats.py:404-406; encoder ccmm/dats/datsobj.py:144-149).
+  *
+  * The entity tables stay distributed until this step; the top-level tree
+  * is driver-assembled (reference instances are ≤ ~420 MB — SURVEY.md
+  * §7.1.6). Three properties of the reference output are reproduced
+  * deliberately:
+  *
+  *  1. insertion-ordered keys (`OrderedDict`, datsobj.py:118) — Jackson's
+  *     ObjectNode preserves insertion order;
+  *  2. first-occurrence / id-reference semantics (`DatsObjCache`,
+  *     datsobj.py:156-172): the first emission of an entity is the full
+  *     object, every later one is `{"@id": …}` — emission order is pinned
+  *     by the same sorts the reference applies (O1: subjects and samples
+  *     by name), so output is byte-stable;
+  *  3. deterministic ids (content hashes) instead of uuid4
+  *     (datsobj.py:109-114) — identical inputs produce identical bytes,
+  *     which the reference explicitly does NOT (SURVEY.md §1.4).
+  *
+  * Cycles (subject ↔ study group, dataset ↔ data acquisition,
+  * bin/gtex_v7_to_dats.py:352-358) exist in the FK tables; the writer
+  * emits the back-edge as an idref, which is also what the reference's
+  * `--no_circular_links`-less output does after the first occurrence.
+  */
+object DatsJsonWriter {
+
+  private val ContextBase =
+    "https://w3id.org/dats/context/sdo/"
+
+  final class Emitter(mapper: ObjectMapper) {
+    private val emitted = scala.collection.mutable.HashSet[String]()
+
+    def node(datsType: String, id: String): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("@type", datsType)
+      n.put("@context", ContextBase + datsType.head.toLower + datsType.tail + "_sdo_context.jsonld")
+      n.put("@id", id)
+      n
+    }
+
+    /** First occurrence → full node (caller fills it); later → idref. */
+    def full(id: String): Boolean = emitted.add(id)
+
+    def idref(id: String): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("@id", id)
+      n
+    }
+  }
+
+  /** Assemble the whole graph into one JSON document string. */
+  def render(g: EntityGraph): String = {
+    val mapper = new ObjectMapper()
+    val em = new Emitter(mapper)
+
+    // collect entity tables (driver-side assembly; tables are the small
+    // top of the pyramid — file-level fan-out stays in the arrays below)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+    val datasets = rows(g.datasets)
+    val identifiers = rows(g.identifiers).groupBy(_.getAs[String]("entity_id"))
+    val studies = rows(g.studies).groupBy(_.getAs[String]("dataset_id"))
+    val groups = rows(g.studyGroups).groupBy(_.getAs[String]("study_id"))
+    val members = rows(g.groupMembers).groupBy(_.getAs[String]("group_id"))
+    val materials = rows(g.materials)
+    val materialById = materials.map(r => r.getAs[String]("material_id") -> r).toMap
+    val anatomies = rows(g.anatomicalParts).map(r => r.getAs[String]("anatomy_id") -> r).toMap
+    val chars = rows(g.characteristics).groupBy(_.getAs[String]("material_id"))
+    val dims = rows(g.dimensions).groupBy(_.getAs[String]("owner_id"))
+    val dists = rows(g.distributions).groupBy(_.getAs[String]("dataset_id"))
+    val acqs = rows(g.dataAcquisitions).groupBy(_.getAs[String]("dataset_id"))
+    val children = datasets.filter(_.getAs[String]("parent_dataset_id") != null)
+      .groupBy(_.getAs[String]("parent_dataset_id"))
+
+    def materialNode(mid: String): ObjectNode = {
+      val r = materialById(mid)
+      if (!em.full(mid)) return em.idref(mid)
+      val n = em.node("Material", mid)
+      n.put("name", r.getAs[String]("name"))
+      Option(r.getAs[String]("description")).foreach(n.put("description", _))
+      val roles = mapper.createArrayNode()
+      val role = mapper.createObjectNode()
+      role.put("value", r.getAs[String]("role"))
+      roles.add(role)
+      n.set[ObjectNode]("roles", roles)
+      chars.get(mid).foreach { cs =>
+        val arr = mapper.createArrayNode()
+        cs.sortBy(c => (c.getAs[String]("name"), c.getAs[String]("value"))).foreach { c =>
+          val cv = mapper.createObjectNode()
+          cv.put("name", c.getAs[String]("name"))
+          Option(c.getAs[String]("var_acc")).foreach(cv.put("identifier", _))
+          cv.put("value", c.getAs[String]("value"))
+          arr.add(cv)
+        }
+        n.set[ObjectNode]("characteristics", arr)
+      }
+      Option(r.getAs[String]("anatomy_id")).foreach { aid =>
+        val a = anatomies(aid)
+        val an = if (em.full(aid)) {
+          val x = em.node("AnatomicalPart", aid)
+          x.put("name", a.getAs[String]("name"))
+          x.put("identifier", a.getAs[String]("uberon_id"))
+          x
+        } else em.idref(aid)
+        n.set[ObjectNode]("anatomicalPart", an)
+      }
+      Option(r.getAs[String]("derives_from")).foreach { df =>
+        val arr = mapper.createArrayNode()
+        arr.add(materialNode(df))
+        n.set[ObjectNode]("derivesFrom", arr)
+      }
+      n
+    }
+
+    def datasetNode(r: Row): ObjectNode = {
+      val id = r.getAs[String]("dataset_id")
+      if (!em.full(id)) return em.idref(id)
+      val n = em.node("Dataset", id)
+      n.put("title", r.getAs[String]("title"))
+      Option(r.getAs[String]("description")).foreach(n.put("description", _))
+      Option(r.getAs[String]("version")).foreach(n.put("version", _))
+      identifiers.get(id).foreach { ids =>
+        val idn = mapper.createObjectNode()
+        idn.put("identifier", ids.head.getAs[String]("identifier"))
+        idn.put("identifierSource", ids.head.getAs[String]("identifier_source"))
+        n.set[ObjectNode]("identifier", idn)
+      }
+      Option(r.getAs[String]("data_type")).foreach { dt =>
+        val types = mapper.createArrayNode()
+        val t = mapper.createObjectNode()
+        t.put("value", dt)
+        types.add(t)
+        n.set[ObjectNode]("types", types)
+      }
+      dims.get(id).foreach { ds =>
+        val arr = mapper.createArrayNode()
+        ds.sortBy(_.getAs[String]("dim_id")).foreach { d =>
+          val dn = if (em.full(d.getAs[String]("dim_id"))) {
+            val x = em.node("Dimension", d.getAs[String]("dim_id"))
+            x.put("name", d.getAs[String]("name"))
+            Option(d.getAs[String]("var_acc")).foreach(x.put("identifier", _))
+            Option(d.getAs[String]("description")).foreach(x.put("description", _))
+            Option(d.getAs[String]("value")).foreach(x.put("values", _))
+            x
+          } else em.idref(d.getAs[String]("dim_id"))
+          arr.add(dn)
+        }
+        n.set[ObjectNode]("dimensions", arr)
+      }
+      dists.get(id).foreach { ds =>
+        val arr = mapper.createArrayNode()
+        ds.sortBy(_.getAs[String]("access_url")).foreach { d =>
+          val dn = mapper.createObjectNode()
+          dn.put("@type", "DatasetDistribution")
+          val acc = mapper.createObjectNode()
+          acc.put("landingPage", d.getAs[String]("access_url"))
+          dn.set[ObjectNode]("access", acc)
+          if (!d.isNullAt(d.fieldIndex("size"))) dn.put("size", d.getAs[Long]("size"))
+          Option(d.getAs[String]("doi")).foreach(dn.put("identifier", _))
+          arr.add(dn)
+        }
+        n.set[ObjectNode]("distributions", arr)
+      }
+      acqs.get(id).foreach { as =>
+        val pb = mapper.createObjectNode()
+        pb.put("@type", "DataAcquisition")
+        val inputs = mapper.createArrayNode()
+        as.sortBy(_.getAs[String]("input_material_id")).foreach { a =>
+          inputs.add(materialNode(a.getAs[String]("input_material_id")))
+        }
+        pb.set[ObjectNode]("input", inputs)
+        n.set[ObjectNode]("producedBy", pb)
+      }
+      studies.get(id).map(_.head).foreach { s =>
+        val sid = s.getAs[String]("study_id")
+        val sn = if (em.full(sid)) {
+          val x = em.node("Study", sid)
+          x.put("name", s.getAs[String]("name"))
+          val parts = mapper.createArrayNode()
+          groups.getOrElse(sid, Seq.empty).sortBy(_.getAs[String]("name")).foreach { gr =>
+            val gid = gr.getAs[String]("group_id")
+            val gn = em.node("StudyGroup", gid)
+            gn.put("name", gr.getAs[String]("name"))
+            val mem = mapper.createArrayNode()
+            // O1: deterministic emission order — members sorted by name
+            members.getOrElse(gid, Seq.empty)
+              .map(m => materialById(m.getAs[String]("material_id")))
+              .sortBy(_.getAs[String]("name"))
+              .foreach(m => mem.add(materialNode(m.getAs[String]("material_id"))))
+            gn.set[ObjectNode]("hasMember", mem)
+            parts.add(gn)
+          }
+          x.set[ObjectNode]("hasPart", parts)
+          x
+        } else em.idref(sid)
+        n.set[ObjectNode]("producedBy", sn)
+      }
+      children.get(id).foreach { cs =>
+        val arr = mapper.createArrayNode()
+        cs.sortBy(_.getAs[String]("title")).foreach(c => arr.add(datasetNode(c)))
+        n.set[ObjectNode]("hasPart", arr)
+      }
+      n
+    }
+
+    val roots = datasets.filter(_.getAs[String]("parent_dataset_id") == null)
+      .sortBy(_.getAs[String]("title"))
+    val out: ArrayNode = mapper.createArrayNode()
+    roots.foreach(r => out.add(datasetNode(r)))
+    val root = if (roots.length == 1) out.get(0) else out
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def write(g: EntityGraph, path: String): Unit = {
+    val s = render(g)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), s)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The non-S1 source family of the reference (SURVEY.md §2.1), each
+  * re-expressed as a Spark reader returning DataFrames.
+  */
+object Readers {
+
+  /** S6 — comment-aware dbGaP restricted TSV
+    * (ccmm/dbgap/restricted_metadata.py:21-53): `# Study accession:` /
+    * `# Table accession:` preamble lines carry metadata; first
+    * non-comment row is the header.
+    *
+    * @return (data, accessions) — accessions is a 1-row DataFrame with
+    *         study_accession / table_accession extracted from comments.
+    */
+  def commentTsv(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val data = spark.read
+      .option("sep", "\t").option("header", "true").option("comment", "#")
+      .csv(path)
+    val comments = spark.read.text(path)
+      .filter(col("value").startsWith("#"))
+      .select(
+        regexp_extract(col("value"), "# Study accession: (\\S+)", 1).as("study_accession"),
+        regexp_extract(col("value"), "# Table accession: (\\S+)", 1).as("table_accession"))
+    val accessions = comments.agg(
+      max(when(col("study_accession") =!= "", col("study_accession"))).as("study_accession"),
+      max(when(col("table_accession") =!= "", col("table_accession"))).as("table_accession"))
+    (data, accessions)
+  }
+
+  /** S10 — skip-preamble TSV (the AGR orthology report: 14 comment lines
+    * then a header; ccmm/agr/genes.py:203-223). Spark's `comment` option
+    * subsumes the line-count skip when preamble lines are marked; for
+    * positional skipping we drop by line number. */
+  def skipPreambleTsv(spark: SparkSession, path: String, skipLines: Int): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path).rdd.zipWithIndex()
+      .filter(_._2 >= skipLines).map(_._1)
+    spark.read.option("sep", "\t").option("header", "true")
+      .csv(spark.createDataset(lines))
+  }
+
+  /** S11 — GFF3 scan (ccmm/mgd/ref_genome_dataset.py:90-199): 9 fixed
+    * fields, `;`/`=`-encoded attribute column 9 → MapType, `source`
+    * filter, genome-build assertion from `#` metadata. Gzip handled
+    * natively by the text source.
+    *
+    * The reference's id→feature / parent→children dict maps become plain
+    * columns (`attr['ID']`, `attr['Parent']`) + the [[gff3ParentChild]]
+    * self-join.
+    */
+  def gff3(spark: SparkSession, path: String, sourceFilter: Option[String] = Some("MGI"),
+           expectedGenomeBuild: Option[String] = None): DataFrame = {
+    val lines = spark.read.text(path)
+
+    expectedGenomeBuild.foreach { expected =>
+      val build = lines
+        .filter(col("value").rlike("^#\\s*Genome build:"))
+        .select(regexp_extract(col("value"), "Genome build:\\s*(\\S+)", 1).as("b"))
+        .limit(1).collect()
+      val actual = build.headOption.map(_.getString(0))
+      // ref_genome_dataset.py:194-197 — mismatch is fatal
+      require(actual.contains(expected),
+        s"genome build mismatch: expected $expected, found $actual")
+    }
+
+    val cols = Seq("seqid", "source", "ftype", "start", "end", "score", "strand", "phase")
+    val parts = split(col("value"), "\t")
+    val df = lines
+      .filter(!col("value").startsWith("#") && col("value") =!= "")
+      .select(
+        cols.zipWithIndex.map { case (n, i) => parts.getItem(i).as(n) } :+
+          str_to_map(parts.getItem(8), lit(";"), lit("=")).as("attr"): _*)
+      // reference strips the MGI:MGI: double prefix at :225
+      .withColumn("feature_id", regexp_replace(col("attr")("ID"), "^MGI:MGI:", "MGI:"))
+      .withColumn("parent_id", regexp_replace(col("attr")("Parent"), "^MGI:MGI:", "MGI:"))
+    sourceFilter.map(s => df.filter(col("source") === s)).getOrElse(df)
+  }
+
+  /** R5 — GFF3 parent/child adjacency as a self-join
+    * (ref_genome_dataset.py:170-192). */
+  def gff3ParentChild(features: DataFrame): DataFrame =
+    features.as("c").join(features.as("p"),
+        col("c.parent_id") === col("p.feature_id"))
+      .select(col("p.feature_id").as("parent"), col("c.feature_id").as("child"),
+        col("p.ftype").as("parent_type"), col("c.ftype").as("child_type"))
+
+  /** S12 — MGI homolog report (ccmm/mgd/human_homologs.py:13-109):
+    * header-detected TSV, exact-duplicate-line drop (U4), species
+    * normalization (", laboratory" stripped), species whitelist. */
+  def homologReport(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true").csv(path)
+      .dropDuplicates()
+      .withColumn("species",
+        regexp_replace(col("Common Organism Name"), ",\\s*laboratory", ""))
+      .filter(col("species").isin("mouse", "human"))
+
+  /** S7 — dbGaP XML data_dict / var_report via the Spark 4 native XML
+    * source (`rowTag="variable"`); study-level attributes read with a
+    * second pass at `rowTag="data_table"`. The files are KB-scale so
+    * this could also be a driver-side parse (SURVEY.md §7.4.5) — using
+    * the data source keeps one code path if they ever grow. */
+  def dbgapVariables(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "variable")
+      .load(path)
+
+  def dbgapDataTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "data_table")
+      .load(path)
+
+  /** S9 — AGR BGI/disease/phenotype JSON (ccmm/agr/genes.py:64-200):
+    * multiline JSON with a top-level `data` array; explode to rows,
+    * defaulting absent optional fields to "NA" downstream. */
+  def agrJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("data")).as("rec"))
+      .select(col("rec.*"))
+}
