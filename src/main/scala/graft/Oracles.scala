@@ -207,6 +207,33 @@ object Oracles {
       |SELECT decile, count(*) AS n_customers, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  val relRepresentativeValues: String =
+    """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY cnt DESC, o_orderstatus ASC) AS rn FROM c) t WHERE rn = 1),
+      |a AS (SELECT o_orderpriority, min(o_orderstatus) AS min_status,
+      |  median(o_totalprice) AS median_price, count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT a.o_orderpriority, min_status, mode_status, median_price, n
+      |FROM a JOIN m ON a.o_orderpriority = m.o_orderpriority
+      |ORDER BY a.o_orderpriority""".stripMargin
+
+  val relColumnProfile: String =
+    """WITH a AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+      |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS d_sum,
+      |  sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS d_sumsq,
+      |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+      |  median(l_quantity) AS median_q, count(DISTINCT l_quantity) AS distinct_q
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n, nulls,
+      | CAST(d_sum AS DOUBLE)/n AS mean_q,
+      | sqrt((CAST(d_sumsq AS DOUBLE)*n - CAST(d_sum AS DOUBLE)*CAST(d_sum AS DOUBLE))/(CAST(n AS DOUBLE)*(n-1))) AS sd_q,
+      | min_q, max_q, median_q, distinct_q
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   val relCustomerUnpivot: String =
     """SELECT c_custkey, attr, val FROM (
       | SELECT c_custkey, 'acctbal' AS attr, CAST(c_acctbal AS DOUBLE) AS val FROM customer

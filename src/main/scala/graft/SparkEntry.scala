@@ -46,6 +46,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (DedupOps.embeddingNearDup _),
     "sim_brute_topk" -> (SimilarityOps.bruteForceTopK _),
     "sim_lsh_topk" -> (SimilarityOps.lshTopK _),
+    "rel_representative_values" -> (Representative.representativeValues _),
+    "rel_column_profile" -> (Representative.columnProfile _),
     "evt_sessionize" -> (EventOps.sessionize _),
     "evt_hourly_rollup" -> (EventOps.hourlyRollup _),
     "evt_running_total" -> (EventOps.runningTotal _),
@@ -138,6 +140,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Oracles.dedupEmbedding,
     "sim_brute_topk" -> Oracles.simBruteTopK,
     "sim_lsh_topk" -> Oracles.simLshTopK,
+    "rel_representative_values" -> Oracles.relRepresentativeValues,
+    "rel_column_profile" -> Oracles.relColumnProfile,
     "evt_sessionize" -> Oracles.evtSessionize,
     "evt_hourly_rollup" -> Oracles.evtHourlyRollup,
     "evt_running_total" -> Oracles.evtRunningTotal,
