@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming pipelines over the events table — the streaming
+  * twins of graft.operators.EventOps (the reference has no streaming;
+  * this is north-star surface, BASELINE.json).
+  *
+  * Source: the parquet file stream (at scale: Kafka/queue sources with
+  * the same downstream plan). Event time is derived from the nanosecond
+  * `ts` column; watermarks bound state. The windowed rollup is a
+  * streaming-native groupBy — partial aggregation per micro-batch, state
+  * keyed by (window, event_type). Sessionization uses
+  * flatMapGroupsWithState keyed on user_id with event-time timeout: state
+  * is one open session per user, flushed on gap or watermark expiry.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         value: Double, event_time: java.sql.Timestamp)
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long, totalValue: BigDecimal)
+  final case class Session(user_id: Long, session_start_ms: Long, duration_ms: Long,
+                           n_events: Long, total_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Events file-stream with event-time column (ns → micros timestamp). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source wants a directory; filter to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming hourly rollup with watermarked tumbling windows. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("d_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n_events"),
+        col("d_value").cast("double").as("total_value"))
+
+  /** Streaming sessionization: one open session per user in state; a gap
+    * > 30 min (or event-time timeout past the watermark) closes it.
+    * Within a micro-batch events are sorted by time, so replaying a
+    * bounded input through Trigger.AvailableNow reproduces the batch
+    * sessionization exactly — the property the spec asserts. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.startMs, s.lastMs - s.startMs, s.nEvents,
+                s.totalValue.setScale(4).toDouble)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.event_time.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val ms = e.event_time.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs <= GapMs =>
+                  cur = Some(SessionState(s.startMs, ms, s.nEvents + 1,
+                    s.totalValue + BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+                case Some(s) =>
+                  closed ::= Session(userId, s.startMs, s.lastMs - s.startMs, s.nEvents,
+                    s.totalValue.setScale(4).toDouble)
+                  cur = Some(SessionState(ms, ms, 1L,
+                    BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1L,
+                    BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + GapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /** Run a bounded stream to completion (AvailableNow) into a memory
+    * table; returns the collected result. Used by specs and the demo. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt-$name").toString)
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}
