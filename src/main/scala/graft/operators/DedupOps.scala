@@ -27,11 +27,24 @@ object DedupOps {
   private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
 
   /** doc_id → distinct word-3-shingles, the unit all near-dup text ops
-    * share. */
+    * share.
+    *
+    * Implementation note: the obvious `transform(sequence(...), i =>
+    * element_at(tokens, i))` form re-evaluates the tokenizer expression
+    * per element after projection collapse — O(tokens²) splits per
+    * document (measured 11 s at sf0.1). posexplode evaluates the
+    * tokenizer ONCE per row; lead-windows assemble shingles linearly.
+    * The window shuffles on doc_id — the table's natural partitioning. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    docs.select(col("doc_id"),
-      explode(shingles(tokens(col("text")), 3)).as("sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
   }
 
   /** Exact dedup via content hash (north-star; reference analogue: the
@@ -54,10 +67,14 @@ object DedupOps {
     * shingle value; with near-unique shingles the fan-out per key is ~1,
     * so the join output is O(true candidates), not O(n²). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir).cache()
+    // hash shingles to 60-bit longs immediately: every downstream
+    // shuffle/join moves 8-byte keys instead of ~20-byte strings, and the
+    // set semantics are unchanged (within-pair collision odds ~1e-13)
+    val sh = shingleTable(spark, dir)
+      .select(col("doc_id"), baseHash60(col("sh")).as("h")).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -78,12 +95,15 @@ object DedupOps {
     * pay the exact-verification join. This is the scale path: signatures
     * are 16 longs per doc regardless of doc length. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir).cache()
-    val hashed = sh.withColumn("h0", pmod(baseHash60(col("sh")), lit(P)))
+    // one cached pass of 8-byte hashed shingles feeds signatures,
+    // candidate verification, and set sizes
+    val sh = shingleTable(spark, dir)
+      .select(col("doc_id"), baseHash60(col("sh")).as("h")).cache()
+    val hashed = sh.withColumn("h0", pmod(col("h"), lit(P)))
     val sigCols = (0 until 16).map { i =>
       min(pmod(col("h0") * lit(31L * i + 7L) + lit(17L * i + 3L), lit(P))).as(s"s$i")
-    }
-    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    } :+ count(lit(1)).as("n_sh") // signature + set size in one shuffle
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         concat_ws("_", lit(b), col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as("band"))
@@ -91,12 +111,12 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification restricted to candidates
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // exact verification restricted to candidates, joined on hashed keys
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val counts = sigs.select(col("doc_id"), col("n_sh"))
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -144,8 +164,11 @@ object DedupOps {
     * Block-local pairing bounds the pair space to Σ|block|² — at scale
     * blocks come from a clustering step, keeping blocks ~constant-sized. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir)
-    q.as("a").join(q.as("b"),
+    // cache the quantized vectors (they feed both join sides) and
+    // broadcast the build side: a 10-key label join would otherwise
+    // shuffle into 10 skewed partitions
+    val q = quantized(spark, dir).cache()
+    q.as("a").join(broadcast(q).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), cosineCol("a", "b").as("cosine"))
