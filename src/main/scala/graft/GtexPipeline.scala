@@ -45,6 +45,23 @@ object GtexPipeline {
     show("Q5 subject characteristics", DatsQueries.listSubjectCharacteristics(graph))
     show("Q6 sample characteristics", DatsQueries.listSampleCharacteristics(graph))
     show("Q7 tabular dump", DatsQueries.tabularDump(graph))
+
+    // restricted-access overlay (§3.1 step 10) when the files are present
+    val restrictedSubj = new java.io.File(s"$inDir/restricted_gtex_subject.txt")
+    if (restrictedSubj.exists()) {
+      val over = GtexEtl.restrictedOverlay(spark, graph,
+        restrictedSubj.getPath, s"$inDir/restricted_gtex_subject_phenotypes.txt")
+      show("Q5 after restricted overlay", DatsQueries.listSubjectCharacteristics(over))
+      show("study groups after overlay", over.studyGroups)
+    }
+    // dbGaP metadata-directory index (S8) when present
+    val dbgapDir = new java.io.File(s"$inDir/dbgap_dir")
+    if (dbgapDir.exists()) {
+      val idx = graft.sources.Readers.dbgapFileIndex(spark, dbgapDir.getPath)
+      show("dbGaP file index", idx)
+      println("main study: " +
+        graft.sources.Readers.dbgapMainStudy(idx).head.getString(0))
+    }
     spark.stop()
   }
 }

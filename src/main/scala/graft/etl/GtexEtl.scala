@@ -295,6 +295,55 @@ object GtexEtl {
       dataAcquisitions = dataAcquisitions)
   }
 
+  /** §3.1 step 10 — the restricted-access overlay
+    * (ccmm/gtex/dna_extracts.py:434-496 + bin/gtex_v7_to_dats.py:399-402):
+    * merge restricted Subject ⋈ Subject_Phenotypes (J5, keyed on SUBJID
+    * for GTEx), REWRITE the subject characteristics from the restricted
+    * columns, and add per-consent StudyGroups (A1).
+    *
+    * Returns the updated graph: characteristics for overlaid subjects are
+    * replaced wholesale (the reference rewrites the subject's
+    * characteristics list); non-overlaid subjects keep their public
+    * characteristics.
+    */
+  def restrictedOverlay(spark: SparkSession, graph: EntityGraph,
+                        subjectTsv: String, phenotypesTsv: String): EntityGraph = {
+    import graft.model.Dats.entityId
+    val (subj, _) = graft.sources.Readers.commentTsv(spark, subjectTsv)
+    val (pheno, _) = graft.sources.Readers.commentTsv(spark, phenotypesTsv)
+    val merged = TopmedEtl.mergeSubjectTables(subj, pheno, "SUBJID").cache()
+
+    // rewrite characteristics: drop public chars of overlaid subjects,
+    // add the restricted variables in long form
+    val restrictedVars = merged.columns.filterNot(c => c == "SUBJID" || c == "dbGaP_Subject_ID")
+    val overlaidChars = restrictedVars.map { v =>
+      merged.filter(col(v).isNotNull && col(v) =!= "").select(
+        entityId("Material", col("SUBJID")).as("material_id"),
+        lit(null).cast("string").as("var_acc"),
+        lit(v).as("name"), col(v).as("value"))
+    }.reduce(_ unionByName _)
+    val overlaidIds = merged.select(entityId("Material", col("SUBJID")).as("material_id"))
+    val keptChars = graph.characteristics.join(
+      graph.materials.filter(col("material_type") === "subject").select("material_id")
+        .join(overlaidIds, Seq("material_id"), "left_semi"),
+      Seq("material_id"), "left_anti")
+
+    // A1: per-consent StudyGroups over the overlaid subjects
+    val studyId = entityId("Study", lit(StudyAccession))
+    val consentGroups = merged.filter(col("CONSENT").isNotNull).select(
+      entityId("StudyGroup", concat(lit("consent-"), col("CONSENT"))).as("group_id"),
+      studyId.as("study_id"),
+      concat(lit("consent group "), col("CONSENT")).as("name")).distinct()
+    val consentMembers = merged.filter(col("CONSENT").isNotNull).select(
+      entityId("StudyGroup", concat(lit("consent-"), col("CONSENT"))).as("group_id"),
+      entityId("Material", col("SUBJID")).as("material_id"))
+
+    graph.copy(
+      characteristics = keptChars.unionByName(overlaidChars),
+      studyGroups = graph.studyGroups.unionByName(consentGroups),
+      groupMembers = graph.groupMembers.unionByName(consentMembers))
+  }
+
   /** J2 — manifest ↔ portal reconciliation tallies
     * (bin/gtex_v7_to_dats.py:42-94): anti-join counts in both directions. */
   def reconcile(samples: DataFrame, manifest: DataFrame,

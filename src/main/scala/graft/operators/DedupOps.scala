@@ -164,14 +164,14 @@ object DedupOps {
     * Block-local pairing bounds the pair space to Σ|block|² — at scale
     * blocks come from a clustering step, keeping blocks ~constant-sized. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // cache the quantized vectors (they feed both join sides) and
-    // broadcast the build side: a 10-key label join would otherwise
-    // shuffle into 10 skewed partitions
-    val q = quantized(spark, dir).cache()
+    // flattened + broadcast build side: a 10-key label join would
+    // otherwise shuffle into 10 skewed partitions, and the flattened
+    // 64-term dot product stays inside whole-stage codegen
+    val q = flattened(spark, dir)
     q.as("a").join(broadcast(q).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"), cosineCol("a", "b").as("cosine"))
+        col("a.label").as("label"), flatCosine("a", "b").as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
@@ -183,6 +183,27 @@ object DedupOps {
       transform(col("embedding"),
         x => round(x.cast("double") * 1000000).cast("long")).as("qv"))
       .withColumn("nrm", aggregate(transform(col("qv"), x => x * x), lit(0L), _ + _))
+
+  val Dim = 64
+
+  /** Quantized vectors flattened to one column per dimension. The cache
+    * is a required barrier: without it, projection collapse would inline
+    * the quantizing `transform` into each of the 64 `element_at`s and
+    * re-evaluate it per column (the same quadratic trap as the shingle
+    * path). Flat columns keep the dot product in whole-stage codegen —
+    * higher-order array functions are not codegen'd. */
+  private[operators] def flattened(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).cache()
+    q.select(Seq(col("vec_id"), col("label"), col("nrm")) ++
+      (0 until Dim).map(i => element_at(col("qv"), i + 1).as(s"q$i")): _*)
+  }
+
+  /** Exact cosine of two flattened vectors (codegen-friendly 64-term
+    * integer dot). */
+  private[operators] def flatCosine(a: String, b: String) = {
+    val dot = (0 until Dim).map(i => col(s"$a.q$i") * col(s"$b.q$i")).reduce(_ + _)
+    dot.cast("double") / sqrt(col(s"$a.nrm").cast("double")) / sqrt(col(s"$b.nrm").cast("double"))
+  }
 
   /** Exact cosine of two quantized vectors (aliases `a`, `b`). */
   private[operators] def cosineCol(a: String, b: String) = {

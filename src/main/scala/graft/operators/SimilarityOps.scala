@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (north-star extension —
   * ANN over an `Array[Float]` column).
   *
-  * Two paths with one contract (query_id, neighbor, cosine, rank):
+  * Two paths with one contract (query_id, neighbor, cosine, rnk):
   *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
   *    every vector. The scan side stays partition-parallel; no shuffle at
   *    all until the final per-query top-k, which moves only k·|queries|
@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    bucketing; only same-bucket candidates are scored. The bucket id is
   *    computed per-row (no shuffle), candidates co-shuffle on bucket.
   *
-  * All arithmetic is integer-quantized (see DedupOps.quantized) so both
-  * paths are bit-deterministic and oracle-comparable.
+  * All arithmetic is integer-quantized and runs over dimension-flattened
+  * columns (DedupOps.flattened) so the 64-term dot products stay inside
+  * whole-stage codegen, and results are bit-deterministic and
+  * oracle-comparable.
   */
 object SimilarityOps {
 
@@ -27,34 +29,28 @@ object SimilarityOps {
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < 10). */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val q = DedupOps.quantized(spark, dir)
+    val q = DedupOps.flattened(spark, dir)
     val queries = q.filter(col("vec_id") < NQueries)
     val pairs = broadcast(queries).as("a").join(q.as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"),
-        DedupOps.cosineCol("a", "b").as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor").asc)
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= K)
-      .orderBy("query_id", "rnk")
+        DedupOps.flatCosine("a", "b").as("cosine"))
+    rank(pairs)
   }
 
   /** Deterministic hyperplane weight for (plane h, 1-based dim d): a fixed
     * integer pattern in [-3, 3] — pseudo-random enough to split buckets,
     * and expressible identically in any SQL engine (no RNG seed to agree
     * on). */
-  private def planeWeight(h: Int, d: org.apache.spark.sql.Column) =
-    (d * 131 + lit(h * 37)) % 7 - 3
+  private def planeWeight(h: Int, d: Int): Int = ((d * 131 + h * 37) % 7) - 3
 
-  /** vec_id, label, qv, nrm, bucket — sign pattern of NPlanes hyperplane
-    * dot products. */
+  /** vec_id, label, nrm, q0..q63, bucket — sign pattern of NPlanes
+    * hyperplane dot products, all in codegen. */
   private[operators] def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val q = DedupOps.quantized(spark, dir)
+    val q = DedupOps.flattened(spark, dir)
     val bucketCol = (0 until NPlanes).map { h =>
-      val dot = aggregate(
-        zip_with(col("qv"), sequence(lit(1), lit(64)), (x, d) => x * planeWeight(h, d)),
-        lit(0L), _ + _)
+      val dot = (0 until DedupOps.Dim)
+        .map(d => col(s"q$d") * lit(planeWeight(h, d + 1))).reduce(_ + _)
       when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
     q.withColumn("bucket", bucketCol)
@@ -64,12 +60,16 @@ object SimilarityOps {
     * Same output schema as brute force; recall depends on bucket
     * granularity (8 planes → 256 buckets). */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir).cache()
+    val b = bucketed(spark, dir)
     val queries = b.filter(col("vec_id") < NQueries)
     val pairs = broadcast(queries).as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"),
-        DedupOps.cosineCol("a", "b").as("cosine"))
+        DedupOps.flatCosine("a", "b").as("cosine"))
+    rank(pairs)
+  }
+
+  private def rank(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor").asc)
     pairs.withColumn("rnk", row_number().over(w).cast("long"))

@@ -120,4 +120,40 @@ object Readers {
     spark.read.option("multiLine", "true").json(path)
       .select(explode(col("data")).as("rec"))
       .select(col("rec.*"))
+
+  /** S8 — dbGaP metadata-directory scan + filename-grammar parse
+    * (ccmm/dbgap/public_metadata.py:234-266): list the XML files, parse
+    * each filename into (study_id, data_table_id, participant_set,
+    * study_name, table_type, metadata_type) — the reference's 4-level
+    * index becomes a DataFrame keyed by those columns. The binaryFile
+    * source lists distributedly and column pruning keeps payloads
+    * unread. */
+  private val DbgapFileRx =
+    "(phs\\d+\\.v\\d+)\\.(pht\\d+\\.v\\d+)(\\.p\\d+)?\\.(\\S+?)_(Subject_Phenotypes|Sample_Attributes|Subject_Images|Subject|Sample)\\.(data_dict|var_report|MULTI|DS-CS-RD|DS-LD-RD|DS-LD|GRU|HMB)\\.xml$"
+
+  def dbgapFileIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xml").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"))
+      .filter(regexp_like(col("file_name"), lit(DbgapFileRx)))
+      .select(col("file_name"),
+        regexp_extract(col("file_name"), DbgapFileRx, 1).as("study_id"),
+        regexp_extract(col("file_name"), DbgapFileRx, 2).as("data_table_id"),
+        regexp_extract(col("file_name"), DbgapFileRx, 3).as("participant_set"),
+        regexp_extract(col("file_name"), DbgapFileRx, 4).as("study_name"),
+        regexp_extract(col("file_name"), DbgapFileRx, 5).as("table_type"),
+        regexp_extract(col("file_name"), DbgapFileRx, 6).as("metadata_type"))
+
+  /** S8 — sub-study heuristic (public_metadata.py:269-326): a study with
+    * no data_dict files is a sub-study; exactly one main study must
+    * remain. The anti-join IS the heuristic. */
+  def dbgapMainStudy(index: DataFrame): DataFrame = {
+    val withDict = index.filter(col("metadata_type") === "data_dict")
+      .select(col("study_id")).distinct()
+    val main = index.select(col("study_id")).distinct()
+      .join(withDict, Seq("study_id"), "left_semi")
+    require(main.count() == 1,
+      s"expected exactly 1 main study, found: ${main.collect().map(_.getString(0)).mkString(",")}")
+    main
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.GtexEtl
+import graft.sources.Readers
+
+class OverlayS8Spec extends SparkTestBase {
+
+  private def res(name: String): String = getClass.getResource(s"/gtex/$name").getPath
+
+  private lazy val graph = GtexEtl.build(spark, GtexEtl.Inputs(
+    subjectsPath = res("GTEx_v7_Annotations_SubjectPhenotypesDS.txt"),
+    samplesPath = res("GTEx_v7_Annotations_SampleAttributesDS.txt"),
+    wgsManifestPath = res("wgs_cram_manifest.txt"),
+    rnaseqManifestPath = res("rnaseq_cram_manifest.txt"),
+    doiPath = res("doi_manifest.txt")))
+
+  test("S8: dbGaP directory scan parses the filename grammar") {
+    val idx = Readers.dbgapFileIndex(spark, res("dbgap_dir"))
+    assert(idx.count() === 4)
+    val row = idx.filter(col("file_name").contains("pht002742") &&
+      col("metadata_type") === "data_dict").head
+    assert(row.getAs[String]("study_id") === "phs000424.v7")
+    assert(row.getAs[String]("data_table_id") === "pht002742.v7")
+    assert(row.getAs[String]("participant_set") === ".p2")
+    assert(row.getAs[String]("study_name") === "GTEx")
+    assert(row.getAs[String]("table_type") === "Subject")
+  }
+
+  test("S8: sub-study heuristic keeps exactly the data_dict-bearing study") {
+    val idx = Readers.dbgapFileIndex(spark, res("dbgap_dir"))
+    val main = Readers.dbgapMainStudy(idx)
+    assert(main.head.getString(0) === "phs000424.v7") // phs000425 = substudy
+  }
+
+  test("restricted overlay rewrites characteristics and adds consent groups") {
+    val over = GtexEtl.restrictedOverlay(spark, graph,
+      res("restricted_gtex_subject.txt"), res("restricted_gtex_subject_phenotypes.txt"))
+    // overlaid subjects lose public chars, gain restricted ones
+    val g1111 = graph.materials.filter(col("name") === "GTEX-1111")
+      .select("material_id").head.getString(0)
+    val chars1111 = over.characteristics.filter(col("material_id") === g1111)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(chars1111 === Set("CONSENT", "GENDER", "VISIT_AGE", "HYPERTENSION"))
+    // non-overlaid subjects keep public chars
+    val g3333 = graph.materials.filter(col("name") === "GTEX-3333")
+      .select("material_id").head.getString(0)
+    val chars3333 = over.characteristics.filter(col("material_id") === g3333)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(chars3333 === Set("SEX", "AGE", "DTHHRDY"))
+    // consent groups: codes 1 and 2 → two new groups beside "all subjects"
+    assert(over.studyGroups.count() === 3)
+    val consentSizes = over.groupMembers.groupBy("group_id").count()
+      .join(over.studyGroups.filter(col("name").startsWith("consent")), "group_id")
+      .select("name", "count").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(consentSizes === Map("consent group 1" -> 2, "consent group 2" -> 1))
+  }
+}
