@@ -25,7 +25,10 @@ object GtexPipeline {
       samplesPath = s"$inDir/GTEx_v7_Annotations_SampleAttributesDS.txt",
       wgsManifestPath = s"$inDir/wgs_cram_manifest.txt",
       rnaseqManifestPath = s"$inDir/rnaseq_cram_manifest.txt",
-      doiPath = s"$inDir/doi_manifest.txt"))
+      doiPath = s"$inDir/doi_manifest.txt",
+      dbgapDataDictPath = Some(
+        s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
+        .filter(p => new java.io.File(p).exists())))
 
     DatsJsonWriter.write(graph, outJson)
     println(s"[pipeline] wrote DATS JSON-LD to $outJson " +

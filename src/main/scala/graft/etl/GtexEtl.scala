@@ -82,7 +82,8 @@ object GtexEtl {
 
   final case class Inputs(
       subjectsPath: String, samplesPath: String,
-      wgsManifestPath: String, rnaseqManifestPath: String, doiPath: String)
+      wgsManifestPath: String, rnaseqManifestPath: String, doiPath: String,
+      dbgapDataDictPath: Option[String] = None)
 
   val TopDatasetTitle = "Genotype-Tissue Expression Project (GTEx)"
   val StudyAccession = "phs000424.v7.p2"
@@ -271,15 +272,27 @@ object GtexEtl {
       groupId.as("group_id"), col("material_id"))
 
     // dbGaP variables as study-dataset Dimensions (add_study_vars,
-    // public_metadata.py:352-402)
-    val studyDimensions = Seq(("SEX", "phv00169061"), ("AGE", "phv00169063"), ("DTHHRDY", "phv00169064"))
-      .map { case (n, acc) =>
-        spark.range(1).select(
-          entityId("Dimension", lit(acc)).as("dim_id"),
-          studyDatasetId.as("owner_id"), lit(n).as("name"), lit(acc).as("var_acc"),
-          concat(lit("dbGaP variable "), lit(n)).as("description"),
+    // public_metadata.py:352-402): registered from the parsed data_dict
+    // XML (S7/J11) when provided, else the known phenotype variables
+    val studyDimensions = in.dbgapDataDictPath match {
+      case Some(xml) =>
+        graft.sources.Readers.dbgapVariables(spark, xml).select(
+          entityId("Dimension", regexp_extract(col("_id"), "^(phv\\d+)", 1)).as("dim_id"),
+          studyDatasetId.as("owner_id"),
+          col("_var_name").as("name"),
+          regexp_extract(col("_id"), "^(phv\\d+)", 1).as("var_acc"),
+          coalesce(col("description"), concat(lit("dbGaP variable "), col("_var_name"))).as("description"),
           lit(null).cast("string").as("value"))
-      }.reduce(_ unionByName _)
+      case None =>
+        Seq(("SEX", "phv00169061"), ("AGE", "phv00169063"), ("DTHHRDY", "phv00169064"))
+          .map { case (n, acc) =>
+            spark.range(1).select(
+              entityId("Dimension", lit(acc)).as("dim_id"),
+              studyDatasetId.as("owner_id"), lit(n).as("name"), lit(acc).as("var_acc"),
+              concat(lit("dbGaP variable "), lit(n)).as("description"),
+              lit(null).cast("string").as("value"))
+          }.reduce(_ unionByName _)
+    }
 
     EntityGraph(
       datasets = datasets,

@@ -16,6 +16,21 @@ class OverlayS8Spec extends SparkTestBase {
     rnaseqManifestPath = res("rnaseq_cram_manifest.txt"),
     doiPath = res("doi_manifest.txt")))
 
+  test("J11: study dimensions registered from parsed data_dict XML") {
+    val g = GtexEtl.build(spark, GtexEtl.Inputs(
+      subjectsPath = res("GTEx_v7_Annotations_SubjectPhenotypesDS.txt"),
+      samplesPath = res("GTEx_v7_Annotations_SampleAttributesDS.txt"),
+      wgsManifestPath = res("wgs_cram_manifest.txt"),
+      rnaseqManifestPath = res("rnaseq_cram_manifest.txt"),
+      doiPath = res("doi_manifest.txt"),
+      dbgapDataDictPath = Some(res("phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml"))))
+    val vars = graft.query.DatsQueries.listDatasetVariables(g, Some(GtexEtl.StudyAccession))
+      .collect()
+    assert(vars.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("phv00169061", "SEX"), ("phv00169063", "AGE")))
+    assert(vars.head.getString(3) === "Sex of the subject") // XML description
+  }
+
   test("S8: dbGaP directory scan parses the filename grammar") {
     val idx = Readers.dbgapFileIndex(spark, res("dbgap_dir"))
     assert(idx.count() === 4)
