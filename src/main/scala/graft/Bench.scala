@@ -17,6 +17,9 @@ object Bench {
     graft.Tables.names.foreach(n =>
       try graft.Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // clear caches so each query is timed standalone (operators that
+      // cache internally would otherwise borrow earlier queries' work)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

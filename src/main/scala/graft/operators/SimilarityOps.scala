@@ -60,7 +60,9 @@ object SimilarityOps {
     * Same output schema as brute force; recall depends on bucket
     * granularity (8 planes → 256 buckets). */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(spark, dir)
+    // cache: the bucketed projection (512-term hyperplane sums) feeds
+    // both sides of the candidate join
+    val b = bucketed(spark, dir).cache()
     val queries = b.filter(col("vec_id") < NQueries)
     val pairs = broadcast(queries).as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))

@@ -113,6 +113,37 @@ object Readers {
       .option("rowTag", "data_table")
       .load(path)
 
+  /** S7/A5 — the var_report statistics the reference CONSUMES
+    * (ccmm/dbgap/public_metadata.py:43-58, 94-127): per-variable n,
+    * nulls, mean, median, min, max, sd, distinct_vals from the `<stat>`
+    * element, flattened to one row per variable. Computing the same
+    * profile FROM data is `operators.Representative.columnProfile`. */
+  def dbgapVarReportStats(spark: SparkSession, path: String): DataFrame = {
+    val vars = dbgapVariables(spark, path)
+    vars.select(
+      col("_id").as("var_id"), col("_var_name").as("var_name"),
+      col("total.stats.stat._n").as("n"),
+      col("total.stats.stat._nulls").as("nulls"),
+      col("total.stats.stat._mean").as("mean"),
+      col("total.stats.stat._median").as("median"),
+      col("total.stats.stat._min").as("min"),
+      col("total.stats.stat._max").as("max"),
+      col("total.stats.stat._sd").as("sd"),
+      col("total.stats.stat._distinct_vals").as("distinct_vals"))
+  }
+
+  /** S7/A5 — per-enum-value counts from the var_report `<enum>` elements
+    * (code, label, count) — the source of the J9 consent-code metadata. */
+  def dbgapVarReportEnums(spark: SparkSession, path: String): DataFrame = {
+    val vars = dbgapVariables(spark, path)
+    vars.filter(col("total.stats.enum").isNotNull)
+      .select(col("_id").as("var_id"), col("_var_name").as("var_name"),
+        explode(col("total.stats.enum")).as("e"))
+      .select(col("var_id"), col("var_name"),
+        col("e._code").as("code"), col("e._VALUE").as("label"),
+        col("e._count").as("count"))
+  }
+
   /** S9 — AGR BGI/disease/phenotype JSON (ccmm/agr/genes.py:64-200):
     * multiline JSON with a top-level `data` array; explode to rows,
     * defaulting absent optional fields to "NA" downstream. */

@@ -31,6 +31,19 @@ class OverlayS8Spec extends SparkTestBase {
     assert(vars.head.getString(3) === "Sex of the subject") // XML description
   }
 
+  test("S7/A5: var_report stats and enum counts parse from XML") {
+    val xml = res("phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
+    val stats = Readers.dbgapVarReportStats(spark, xml)
+      .filter(col("var_name") === "SEX").head
+    assert(stats.getAs[Long]("n") === 752L)
+    assert(stats.getAs[Long]("distinct_vals") === 2L)
+    val enums = Readers.dbgapVarReportEnums(spark, xml).collect()
+    assert(enums.length === 2)
+    val byCode = enums.map(r => r.getAs[Long]("code") -> (r.getAs[String]("label"), r.getAs[Long]("count"))).toMap
+    assert(byCode(1L) === ("male", 500L))
+    assert(byCode(2L) === ("female", 252L))
+  }
+
   test("S8: dbGaP directory scan parses the filename grammar") {
     val idx = Readers.dbgapFileIndex(spark, res("dbgap_dir"))
     assert(idx.count() === 4)
