@@ -62,6 +62,14 @@ object Oracles {
        | CAST(CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  val textBpeTokens: String =
+    s"""WITH $W
+       |SELECT doc_id,
+       | CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens,
+       | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS DOUBLE) / len(ws) AS subword_ratio
+       |FROM w JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val textFingerprint: String =
     s"""WITH $W,
        |nrm AS (SELECT doc_id, array_to_string(ws, ' ') AS norm FROM w)

@@ -39,6 +39,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    "text_bpe_tokens" -> (TextOps.bpeTokenStats _),
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _),
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_lang_id" -> Oracles.textLangId,
     "text_fingerprint" -> Oracles.textFingerprint,
+    "text_bpe_tokens" -> Oracles.textBpeTokens,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairs,
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,

@@ -120,6 +120,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Subword ("BPE-ish") token counting (north-star op): alongside the
+    * whitespace count, a regex segmentation into letter-runs, digit-runs,
+    * and single symbols — the shape of a byte-pair-encoding pre-tokenizer.
+    * The alternation's branches are disjoint character classes, so the
+    * count is engine-independent. One narrow projection, no shuffle. */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val subword = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(subword), lit(0))).cast("long").as("n_subword_tokens"))
+      .withColumn("subword_ratio",
+        col("n_subword_tokens").cast("double") / col("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting (north-star op): stable md5 content hash of the
     * whitespace-normalized text plus a 60-bit numeric fingerprint — the key
     * that exact dedup groups on. */
