@@ -160,20 +160,20 @@ object Oracles {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
       |SELECT user_id, session_idx, min(ms) AS session_start_ms,
       | max(ms) - min(ms) AS duration_ms, count(*) AS n_events,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value,
       | count(DISTINCT event_type) AS n_event_types
       |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
 
   val evtHourlyRollup: String =
     """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
       | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val evtRunningTotal: String =
     """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events)
       |SELECT user_id, event_id, ms, event_type,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+      | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS running_value,
       | CAST(count(*) OVER w AS BIGINT) AS running_n
       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -204,7 +204,7 @@ object Oracles {
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       | coalesce(o_orderpriority, 'ALL') AS priority,
       | count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
@@ -237,8 +237,8 @@ object Oracles {
       |  median(l_quantity) AS median_q, count(DISTINCT l_quantity) AS distinct_q
       | FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n, nulls,
-      | CAST(d_sum AS DOUBLE)/n AS mean_q,
-      | sqrt((CAST(d_sumsq AS DOUBLE)*n - CAST(d_sum AS DOUBLE)*CAST(d_sum AS DOUBLE))/(CAST(n AS DOUBLE)*(n-1))) AS sd_q,
+      | CAST(CAST(d_sum AS VARCHAR) AS DOUBLE)/n AS mean_q,
+      | sqrt((CAST(CAST(d_sumsq AS VARCHAR) AS DOUBLE)*n - CAST(CAST(d_sum AS VARCHAR) AS DOUBLE)*CAST(CAST(d_sum AS VARCHAR) AS DOUBLE))/(CAST(n AS DOUBLE)*(n-1))) AS sd_q,
       | min_q, max_q, median_q, distinct_q
       |FROM a ORDER BY l_returnflag""".stripMargin
 
