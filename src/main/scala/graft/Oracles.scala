@@ -136,21 +136,43 @@ object Oracles {
        |SELECT query_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Multi-table LSH bucket assignment + candidate union + exact-cosine
+    * scoring — shared by the LSH top-k and recall oracles. */
+  private val LSH_PIPE: String =
+    s"""lb AS (SELECT vec_id, qv, nrm, t,
+       |  CAST(list_sum(list_transform(generate_series(0,3), h ->
+       |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64),
+       |        d -> qv[d] * (((d*131 + h*37 + t*59) % 7) - 3))) AS BIGINT) >= 0
+       |      THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM n, UNNEST([0,1,2,3]) AS tt(t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor
+       |  FROM lb a JOIN lb b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       |    AND a.vec_id < 10 AND a.vec_id <> b2.vec_id),
+       |lp AS (SELECT query_id, neighbor, ${cosine("a", "b2")} AS cosine
+       |  FROM cand JOIN n a ON query_id = a.vec_id JOIN n b2 ON neighbor = b2.vec_id),
+       |lr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
+       |  FROM lp)""".stripMargin
+
   val simLshTopK: String =
     s"""WITH $QN,
-       |b AS (SELECT vec_id, label, qv, nrm,
-       |  CAST(list_sum(list_transform(generate_series(0,7), h ->
-       |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64),
-       |        d -> qv[d] * (((d*131 + h*37) % 7) - 3))) AS BIGINT) >= 0
-       |      THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-       |  FROM n),
-       |pairs AS (SELECT a.vec_id AS query_id, b2.vec_id AS neighbor,
-       |  ${cosine("a", "b2")} AS cosine
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < 10 AND a.vec_id <> b2.vec_id),
-       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
-       |  FROM pairs)
-       |SELECT query_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5
+       |$LSH_PIPE
+       |SELECT query_id, neighbor, cosine, rnk FROM lr WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
+
+  val simLshRecall: String =
+    s"""WITH $QN,
+       |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+       |  ${cosine("a", "b")} AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS rnk FROM bp),
+       |bt AS (SELECT query_id, neighbor FROM br WHERE rnk <= 5),
+       |$LSH_PIPE,
+       |lt AS (SELECT query_id, neighbor FROM lr WHERE rnk <= 5)
+       |SELECT bt.query_id, count(*) AS k,
+       | CAST(sum(CASE WHEN lt.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       | CAST(sum(CASE WHEN lt.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS recall
+       |FROM bt LEFT JOIN lt ON bt.query_id = lt.query_id AND bt.neighbor = lt.neighbor
+       |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 
   val evtSessionize: String =
     """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events),
