@@ -44,6 +44,21 @@ class OverlayS8Spec extends SparkTestBase {
     assert(byCode(2L) === ("female", 252L))
   }
 
+  test("S11-DSv2: custom gff3 source reads typed rows with column pruning") {
+    val df = spark.read.format("gff3").load(res("annot.gff3"))
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("seqid", "source", "ftype", "start", "end", "score", "strand", "phase", "attr"))
+    assert(df.count() === 4) // no source filter at scan level
+    val gene = df.filter(col("source") === "MGI" && col("ftype") === "gene").head
+    assert(gene.getAs[Long]("start") === 3205901L)
+    assert(gene.getAs[Map[String, String]]("attr")("Name") === "Xkr4")
+    // pruning reaches the scan: only requested fields are read
+    val pruned = df.select("seqid", "ftype")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadFields: seqid,ftype"), scanDesc)
+    assert(pruned.distinct().count() === 3)
+  }
+
   test("S8: dbGaP directory scan parses the filename grammar") {
     val idx = Readers.dbgapFileIndex(spark, res("dbgap_dir"))
     assert(idx.count() === 4)
