@@ -54,31 +54,57 @@ class Gff3Table(path: String) extends Table with SupportsRead {
     new Gff3ScanBuilder(path)
 }
 
-class Gff3ScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+class Gff3ScanBuilder(path: String) extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+
   private var required: StructType = Gff3Table.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new Gff3Scan(path, required)
+
+  /** Accept string-equality filters on the fixed columns — evaluated in
+    * the reader BEFORE row construction, so filtered lines never
+    * allocate. Everything else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(attr, _: String) => Gff3Table.Schema.fieldNames.take(8).contains(attr)
+      case IsNotNull(attr) => Gff3Table.Schema.fieldNames.take(8).contains(attr)
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Gff3Scan(path, required,
+    pushed.collect { case EqualTo(attr, v: String) => attr -> v })
 }
 
-class Gff3Scan(path: String, required: StructType) extends Scan with Batch {
+class Gff3Scan(path: String, required: StructType, eqFilters: Array[(String, String)])
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(Gff3InputPartition(path))
   override def createReaderFactory(): PartitionReaderFactory =
-    new Gff3ReaderFactory(required)
+    new Gff3ReaderFactory(required, eqFilters)
   override def description(): String =
-    s"gff3 $path, ReadFields: ${required.fieldNames.mkString(",")}"
+    s"gff3 $path, ReadFields: ${required.fieldNames.mkString(",")}" +
+      s", PushedGff3Filters: ${eqFilters.map { case (a, v) => s"$a=$v" }.mkString(",")}"
 }
 
 case class Gff3InputPartition(path: String) extends InputPartition
 
-class Gff3ReaderFactory(required: StructType) extends PartitionReaderFactory {
+class Gff3ReaderFactory(required: StructType, eqFilters: Array[(String, String)])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new Gff3PartitionReader(partition.asInstanceOf[Gff3InputPartition].path, required)
+    new Gff3PartitionReader(partition.asInstanceOf[Gff3InputPartition].path,
+      required, eqFilters)
 }
 
-class Gff3PartitionReader(path: String, required: StructType)
+class Gff3PartitionReader(path: String, required: StructType,
+                          eqFilters: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
   private val stream = {
@@ -94,9 +120,24 @@ class Gff3PartitionReader(path: String, required: StructType)
   }
   private var current: InternalRow = _
 
+  private val filterIdx: Array[(Int, String)] = eqFilters.map {
+    case (attr, v) => Gff3Table.Schema.fieldNames.indexOf(attr) -> v
+  }
+
+  @annotation.tailrec
+  private def nextDataLine(): String = {
+    val line = lines.readLine()
+    if (line == null) null
+    else if (line.isEmpty || line.startsWith("#")) nextDataLine()
+    else {
+      val parts = line.split("\t", -1)
+      if (filterIdx.forall { case (i, v) => parts(i) == v }) line
+      else nextDataLine()
+    }
+  }
+
   override def next(): Boolean = {
-    var line = lines.readLine()
-    while (line != null && (line.isEmpty || line.startsWith("#"))) line = lines.readLine()
+    val line = nextDataLine()
     if (line == null) return false
     val parts = line.split("\t", -1)
     val values: Array[Any] = fieldIdx.map {

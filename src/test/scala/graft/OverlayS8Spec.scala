@@ -57,6 +57,11 @@ class OverlayS8Spec extends SparkTestBase {
     val scanDesc = pruned.queryExecution.executedPlan.toString
     assert(scanDesc.contains("ReadFields: seqid,ftype"), scanDesc)
     assert(pruned.distinct().count() === 3)
+    // filter pushdown: the source= predicate is evaluated in the reader
+    val filtered = df.filter(col("source") === "MGI")
+    val fDesc = filtered.queryExecution.executedPlan.toString
+    assert(fDesc.contains("PushedGff3Filters: source=MGI"), fDesc)
+    assert(filtered.count() === 3)
   }
 
   test("S8: dbGaP directory scan parses the filename grammar") {
