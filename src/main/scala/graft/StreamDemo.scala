@@ -29,6 +29,11 @@ object StreamDemo {
     println(s"[stream] sessions emitted: ${sessions.count()}")
     sessions.orderBy("user_id", "session_start_ms").show(5, truncate = false)
 
+    val once = EventStream.readEvents(spark, dir)
+    val deduped = EventStream.runToMemory(
+      EventStream.dedupEvents(once.union(once)).select(col("event_id")), "demo_dedup")
+    println(s"[stream] dedup: doubled input -> ${deduped.count()} unique events")
+
     val media = Multimodal.syntheticMedia(spark, dir)
     val frames = Multimodal.decodeFrames(media)
     val feats = Multimodal.extractFeatures(media)

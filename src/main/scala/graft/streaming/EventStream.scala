@@ -98,6 +98,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup (the dedup family's streaming face): drop
+    * re-deliveries of the same event_id within the watermark horizon.
+    * State holds one key per event inside the horizon and is evicted by
+    * the watermark — the bounded-state form of
+    * graft.operators.DedupOps.exact for at-least-once sources. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a bounded stream to completion (AvailableNow) into a memory
     * table; returns the collected result. Used by specs and the demo. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -40,6 +40,17 @@ class StreamingMultimodalSpec extends SparkTestBase {
     streamed.foreach { case (k, n) => assert(batch(k) === n, s"session $k") }
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    // simulate at-least-once delivery: the same file read twice
+    val once = EventStream.readEvents(spark, sf)
+    val doubled = once.union(once)
+    val deduped = EventStream.runToMemory(
+      EventStream.dedupEvents(doubled).select("event_id"), "dedup_stream")
+    val n = Tables.load(spark, sf, "events").count()
+    assert(deduped.count() === n) // duplicates from the re-read dropped
+    assert(deduped.distinct().count() === n)
+  }
+
   test("multimodal: decode produces per-frame rows with stable shapes") {
     val media = Multimodal.syntheticMedia(spark, sf)
     val frames = Multimodal.decodeFrames(media)
