@@ -108,4 +108,148 @@ object TopmedEtl {
                         inputCol: String = "input_material_id"): DataFrame =
     samples.join(acquisitions.select(col(inputCol)),
       col(sampleIdCol) === col(inputCol), "left_semi")
+
+  final case class Inputs(
+      manifestPath: String,
+      guidPaths: Seq[String],
+      subjectTsv: String,
+      phenotypesTsv: String,
+      studyAccession: String = "phs000951.v2.p2",
+      studyName: String = "TOPMed study")
+
+  /** The full TOPMed study pipeline (§3.2, bin/topmed_to_dats.py
+    * process_study :170-266): restricted subjects merged J5 → consent
+    * groups → sample materials from the manifest → CRAM + VCF file
+    * datasets joined to the merged GUID table (J3/J4) → J12 semi-join →
+    * the same normalized entity graph the GTEx pipeline produces, ready
+    * for the K1 writer and Q1-Q7. */
+  def build(spark: SparkSession, in: Inputs): GtexEtl.EntityGraph = {
+    import graft.model.Dats.entityId
+
+    val (subjRaw, _) = Readers.commentTsv(spark, in.subjectTsv)
+    val (phenoRaw, _) = Readers.commentTsv(spark, in.phenotypesTsv)
+    val subjects = mergeSubjectTables(subjRaw, phenoRaw).cache()
+
+    val manifest = ValidatedTsv.readStrict(spark, in.manifestPath, manifestSpec, "sample_id")
+    val guids = mergeGuidFiles(spark, in.guidPaths)
+
+    // ids
+    val topId = entityId("Dataset", lit("TOPMed"))
+    val studyDatasetId = entityId("Dataset", lit(in.studyAccession))
+    val studyId = entityId("Study", lit(in.studyAccession))
+
+    // subject materials + characteristics (restricted path, J5 done)
+    val subjectMaterials = subjects.select(
+      entityId("Material", col("SUBJECT_ID")).as("material_id"),
+      col("SUBJECT_ID").as("name"),
+      lit("subject").as("material_type"), lit("donor").as("role"),
+      col("SUBJECT_ID").as("subject_id"),
+      lit(null).cast("string").as("derives_from"),
+      lit(null).cast("string").as("anatomy_id"),
+      concat(lit("TOPMed subject "), col("SUBJECT_ID")).as("description"))
+    val subjChars = subjects.columns
+      .filterNot(c => c == "SUBJECT_ID" || c == "dbGaP_Subject_ID").toSeq
+      .map { v =>
+        subjects.filter(col(v).isNotNull && col(v) =!= "").select(
+          entityId("Material", col("SUBJECT_ID")).as("material_id"),
+          lit(null).cast("string").as("var_acc"), lit(v).as("name"), col(v).as("value"))
+      }.reduce(_ unionByName _)
+
+    // sample materials: TOPMed manifest carries no explicit subject link
+    // in the public fixture — samples derive from a per-study synthetic
+    // pool the way the reference's public-only path does
+    // (ccmm/topmed/samples.py:146-238)
+    val sampleMaterials = manifest.select(
+      entityId("Material", col("sample_id")).as("material_id"),
+      col("sample_id").as("name"),
+      lit("sample").as("material_type"), lit("specimen").as("role"),
+      lit(null).cast("string").as("subject_id"),
+      lit(null).cast("string").as("derives_from"),
+      lit(null).cast("string").as("anatomy_id"),
+      concat(lit("DNA extracted from sample "), col("sample_id")).as("description"))
+
+    // CRAM + VCF file datasets (samples.py:241-476): one dataset per
+    // (sample, filetype present in the manifest)
+    val cram = manifest.select(col("sample_id"),
+      col("s3_cram").as("s3_uri"), col("gs_cram").as("gs_uri"), lit("WGS").as("data_type"),
+      substring_index(col("s3_cram"), "/", -1).as("file_name"))
+    val vcf = manifest.filter(col("s3_vcf").isNotNull).select(col("sample_id"),
+      col("s3_vcf").as("s3_uri"), col("gs_vcf").as("gs_uri"), lit("SNP/CNV").as("data_type"),
+      substring_index(col("s3_vcf"), "/", -1).as("file_name"))
+    val files = cram.unionByName(vcf)
+      .join(guids.select(col("File_Name").as("guid_file_name"), col("md5sum"),
+        col("file_size"), col("Sodium_GUID")),
+        col("file_name") === col("guid_file_name"), "left") // J4
+      .withColumn("dataset_id",
+        entityId("Dataset", concat(col("sample_id"), lit("|"), col("data_type"))))
+
+    val fileDatasets = files.select(
+      col("dataset_id"), studyDatasetId.as("parent_dataset_id"),
+      concat(col("data_type"), lit(" of sample "), col("sample_id")).as("title"),
+      concat(col("data_type"), lit(" file for "), col("sample_id")).as("description"),
+      lit("v2").as("version"), col("data_type"), lit(null).cast("string").as("study_id"))
+    val fileDistributions = files.select(col("dataset_id"),
+        col("gs_uri").as("access_url"), col("file_size").as("size"),
+        col("md5sum").as("md5"), col("Sodium_GUID").as("doi"))
+      .unionByName(files.select(col("dataset_id"),
+        col("s3_uri").as("access_url"), col("file_size").as("size"),
+        col("md5sum").as("md5"), col("Sodium_GUID").as("doi")))
+    val dataAcquisitions = files.select(col("dataset_id"),
+      entityId("Material", col("sample_id")).as("input_material_id"))
+
+    // J12: only samples referenced by a file dataset are emitted
+    val referenced = referencedSamples(
+      sampleMaterials, dataAcquisitions, "material_id")
+
+    // A1: consent StudyGroups + the all-subjects group
+    val allGroupId = entityId("StudyGroup", lit("all subjects"))
+    val consentGroups = subjects.filter(col("CONSENT").isNotNull).select(
+      entityId("StudyGroup", concat(lit("consent-"), col("CONSENT"))).as("group_id"),
+      studyId.as("study_id"),
+      concat(lit("consent group "), col("CONSENT")).as("name")).distinct()
+    val studyGroups = spark.range(1).select(
+        allGroupId.as("group_id"), studyId.as("study_id"), lit("all subjects").as("name"))
+      .unionByName(consentGroups)
+    val groupMembers = subjectMaterials.select(allGroupId.as("group_id"), col("material_id"))
+      .unionByName(subjects.filter(col("CONSENT").isNotNull).select(
+        entityId("StudyGroup", concat(lit("consent-"), col("CONSENT"))).as("group_id"),
+        entityId("Material", col("SUBJECT_ID")).as("material_id")))
+
+    val datasets = spark.range(1).select(
+        topId.as("dataset_id"), lit(null).cast("string").as("parent_dataset_id"),
+        lit("Trans-Omics for Precision Medicine (TOPMed)").as("title"),
+        lit("NHLBI TOPMed program").as("description"),
+        lit("v2").as("version"), lit(null).cast("string").as("data_type"),
+        lit(null).cast("string").as("study_id"))
+      .unionByName(spark.range(1).select(
+        studyDatasetId.as("dataset_id"), topId.as("parent_dataset_id"),
+        lit(in.studyAccession).as("title"), lit(in.studyName).as("description"),
+        lit("v2").as("version"), lit(null).cast("string").as("data_type"),
+        studyId.as("study_id")))
+      .unionByName(fileDatasets)
+
+    val identifiers = spark.range(1).select(
+        topId.as("entity_id"), lit("TOPMed").as("identifier"), lit("TOPMed").as("identifier_source"))
+      .unionByName(spark.range(1).select(
+        studyDatasetId.as("entity_id"), lit(in.studyAccession).as("identifier"),
+        lit("dbGaP").as("identifier_source")))
+
+    GtexEtl.EntityGraph(
+      datasets = datasets,
+      identifiers = identifiers,
+      studies = spark.range(1).select(studyId.as("study_id"),
+        lit(in.studyName).as("name"), studyDatasetId.as("dataset_id")),
+      studyGroups = studyGroups,
+      groupMembers = groupMembers,
+      materials = subjectMaterials.unionByName(referenced),
+      anatomicalParts = spark.emptyDataFrame
+        .sparkSession.range(0).select(lit("").as("anatomy_id"), lit("").as("name"),
+          lit("").as("uberon_id")),
+      characteristics = subjChars,
+      dimensions = spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
+        lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
+        lit("").as("value")),
+      distributions = fileDistributions,
+      dataAcquisitions = dataAcquisitions)
+  }
 }
