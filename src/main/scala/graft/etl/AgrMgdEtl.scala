@@ -128,4 +128,90 @@ object AgrMgdEtl {
       count(lit(1)).as("n_mouse_genes"),
       sum(when(col("n_human") > 0, 1L).otherwise(0L)).as("with_human_homolog"),
       sum(when(col("n_human") === 0, 1L).otherwise(0L)).as("without_human_homolog"))
+
+  final case class Inputs(bgiPath: String, diseasePath: String,
+                          phenotypePath: String, orthologyPath: String,
+                          modName: String = "MGI")
+
+  /** The AGR gene-dataset assembly (reference bin/agr_to_dats.py +
+    * ccmm/agr/genes.py:226-430): one top-level Dataset per MOD whose
+    * members are gene Materials carrying location/SO characteristics and
+    * the joined disease / phenotype / ortholog annotations — in the same
+    * entity-graph shape as the GTEx/TOPMed pipelines, so the writer and
+    * query half apply unchanged. */
+  def build(spark: SparkSession, in: Inputs): GtexEtl.EntityGraph = {
+    import graft.model.Dats.entityId
+
+    val genes = bgiGenes(spark, in.bgiPath).cache()
+    val diseases = Readers.agrJson(spark, in.diseasePath)
+    val phenotypes = Readers.agrJson(spark, in.phenotypePath)
+    val gd = geneDiseases(genes, diseases)
+    val gp = genePhenotypes(genes, phenotypes)
+    val go = geneOrthologs(spark, genes, in.orthologyPath)
+
+    val topId = entityId("Dataset", lit(s"AGR-${in.modName}"))
+    val topDataset = spark.range(1).select(
+      topId.as("dataset_id"), lit(null).cast("string").as("parent_dataset_id"),
+      lit(s"Alliance of Genome Resources ${in.modName} gene set").as("title"),
+      lit(s"${in.modName} reference genes with disease/phenotype/ortholog annotations").as("description"),
+      lit("1.0").as("version"), lit(null).cast("string").as("data_type"),
+      lit(null).cast("string").as("study_id"))
+
+    val geneMaterials = genes.select(
+      entityId("Material", col("gene_id")).as("material_id"),
+      col("symbol").as("name"),
+      lit("gene").as("material_type"), lit("gene").as("role"),
+      lit(null).cast("string").as("subject_id"),
+      lit(null).cast("string").as("derives_from"),
+      lit(null).cast("string").as("anatomy_id"),
+      col("synopsis").as("description"))
+
+    // location + SO-term + annotation characteristics in long form
+    val locChars = Seq("so_name", "assembly", "chromosome", "strand").map { c =>
+      genes.filter(col(c).isNotNull).select(
+        entityId("Material", col("gene_id")).as("material_id"),
+        lit(null).cast("string").as("var_acc"), lit(c).as("name"),
+        col(c).cast("string").as("value"))
+    }.reduce(_ unionByName _)
+    val diseaseChars = gd.filter(size(col("do_ids")) > 0).select(
+      entityId("Material", col("gene_id")).as("material_id"),
+      lit(null).cast("string").as("var_acc"), lit("diseases").as("name"),
+      array_join(col("do_ids"), ",").as("value"))
+    val phenoChars = gp.filter(size(col("phenotype_terms")) > 0).select(
+      entityId("Material", col("gene_id")).as("material_id"),
+      lit(null).cast("string").as("var_acc"), lit("phenotypes").as("name"),
+      array_join(col("phenotype_terms"), ",").as("value"))
+    val orthoChars = go.filter(size(col("human_orthologs")) > 0).select(
+      entityId("Material", col("gene_id")).as("material_id"),
+      lit(null).cast("string").as("var_acc"), lit("human_orthologs").as("name"),
+      array_join(col("human_orthologs"), ",").as("value"))
+
+    // the "all genes" group hangs off a synthetic Study so the writer's
+    // Dataset→Study→StudyGroup→members chain applies as-is
+    val studyId = entityId("Study", lit(s"AGR-${in.modName}"))
+    val groupId = entityId("StudyGroup", lit(s"all ${in.modName} genes"))
+
+    GtexEtl.EntityGraph(
+      datasets = topDataset,
+      identifiers = spark.range(1).select(topId.as("entity_id"),
+        lit(s"AGR-${in.modName}").as("identifier"), lit("AGR").as("identifier_source")),
+      studies = spark.range(1).select(studyId.as("study_id"),
+        lit(s"${in.modName} reference genome").as("name"), topId.as("dataset_id")),
+      studyGroups = spark.range(1).select(groupId.as("group_id"),
+        studyId.as("study_id"), lit(s"all ${in.modName} genes").as("name")),
+      groupMembers = geneMaterials.select(groupId.as("group_id"), col("material_id")),
+      materials = geneMaterials,
+      anatomicalParts = spark.range(0).select(lit("").as("anatomy_id"),
+        lit("").as("name"), lit("").as("uberon_id")),
+      characteristics = locChars.unionByName(diseaseChars)
+        .unionByName(phenoChars).unionByName(orthoChars),
+      dimensions = spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
+        lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
+        lit("").as("value")),
+      distributions = spark.range(0).select(lit("").as("dataset_id"),
+        lit("").as("access_url"), lit(0L).as("size"), lit("").as("md5"),
+        lit("").as("doi")),
+      dataAcquisitions = spark.range(0).select(lit("").as("dataset_id"),
+        lit("").as("input_material_id")))
+  }
 }

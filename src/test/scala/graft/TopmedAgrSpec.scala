@@ -113,6 +113,22 @@ class TopmedAgrSpec extends SparkTestBase {
     assert(cov.getLong(0) === 2 && cov.getLong(1) === 1 && cov.getLong(2) === 1)
   }
 
+  test("AGR graph: gene dataset assembly with annotation characteristics") {
+    val g = AgrMgdEtl.build(spark, AgrMgdEtl.Inputs(
+      bgiPath = res("agr/MGI_BGI.json"), diseasePath = res("agr/MGI_disease.json"),
+      phenotypePath = res("agr/MGI_phenotype.json"), orthologyPath = res("agr/orthology.tsv")))
+    assert(g.materials.count() === 3)
+    assert(g.groupMembers.count() === 3)
+    val xkr4Chars = g.characteristics
+      .join(g.materials.filter(col("name") === "Xkr4").select("material_id"), "material_id")
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(xkr4Chars("diseases") === "DOID:0001,DOID:0002")
+    assert(xkr4Chars("human_orthologs") === "HGNC:100,HGNC:101")
+    assert(xkr4Chars("strand") === "reverse")
+    val json = graft.io.DatsJsonWriter.render(g)
+    assert(json.contains("all MGI genes"))
+  }
+
   test("A4/A5: representative values and column profile run on star schema") {
     val rep = Representative.representativeValues(spark, sf).collect()
     assert(rep.nonEmpty)
