@@ -34,6 +34,12 @@ object StreamDemo {
       EventStream.dedupEvents(once.union(once)).select(col("event_id")), "demo_dedup")
     println(s"[stream] dedup: doubled input -> ${deduped.count()} unique events")
 
+    // typed single-pass profile of the event values (ProfileAggregator)
+    val values = Tables.load(spark, dir, "events")
+      .select(col("value")).as(org.apache.spark.sql.Encoders.DOUBLE)
+    println("[profile] event value: " +
+      values.select(graft.operators.ProfileAggregator.of.toColumn).head)
+
     val media = Multimodal.syntheticMedia(spark, dir)
     val frames = Multimodal.decodeFrames(media)
     val feats = Multimodal.extractFeatures(media)

@@ -25,6 +25,20 @@ object ScaleOps {
     scattered.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Two-phase salted aggregation for skewed group keys: scatter each
+    * group across `salt` sub-keys for the first (heavy) partial
+    * aggregation, then combine the sub-aggregates — the groupBy analogue
+    * of [[saltedJoin]]. Only algebraic aggregates (sum/count/min/max)
+    * compose this way; the wrapper takes the sums and counts it needs. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String, salt: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol).cast(DecimalType(18, 4))).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), sum(col("_s")).cast("double").as("total"))
+  }
+
   /** Write two tables bucketed on the join key, read them back, and
     * join: with matching bucket counts Spark plans a sort-merge join
     * with NO shuffle exchange on either side — the plan that makes the
