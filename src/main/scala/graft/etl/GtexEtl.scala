@@ -102,20 +102,28 @@ object GtexEtl {
     require(orphans.isEmpty, s"samples with no subject: ${orphans.select("SAMPID").collect().mkString(",")}")
 
     // -- P7: sample type inference (samples.py:99-141): SMAFRZE ⇒ expected
-    //    type, SMNABTCHT ⇒ actual type; EXCLUDE dropped; conflict fatal;
-    //    undetermined dropped --
+    //    type (EXCLUDE ⇒ none), SMNABTCHT ⇒ actual type; conflict between
+    //    a determined actual and expected type is fatal; when the batch
+    //    type determines neither DNA nor RNA the reference FALLS BACK to
+    //    the expected type, so only rows where both are undetermined are
+    //    dropped — and EXCLUDE rows with a determinable batch type are
+    //    kept (samples.py:118-127) --
     val typed = samplesWithSubj
-      .filter(col("SMAFRZE") =!= "EXCLUDE")
       .withColumn("expected_type",
-        when(col("SMAFRZE") === "RNASEQ", "RNA").otherwise("DNA"))
+        when(col("SMAFRZE") === "RNASEQ", "RNA")
+          .when(col("SMAFRZE").isin("WGS", "WES", "OMNI"), "DNA"))
       .withColumn("actual_type",
         when(upper(col("SMNABTCHT")).contains("RNA"), "RNA")
           .when(upper(col("SMNABTCHT")).contains("DNA"), "DNA"))
     val conflicts = typed.filter(
-      col("actual_type").isNotNull && col("actual_type") =!= col("expected_type"))
+      col("actual_type").isNotNull && col("expected_type").isNotNull &&
+        col("actual_type") =!= col("expected_type"))
     require(conflicts.isEmpty,
       s"sample type conflicts: ${conflicts.select("SAMPID").collect().mkString(",")}")
-    val samples = typed.filter(col("actual_type").isNotNull).cache()
+    val samples = typed
+      .withColumn("actual_type", coalesce(col("actual_type"), col("expected_type")))
+      .filter(col("actual_type").isNotNull)
+      .cache()
 
     // -- U3: anatomy dedup on natural key (samples.py:31-60): shared
     //    AnatomicalPart entities become one dimension-table row --

@@ -33,16 +33,28 @@ import graft.etl.GtexEtl.EntityGraph
   */
 object DatsJsonWriter {
 
-  private val ContextBase =
-    "https://w3id.org/dats/context/sdo/"
+  // context URI prefixes (ccmm/dats/datsobj.py:20-21)
+  private val SdoContextBase = "https://datatagsuite.github.io/context/sdo/"
+  private val OboContextBase = "https://datatagsuite.github.io/context/obo/"
 
   final class Emitter(mapper: ObjectMapper) {
     private val emitted = scala.collection.mutable.HashSet[String]()
 
+    /** `@context` is a two-element [sdo, obo] array whose filenames
+      * derive from the registry's snake_case schema name
+      * (datsobj.py:89-95), e.g. `anatomical_part_sdo_context.jsonld`;
+      * `has_context: False` types (License) carry no @context. */
     def node(datsType: String, id: String): ObjectNode = {
       val n = mapper.createObjectNode()
       n.put("@type", datsType)
-      n.put("@context", ContextBase + datsType.head.toLower + datsType.tail + "_sdo_context.jsonld")
+      if (!graft.model.Dats.NoContextTypes.contains(datsType)) {
+        val schemaName = graft.model.Dats.SchemaNames.getOrElse(datsType,
+          sys.error(s"Unknown DATS object type '$datsType'"))
+        val ctx = mapper.createArrayNode()
+        ctx.add(SdoContextBase + schemaName + "_sdo_context.jsonld")
+        ctx.add(OboContextBase + schemaName + "_obo_context.jsonld")
+        n.set[ObjectNode]("@context", ctx)
+      }
       n.put("@id", id)
       n
     }
@@ -177,6 +189,8 @@ object DatsJsonWriter {
           inputs.add(materialNode(a.getAs[String]("input_material_id")))
         }
         pb.set[ObjectNode]("input", inputs)
+        require(!n.has("producedBy"),
+          s"dataset $id already has producedBy; would drop the DataAcquisition")
         n.set[ObjectNode]("producedBy", pb)
       }
       studies.get(id).map(_.head).foreach { s =>
@@ -201,6 +215,10 @@ object DatsJsonWriter {
           x.set[ObjectNode]("hasPart", parts)
           x
         } else em.idref(sid)
+        // disjoint today (acquisitions on file datasets, studies on the
+        // study dataset) — fail loudly rather than silently overwrite
+        require(!n.has("producedBy"),
+          s"dataset $id already has producedBy; would drop the prior value")
         n.set[ObjectNode]("producedBy", sn)
       }
       children.get(id).foreach { cs =>

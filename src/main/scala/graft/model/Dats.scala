@@ -48,6 +48,26 @@ object Dats {
     "Taxonomy", "Treatment", "TaxonomicInformation", "GenomeLocation", "Gene",
     "GenomeBuild")
 
+  /** Schema basenames per DATS type (ccmm/dats/datsobj.py:33-70, the
+    * `schema` field minus `_schema.json`) — the context filename is this
+    * name + `_sdo_context.jsonld` / `_obo_context.jsonld`. Mostly the
+    * CamelCase→snake_case conversion, with the registry's irregulars
+    * spelled out. License is the one `has_context: False` type. */
+  val SchemaNames: Map[String, String] = {
+    def snake(t: String): String =
+      t.replaceAll("([a-z\\d])([A-Z])", "$1_$2").toLowerCase
+    val irregular = Map(
+      "AlternateIdentifier" -> "alternate_identifier_info",
+      "Date" -> "date_info",
+      "Identifier" -> "identifier_info",
+      "RelatedIdentifier" -> "related_identifier_info",
+      "TaxonomicInformation" -> "taxonomic_info")
+    TypeRegistry.map(t => t -> irregular.getOrElse(t, snake(t))).toMap
+  }
+
+  /** Types with `has_context: False` in the registry. */
+  val NoContextTypes: Set[String] = Set("License")
+
   /** Deterministic entity id: stable hash of (type, natural key) —
     * replaces uuid4 so identical inputs give identical output documents.
     * sha1 keeps collisions out of reach at catalog scale. */

@@ -63,9 +63,11 @@ class Gff3ScanBuilder(path: String) extends ScanBuilder
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  /** Accept string-equality filters on the fixed columns — evaluated in
-    * the reader BEFORE row construction, so filtered lines never
-    * allocate. Everything else stays with Spark. */
+  /** Accept string-equality and is-not-null filters on the fixed
+    * columns — BOTH are evaluated in the reader before row construction
+    * (Spark does not re-check accepted filters, so an accepted
+    * IsNotNull on start/end must drop lines whose numeric parse fails).
+    * Everything else stays with Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo(attr, _: String) => Gff3Table.Schema.fieldNames.take(8).contains(attr)
@@ -78,33 +80,38 @@ class Gff3ScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Gff3Scan(path, required,
-    pushed.collect { case EqualTo(attr, v: String) => attr -> v })
+    pushed.collect { case EqualTo(attr, v: String) => attr -> v },
+    pushed.collect { case IsNotNull(attr) => attr })
 }
 
-class Gff3Scan(path: String, required: StructType, eqFilters: Array[(String, String)])
+class Gff3Scan(path: String, required: StructType,
+               eqFilters: Array[(String, String)], notNullCols: Array[String])
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(Gff3InputPartition(path))
   override def createReaderFactory(): PartitionReaderFactory =
-    new Gff3ReaderFactory(required, eqFilters)
+    new Gff3ReaderFactory(required, eqFilters, notNullCols)
   override def description(): String =
     s"gff3 $path, ReadFields: ${required.fieldNames.mkString(",")}" +
-      s", PushedGff3Filters: ${eqFilters.map { case (a, v) => s"$a=$v" }.mkString(",")}"
+      s", PushedGff3Filters: ${(eqFilters.map { case (a, v) => s"$a=$v" } ++
+        notNullCols.map(c => s"$c IS NOT NULL")).mkString(",")}"
 }
 
 case class Gff3InputPartition(path: String) extends InputPartition
 
-class Gff3ReaderFactory(required: StructType, eqFilters: Array[(String, String)])
+class Gff3ReaderFactory(required: StructType, eqFilters: Array[(String, String)],
+                        notNullCols: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new Gff3PartitionReader(partition.asInstanceOf[Gff3InputPartition].path,
-      required, eqFilters)
+      required, eqFilters, notNullCols)
 }
 
 class Gff3PartitionReader(path: String, required: StructType,
-                          eqFilters: Array[(String, String)])
+                          eqFilters: Array[(String, String)],
+                          notNullCols: Array[String] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val stream = {
@@ -123,6 +130,14 @@ class Gff3PartitionReader(path: String, required: StructType,
   private val filterIdx: Array[(Int, String)] = eqFilters.map {
     case (attr, v) => Gff3Table.Schema.fieldNames.indexOf(attr) -> v
   }
+  // IsNotNull is only falsifiable for start/end (indices 3/4), where the
+  // reader emits null on numeric-parse failure; string columns are
+  // always non-null so their accepted IsNotNull filters are vacuous.
+  private val notNullNumericIdx: Array[Int] =
+    notNullCols.map(c => Gff3Table.Schema.fieldNames.indexOf(c)).filter(i => i == 3 || i == 4)
+
+  private def isLong(s: String): Boolean =
+    try { java.lang.Long.parseLong(s); true } catch { case _: Exception => false }
 
   @annotation.tailrec
   private def nextDataLine(): String = {
@@ -131,7 +146,8 @@ class Gff3PartitionReader(path: String, required: StructType,
     else if (line.isEmpty || line.startsWith("#")) nextDataLine()
     else {
       val parts = line.split("\t", -1)
-      if (filterIdx.forall { case (i, v) => parts(i) == v }) line
+      if (filterIdx.forall { case (i, v) => parts(i) == v } &&
+          notNullNumericIdx.forall(i => isLong(parts(i)))) line
       else nextDataLine()
     }
   }

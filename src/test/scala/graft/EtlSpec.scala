@@ -93,14 +93,17 @@ class EtlSpec extends SparkTestBase {
 
   test("ETL: entity tables have the expected shape") {
     assert(graph.materials.filter(col("material_type") === "subject").count() === 5)
-    assert(graph.materials.filter(col("material_type") === "sample").count() === 7) // EXCLUDE dropped
-    assert(graph.materials.filter(col("material_type") === "extract").count() === 7)
+    // P7: EXCLUDE rows with a determinable batch type are kept, a batch
+    // type matching neither DNA nor RNA falls back to the SMAFRZE
+    // expected type, and only both-undetermined rows drop (samples.py:99-141)
+    assert(graph.materials.filter(col("material_type") === "sample").count() === 9)
+    assert(graph.materials.filter(col("material_type") === "extract").count() === 9)
     assert(graph.anatomicalParts.count() === 5) // U3 dedup on natural key
     assert(graph.datasets.count() === 8) // top + study + 6 file datasets
     assert(graph.distributions.count() === 12) // gs + s3 per file
     assert(graph.dataAcquisitions.count() === 6)
     assert(graph.groupMembers.count() === 5)
-    assert(graph.characteristics.count() === 30)
+    assert(graph.characteristics.count() === 31)
   }
 
   test("ETL: reconciliation tallies (J2)") {
@@ -111,7 +114,7 @@ class EtlSpec extends SparkTestBase {
     val t = GtexEtl.reconcile(samples, manifest).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(t("in_both") === 3)
-    assert(t("portal_only") === 5)
+    assert(t("portal_only") === 7)
     assert(t("manifest_only") === 0)
   }
 
@@ -138,15 +141,17 @@ class EtlSpec extends SparkTestBase {
 
   test("Q4: subject samples via extract→sample→subject chain") {
     val rows = DatsQueries.listSubjectSamples(graph).collect()
-    assert(rows.length === 7)
+    assert(rows.length === 9)
     val bySubject = rows.groupBy(_.getString(0))
     assert(bySubject("GTEX-1111").length === 2)
+    assert(bySubject("GTEX-3333").head.getString(2) === "DNA extract") // kept EXCLUDE
+    assert(bySubject("GTEX-4444").length === 3) // incl. the fallback-typed sample
     assert(bySubject("K-562").head.getString(2) === "RNA extract")
   }
 
   test("Q5/Q6: characteristics by role") {
     assert(DatsQueries.listSubjectCharacteristics(graph).count() === 13)
-    assert(DatsQueries.listSampleCharacteristics(graph).count() === 17)
+    assert(DatsQueries.listSampleCharacteristics(graph).count() === 18)
   }
 
   test("Q7: tabular dump keeps subjects without files (left join)") {

@@ -64,6 +64,27 @@ class OverlayS8Spec extends SparkTestBase {
     assert(filtered.count() === 3)
   }
 
+  test("S11-DSv2: accepted IsNotNull on start/end is enforced in the reader") {
+    // a line whose start fails the numeric parse produces null — an
+    // accepted IsNotNull filter must drop it at the scan, since Spark
+    // does not re-evaluate accepted filters
+    val dir = java.nio.file.Files.createTempDirectory("gff3nn")
+    val p = dir.resolve("bad.gff3")
+    java.nio.file.Files.writeString(p,
+      """##gff-version 3
+        |chr1	MGI	gene	100	200	.	+	.	ID=ok
+        |chr1	MGI	gene	oops	300	.	+	.	ID=bad
+        |""".stripMargin)
+    val df = spark.read.format("gff3").load(p.toString)
+    val q = df.filter(col("start").isNotNull)
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("start IS NOT NULL"), desc)
+    assert(q.count() === 1)
+    assert(q.head.getAs[String]("seqid") === "chr1")
+    // without the filter the null-start row still surfaces
+    assert(df.count() === 2)
+  }
+
   test("S8: dbGaP directory scan parses the filename grammar") {
     val idx = Readers.dbgapFileIndex(spark, res("dbgap_dir"))
     assert(idx.count() === 4)
