@@ -26,25 +26,24 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
 
-  /** doc_id → distinct word-3-shingles, the unit all near-dup text ops
-    * share.
+  /** doc_id → 60-bit hashes of the distinct word-3-shingles, the unit
+    * all near-dup text ops share.
     *
-    * Implementation note: the obvious `transform(sequence(...), i =>
-    * element_at(tokens, i))` form re-evaluates the tokenizer expression
-    * per element after projection collapse — O(tokens²) splits per
-    * document (measured 11 s at sf0.1). posexplode evaluates the
-    * tokenizer ONCE per row; lead-windows assemble shingles linearly.
-    * The window shuffles on doc_id — the table's natural partitioning. */
+    * Implementation note: the naive `transform(sequence(...), i =>
+    * element_at(tokens(text), i))` form re-evaluates the tokenizer
+    * expression per element after projection collapse — O(tokens²)
+    * splits per document (measured 11 s at sf0.1). The cache barrier
+    * materializes the token array first, so each element_at is an O(1)
+    * lookup and shingle assembly is linear WITH NO SHUFFLE (the round-1
+    * posexplode+lead-window form was also linear but paid a 1.5M-row
+    * shuffle + sort per query). `shingles` applies array_distinct within
+    * the doc, so no distinct shuffle is needed either, and hashing to
+    * 8-byte longs happens before the explode leaves the scan stage. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-      .distinct()
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks")).cache()
+    toks.select(col("doc_id"),
+      explode(transform(shingles(col("toks"), 3), s => baseHash60(s))).as("h"))
   }
 
   /** Exact dedup via content hash (north-star; reference analogue: the
@@ -67,11 +66,10 @@ object DedupOps {
     * shingle value; with near-unique shingles the fan-out per key is ~1,
     * so the join output is O(true candidates), not O(n²). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // hash shingles to 60-bit longs immediately: every downstream
-    // shuffle/join moves 8-byte keys instead of ~20-byte strings, and the
-    // set semantics are unchanged (within-pair collision odds ~1e-13)
-    val sh = shingleTable(spark, dir)
-      .select(col("doc_id"), baseHash60(col("sh")).as("h")).cache()
+    // shingles arrive as 60-bit longs: every downstream shuffle/join
+    // moves 8-byte keys instead of ~20-byte strings, and the set
+    // semantics are unchanged (within-pair collision odds ~1e-13)
+    val sh = shingleTable(spark, dir).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -97,8 +95,7 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // one cached pass of 8-byte hashed shingles feeds signatures,
     // candidate verification, and set sizes
-    val sh = shingleTable(spark, dir)
-      .select(col("doc_id"), baseHash60(col("sh")).as("h")).cache()
+    val sh = shingleTable(spark, dir).cache()
     val hashed = sh.withColumn("h0", pmod(col("h"), lit(P)))
     val sigCols = (0 until 16).map { i =>
       min(pmod(col("h0") * lit(31L * i + 7L) + lit(17L * i + 3L), lit(P))).as(s"s$i")
@@ -132,8 +129,7 @@ object DedupOps {
     * reported when they also share a chunk — the oracle replicates the
     * same pipeline, so both sides compute the identical relation). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir)
-    val hashed = sh.select(col("doc_id"), baseHash60(col("sh")).as("h"))
+    val hashed = shingleTable(spark, dir)
     val bitSums = (0 until 60).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
     }
