@@ -73,17 +73,16 @@ object SimilarityOps {
     // both sides of the candidate join
     val b = bucketed(spark, dir).cache()
     val queries = b.filter(col("vec_id") < NQueries)
-    val cand = broadcast(queries).as("a").join(b.as("b"),
+    // both join sides carry the flattened vectors, so candidates are
+    // scored inline — no re-join against the base table; the groupBy
+    // both dedups pairs colliding in several tables (cosine is identical
+    // across tables, so max is a no-op pick) and is the only shuffle
+    val pairs = broadcast(queries).as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"))
-      .distinct()
-    val flat = DedupOps.flattened(spark, dir)
-    val pairs = cand
-      .join(flat.as("a"), col("query_id") === col("a.vec_id"))
-      .join(flat.as("b"), col("neighbor") === col("b.vec_id"))
-      .select(col("query_id"), col("neighbor"),
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"),
         DedupOps.flatCosine("a", "b").as("cosine"))
+      .groupBy("query_id", "neighbor").agg(max(col("cosine")).as("cosine"))
     rank(pairs)
   }
 
