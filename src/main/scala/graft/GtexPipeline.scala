@@ -57,6 +57,18 @@ object GtexPipeline {
       show("Q5 after restricted overlay", DatsQueries.listSubjectCharacteristics(over))
       show("study groups after overlay", over.studyGroups)
     }
+    // top-level skeleton sources: the dbGaP search-results scrape (S14)
+    // and the DataCite title→DOI map (S13), when present
+    val scrape = new java.io.File(s"$inDir/dbgap_studies.txt")
+    if (scrape.exists()) {
+      show("S14 scraped dbGaP studies", graft.sources.Readers.scrapeDbgapStudies(
+        spark, scrape.getPath, descrPrefix = "Genotype-Tissue Expression"))
+    }
+    val datacite = new java.io.File(s"$inDir/datacite_works.json")
+    if (datacite.exists()) {
+      show("S13 DataCite title→DOI", graft.sources.Readers.dataciteTitleToDoi(
+        spark, datacite.getPath))
+    }
     // dbGaP metadata-directory index (S8) when present
     val dbgapDir = new java.io.File(s"$inDir/dbgap_dir")
     if (dbgapDir.exists()) {

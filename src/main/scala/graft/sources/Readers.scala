@@ -187,4 +187,115 @@ object Readers {
       s"expected exactly 1 main study, found: ${main.collect().map(_.getString(0)).mkString(",")}")
     main
   }
+
+  /** S14 — embedded-literal dbGaP search-results scrape
+    * (ccmm/gtex/wgs_datasets.py:65-119; ccmm/topmed/wgs_datasets.py:188-241):
+    * a pasted search-results blob parsed by a per-line regex state
+    * machine into one row per study. Re-expressed relationally:
+    *
+    *  1. preprocessing splits glued `...Versions...` lines in two
+    *     (wgs_datasets.py:71-78) via a 1-or-2-element explode;
+    *  2. each line classifies into exactly one of the five content
+    *     regexes — an unclassifiable line is fatal with its line number
+    *     (wgs_datasets.py:114-116);
+    *  3. the "current study" state variable becomes a running
+    *     last-non-null window over the study-id marker lines;
+    *  4. per-study assembly is a groupBy with order-preserving
+    *     collect_list for the 1-N version lines.
+    *
+    * The blob is a driver-scale literal (KB), so the single-partition
+    * window is the honest plan — there is nothing to distribute.
+    *
+    * @param descrPrefix description-line prefix (the GTEx variant matches
+    *        `^Genotype-Tissue Expression`, TOPMed `^NHLBI TOPMed: `)
+    * @param accessions  optional accession whitelist (P17,
+    *        topmed/wgs_datasets.py:243-245)
+    */
+  def scrapeDbgapStudies(spark: SparkSession, path: String, descrPrefix: String,
+                         accessions: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val raw = spark.read.text(path).coalesce(1)
+      .withColumn("lnum0", monotonically_increasing_id())
+    // split-before-Versions preprocessing: a glued line becomes two
+    val glued = "^(\\S+.*?)(Versions?.*)$"
+    val lines = raw.select(col("lnum0"),
+        posexplode(when(regexp_like(col("value"), lit(glued)),
+            array(regexp_extract(col("value"), glued, 1),
+              regexp_extract(col("value"), glued, 2)))
+          .otherwise(array(col("value")))).as(Seq("piece", "line")))
+      .withColumn("lnum", row_number().over(Window.orderBy("lnum0", "piece")))
+      .filter(!regexp_like(col("line"), lit("^\\s*$")))
+
+    val classified = lines.select(col("lnum"), col("line"),
+      when(regexp_like(col("line"), lit("^phs\\S+$")), "id")
+        .when(col("line").startsWith(descrPrefix), "descr")
+        .when(regexp_like(col("line"), lit("^Version.*$")), "version")
+        .when(regexp_like(col("line"), lit("^VDAS\\d+\\S.*Links$")), "vdas")
+        .when(regexp_like(col("line"), lit("^HiSeq.*$")), "platform")
+        .as("kind"))
+    val bad = classified.filter(col("kind").isNull)
+    require(bad.isEmpty, "unexpected content at line(s) " +
+      bad.select("lnum", "line").collect()
+        .map(r => s"${r.getInt(0)}: ${r.getString(1)}").mkString("; "))
+
+    // running "current study" state: last id-marker at or before the line
+    val w = Window.orderBy("lnum").rowsBetween(Window.unboundedPreceding, 0)
+    val stamped = classified.withColumn("study_acc",
+      last(when(col("kind") === "id", col("line")), ignoreNulls = true).over(w))
+
+    val vdasRx = "^VDAS(\\d+)(\\D.*)Links$"
+    val out = stamped.filter(col("kind") =!= "id")
+      .groupBy(col("study_acc").as("id"))
+      .agg(
+        max(when(col("kind") === "descr",
+          expr(s"substring(line, ${descrPrefix.length + 1})"))).as("descr"),
+        array_sort(collect_list(when(col("kind") === "version",
+          struct(col("lnum"), col("line"))))).as("vstructs"),
+        max(when(col("kind") === "vdas",
+          regexp_extract(col("line"), vdasRx, 1).cast("long"))).as("n_participants"),
+        max(when(col("kind") === "vdas",
+          regexp_extract(col("line"), vdasRx, 2))).as("study_type"),
+        max(when(col("kind") === "platform", col("line"))).as("platform"))
+      .select(col("id"),
+        regexp_extract(col("id"), "^phs\\d+\\.(v\\d+)\\.p\\d+$", 1).as("version"),
+        col("descr"),
+        transform(col("vstructs"), v => v.getField("line")).as("versions"),
+        col("n_participants"), col("study_type"), col("platform"))
+    accessions.fold(out)(accs => out.filter(col("id").isin(accs: _*)))
+      .orderBy("id")
+  }
+
+  /** S13 — DataCite works JSON (ccmm/gtex/rnaseq_datasets.py:160-202):
+    * the fetched-payload parse, minus the network fetch (the engine
+    * consumes the JSON document; fetching is an environment concern).
+    * Builds the dataset-title → DOI map with the reference's two fatal
+    * gates: a version other than `expectedVersion` outside the exempt
+    * title prefixes, and a duplicate title. Titles get the reference's
+    * trailing "." (rnaseq_datasets.py:190). */
+  def dataciteTitleToDoi(spark: SparkSession, path: String,
+                         expectedVersion: String = "v7",
+                         exemptTitlePrefixes: Seq[String] = Seq("DroNc-seq", "Biobank Inventory")): DataFrame = {
+    val works = spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("data")).as("d"))
+      .select(
+        col("d.id").as("doi"),
+        col("d.attributes.title").as("title"),
+        col("d.attributes.url").as("url"),
+        col("d.attributes.version").as("version"))
+
+    val exempt = exemptTitlePrefixes
+      .map(p => col("title").startsWith(p)).reduce(_ || _)
+    val badVersion = works.filter(col("version") =!= expectedVersion && !exempt)
+    require(badVersion.isEmpty, "unexpected dataset version(s): " +
+      badVersion.select("title", "version").collect()
+        .map(r => s"'${r.getString(0)}' (${r.getString(1)})").mkString(", "))
+
+    val dups = works.groupBy("title").count().filter(col("count") > 1)
+    require(dups.isEmpty, "duplicate dataset title(s): " +
+      dups.collect().map(_.getString(0)).mkString(", "))
+
+    works.select(concat(col("title"), lit(".")).as("title"), col("doi"), col("url"))
+      .orderBy("title")
+  }
 }

@@ -103,6 +103,50 @@ class OverlayS8Spec extends SparkTestBase {
     assert(main.head.getString(0) === "phs000424.v7") // phs000425 = substudy
   }
 
+  test("S14: embedded-literal scrape parses studies via the regex state machine") {
+    val s = Readers.scrapeDbgapStudies(spark, res("dbgap_studies.txt"),
+      descrPrefix = "Genotype-Tissue Expression").collect()
+    assert(s.length === 2)
+    val gtex = s.head
+    assert(gtex.getAs[String]("id") === "phs000424.v7.p2")
+    assert(gtex.getAs[String]("version") === "v7")
+    assert(gtex.getAs[String]("descr") === " Project (GTEx)")
+    // glued "...Versions 1-7..." line split in two, both version lines kept in order
+    assert(gtex.getAs[Seq[String]]("versions") ===
+      Seq("Versions 1-7: passed embargo", "Version 8: pending embargo"))
+    assert(gtex.getAs[Long]("n_participants") === 752L)
+    assert(gtex.getAs[String]("study_type") === "Cohort, Tissue Expression")
+    assert(gtex.getAs[String]("platform") === "HiSeq 2000")
+    // P17 accession whitelist
+    val only920 = Readers.scrapeDbgapStudies(spark, res("dbgap_studies.txt"),
+      descrPrefix = "Genotype-Tissue Expression",
+      accessions = Some(Seq("phs000920.v4.p2"))).collect()
+    assert(only920.map(_.getString(0)).toSeq === Seq("phs000920.v4.p2"))
+    // unexpected content is fatal with its line number
+    intercept[IllegalArgumentException] {
+      Readers.scrapeDbgapStudies(spark, res("dbgap_studies.txt"),
+        descrPrefix = "NHLBI TOPMed: ").collect()
+    }
+  }
+
+  test("S13: DataCite works parse builds title→DOI map with fatal gates") {
+    val m = Readers.dataciteTitleToDoi(spark, res("datacite_works.json")).collect()
+    assert(m.length === 3)
+    val byTitle = m.map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference appends a trailing "." to every title (rnaseq_datasets.py:190)
+    assert(byTitle("GTEx WGS phased VCF.") === "https://doi.org/10.25491/abc3")
+    // version gate: the v1 DroNc-seq entry is exempt by prefix; removing
+    // the exemption makes it fatal
+    intercept[IllegalArgumentException] {
+      Readers.dataciteTitleToDoi(spark, res("datacite_works.json"),
+        exemptTitlePrefixes = Seq("Biobank Inventory"))
+    }
+    // duplicate-title gate
+    intercept[IllegalArgumentException] {
+      Readers.dataciteTitleToDoi(spark, res("datacite_dup.json"))
+    }
+  }
+
   test("restricted overlay rewrites characteristics and adds consent groups") {
     val over = GtexEtl.restrictedOverlay(spark, graph,
       res("restricted_gtex_subject.txt"), res("restricted_gtex_subject_phenotypes.txt"))
