@@ -159,6 +159,40 @@ object Oracles {
        |SELECT query_id, neighbor, cosine, rnk FROM lr WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** IVF-style probe: angular Voronoi assignment to seed vectors
+    * (vec_id 10..19), per-list integer-sum centroids (cosine is
+    * scale-invariant, so the unnormalized sum ranks like the mean),
+    * nprobe=3 nearest lists per query, exact cosine within them. */
+  val simIvfTopK: String =
+    s"""WITH $QN,
+       |asg0 AS (SELECT v.vec_id, s.vec_id AS cl,
+       |  CAST(list_sum(list_transform(generate_series(1,64), i -> v.qv[i]*s.qv[i])) AS BIGINT)
+       |    / sqrt(CAST(v.nrm AS DOUBLE)) / sqrt(CAST(s.nrm AS DOUBLE)) AS scos
+       |  FROM n v JOIN n s ON s.vec_id BETWEEN 10 AND 19),
+       |asg AS (SELECT vec_id, cl FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
+       |  FROM asg0) t WHERE rn = 1),
+       |cd AS (SELECT cl, i, CAST(sum(qv[i]) AS BIGINT) AS c
+       |  FROM asg JOIN n USING (vec_id), UNNEST(range(1, 65)) AS t(i) GROUP BY cl, i),
+       |cent AS (SELECT cl, list(c ORDER BY i) AS cv,
+       |  CAST(list_sum(list_transform(list(c ORDER BY i), x -> x*x)) AS BIGINT) AS cnrm
+       |  FROM cd GROUP BY cl),
+       |probe AS (SELECT a.vec_id AS query_id, c.cl AS probe_cl,
+       |  CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE)) / sqrt(CAST(c.cnrm AS DOUBLE)) AS pcos
+       |  FROM n a, cent c WHERE a.vec_id < 10),
+       |sel AS (SELECT query_id, probe_cl FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, probe_cl ASC) AS prnk
+       |  FROM probe) t WHERE prnk <= 3),
+       |pairs AS (SELECT s.query_id, b.vec_id AS neighbor, ${cosine("a", "b")} AS cosine
+       |  FROM sel s JOIN asg g ON g.cl = s.probe_cl
+       |  JOIN n b ON b.vec_id = g.vec_id AND b.vec_id <> s.query_id
+       |  JOIN n a ON a.vec_id = s.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   val simLshRecall: String =
     s"""WITH $QN,
        |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor,

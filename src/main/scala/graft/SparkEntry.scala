@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (DedupOps.embeddingNearDup _),
     "sim_brute_topk" -> (SimilarityOps.bruteForceTopK _),
     "sim_lsh_topk" -> (SimilarityOps.lshTopK _),
+    "sim_ivf_topk" -> (SimilarityOps.ivfTopK _),
     "sim_lsh_recall" -> (SimilarityOps.lshRecall _),
     "rel_representative_values" -> (Representative.representativeValues _),
     "rel_column_profile" -> (Representative.columnProfile _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Oracles.dedupEmbedding,
     "sim_brute_topk" -> Oracles.simBruteTopK,
     "sim_lsh_topk" -> Oracles.simLshTopK,
+    "sim_ivf_topk" -> Oracles.simIvfTopK,
     "sim_lsh_recall" -> Oracles.simLshRecall,
     "rel_representative_values" -> Oracles.relRepresentativeValues,
     "rel_column_profile" -> Oracles.relColumnProfile,

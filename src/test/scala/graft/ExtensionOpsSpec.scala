@@ -51,6 +51,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("similarity: IVF top-k probes labels and recovers most brute-force hits") {
+    val ivf = SimilarityOps.ivfTopK(spark, sf).collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.length === 5)
+      val cosines = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // recall against exact top-5: on this near-uniform corpus nprobe=3/10
+    // measures ≈0.4-0.55 — assert the floor so a broken probe (recall→~0)
+    // fails loudly while honest ANN variance passes
+    val brute = SparkEntry.queries("sim_brute_topk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val ivfPairs = ivf.map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(brute.intersect(ivfPairs).size >= 15, s"recall@5 too low: ${brute.intersect(ivfPairs).size}/50")
+  }
+
   test("text: token stats are internally consistent") {
     val rows = TextOps.tokenStats(spark, sf).collect()
     rows.foreach { r =>
