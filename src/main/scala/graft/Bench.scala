@@ -16,7 +16,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.names.foreach(n =>
       try graft.Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name filter for local iteration; the
+    // driver never sets it, so the per-round bench is always the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // clear caches so each query is timed standalone (operators that
       // cache internally would otherwise borrow earlier queries' work)
       spark.catalog.clearCache()

@@ -58,13 +58,44 @@ object Projections {
       .orderBy("status", "priority")
   }
 
-  /** Decile bucketing via ntile window (beyond-reference ranking op;
-    * total order includes the key so ties are deterministic). */
+  /** Decile bucketing (beyond-reference ranking op) with exact NTILE
+    * semantics but WITHOUT a partition-less window — `Window.orderBy`
+    * with no partition key pulls the whole table through one task, a
+    * scale-killer at 100×. Scale-safe plan (distributed zipWithIndex):
+    * range-repartition on the sort key (parallel range sort), a
+    * per-PARTITION row_number, then add each partition's global offset
+    * from a 32-row broadcast side; the decile is derived arithmetically
+    * from the global rank (first n%10 buckets take one extra row —
+    * exactly SQL NTILE, so ties and hashes match the oracle). The only
+    * single-partition work is the 32-row offsets frame. */
   def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    customer
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val sortCols = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    // cache: both the offsets agg and the rank join re-read the sorted
+    // frame (MEMORY_AND_DISK by default, so it spills rather than OOMs)
+    val parted = customer.select("c_custkey", "c_acctbal")
+      .repartitionByRange(32, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("pid").orderBy(sortCols: _*)).cast("long"))
+      .cache()
+    val wPrev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"),
+        coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("off"),
+        sum(col("cnt")).over(wAll).as("n"))
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("lrn") + col("off"))
+      .withColumn("bq", expr("n DIV 10"))
+      .withColumn("br", col("n") % 10)
+      .withColumn("decile",
+        when(col("rn") <= (col("bq") + lit(1L)) * col("br"),
+            expr("(rn - 1) DIV (bq + 1)") + lit(1L))
+          .otherwise(col("br") + expr("(rn - 1 - (bq + 1) * br) DIV bq") + lit(1L))
+          .cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         min(col("c_acctbal")).as("min_bal"),

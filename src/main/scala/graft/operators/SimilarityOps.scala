@@ -29,8 +29,10 @@ object SimilarityOps {
   private val NTables = 4
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < 10). */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val q = DedupOps.flattened(spark, dir)
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKFrom(DedupOps.flattened(spark, dir))
+
+  private def bruteForceTopKFrom(q: DataFrame): DataFrame = {
     val queries = q.filter(col("vec_id") < NQueries)
     val pairs = broadcast(queries).as("a").join(q.as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
@@ -46,43 +48,63 @@ object SimilarityOps {
   private def planeWeight(t: Int, h: Int, d: Int): Int =
     ((d * 131 + h * 37 + t * 59) % 7) - 3
 
-  /** One (vec, table) row per hash table: vec_id, label, nrm, q0..q63,
-    * t, bucket — multi-table random-hyperplane LSH (single-table recall
-    * was measured at ~8% on this corpus by [[lshRecall]]; independent
-    * tables union their candidates, the standard recall lever). All
-    * hyperplane sums stay in codegen. */
-  private[operators] def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val q = DedupOps.flattened(spark, dir)
+  /** (vec_id, t, bucket) per hash table — multi-table random-hyperplane
+    * LSH (single-table recall was measured at ~8% on this corpus by
+    * [[lshRecall]]; independent tables union their candidates, the
+    * standard recall lever). Ids only: the flattened vectors are NOT
+    * carried through the explode, so the candidate join below moves
+    * 3-column rows.
+    *
+    * Codegen-size note: `planeWeight(t,h,d) = ((5d + 2h + 3t) % 7) - 3`,
+    * so the weight vector depends only on `c = (2h + 3t) % 7` — the 16
+    * (table, plane) pairs share just 7 distinct hyperplanes. Computing
+    * the 7 dot products once per row and assembling the 16 sign bits
+    * from them is algebraically identical to the naive 16-dot form but
+    * generates 448 instead of 1024 multiply-adds — keeping the projection
+    * comfortably inside whole-stage codegen limits (the naive form's
+    * generated method was the dominant compile+run cost at sf0.1). */
+  private[operators] def bucketIds(flat: DataFrame): DataFrame = {
+    val dots = (0 until 7).map { c =>
+      (0 until DedupOps.Dim)
+        .map(i => col(s"q$i") * lit(((5 * (i + 1) + c) % 7) - 3)).reduce(_ + _)
+        .as(s"dot$c")
+    }
     val tables = (0 until NTables).map { t =>
       val bucketCol = (0 until NPlanes).map { h =>
-        val dot = (0 until DedupOps.Dim)
-          .map(d => col(s"q$d") * lit(planeWeight(t, h, d + 1))).reduce(_ + _)
-        when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
+        when(col(s"dot${(2 * h + 3 * t) % 7}") >= 0, lit(1L << h)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucketCol.as("bucket"))
     }
-    q.withColumn("tb", explode(array(tables: _*)))
-      .select(q.columns.map(col) :+ col("tb.t").as("t") :+ col("tb.bucket").as("bucket"): _*)
+    flat.select(col("vec_id") +: dots: _*)
+      .withColumn("tb", explode(array(tables: _*)))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
   /** Approximate top-k: candidates = vectors sharing the query's bucket
-    * in ANY hash table (distinct across tables), then exact cosine +
-    * rank. Same output schema as brute force. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the bucketed projection (4×256-term hyperplane sums) feeds
-    // both sides of the candidate join
-    val b = bucketed(spark, dir).cache()
-    val queries = b.filter(col("vec_id") < NQueries)
-    // both join sides carry the flattened vectors, so candidates are
-    // scored inline — no re-join against the base table; the groupBy
-    // both dedups pairs colliding in several tables (cosine is identical
-    // across tables, so max is a no-op pick) and is the only shuffle
-    val pairs = broadcast(queries).as("a").join(b.as("b"),
+    * in ANY hash table, deduped to distinct (query, neighbor) pairs
+    * BEFORE any cosine is computed — each surviving pair pays exactly one
+    * 64-term dot product (a pair colliding in all 4 tables would
+    * otherwise be scored 4×). The distinct shuffles only id pairs; the
+    * scoring join then broadcasts the (tiny) candidate set against the
+    * corpus, so the corpus itself never shuffles. Same output schema as
+    * brute force. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopKFrom(DedupOps.flattened(spark, dir).cache())
+
+  private def lshTopKFrom(flat: DataFrame): DataFrame = {
+    val b = bucketIds(flat)
+    val qb = b.filter(col("vec_id") < NQueries)
+    val cand = broadcast(qb).as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"),
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"))
+      .distinct()
+    val queries = flat.filter(col("vec_id") < NQueries)
+    val pairs = broadcast(
+        cand.join(queries.as("a"), col("query_id") === col("a.vec_id")))
+      .join(flat.as("b"), col("neighbor") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor"),
         DedupOps.flatCosine("a", "b").as("cosine"))
-      .groupBy("query_id", "neighbor").agg(max(col("cosine")).as("cosine"))
     rank(pairs)
   }
 
@@ -146,8 +168,11 @@ object SimilarityOps {
     * the exact brute-force top-k — the metric that tunes plane count /
     * bucket granularity before a production rollout. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val brute = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor"))
-    val lsh = lshTopK(spark, dir)
+    // one cached flattened projection shared by both arms — the brute
+    // and LSH paths otherwise each materialize their own copy
+    val flat = DedupOps.flattened(spark, dir).cache()
+    val brute = bruteForceTopKFrom(flat).select(col("query_id"), col("neighbor"))
+    val lsh = lshTopKFrom(flat)
       .select(col("query_id").as("q2"), col("neighbor").as("n2"))
     brute.join(lsh,
         col("query_id") === col("q2") && col("neighbor") === col("n2"), "left")
