@@ -17,16 +17,31 @@ object Bench {
     graft.Tables.names.foreach(n =>
       try graft.Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () })
     // optional comma-separated name filter for local iteration; the
-    // driver never sets it, so the per-round bench is always the full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // driver never sets it, so the per-round bench is always the full
+    // suite. Blank names are dropped so SPARK_GRAFT_ONLY="" means
+    // no-filter rather than silently selecting zero queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { names =>
+      val missing = names -- selected.keySet
+      require(missing.isEmpty, s"SPARK_GRAFT_ONLY names not found: $missing")
+    }
+    // min of REPS runs per query: single-rep timings on a shared machine
+    // proved too noisy to attribute regressions (see ARCHITECTURE.md);
+    // the min is the least-interference estimate of the plan's cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      // clear caches so each query is timed standalone (operators that
-      // cache internally would otherwise borrow earlier queries' work)
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        // clear caches so each query is timed standalone (operators that
+        // cache internally would otherwise borrow earlier queries' work)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -94,7 +94,10 @@ object Projections {
       .withColumn("decile",
         when(col("rn") <= (col("bq") + lit(1L)) * col("br"),
             expr("(rn - 1) DIV (bq + 1)") + lit(1L))
-          .otherwise(col("br") + expr("(rn - 1 - (bq + 1) * br) DIV bq") + lit(1L))
+          // greatest(bq, 1): when n < 10 every row satisfies the `when`
+          // branch (rn <= (bq+1)*br), so this arm is unreachable — the
+          // guard only keeps the bq=0 division from tripping ANSI mode
+          .otherwise(col("br") + expr("(rn - 1 - (bq + 1) * br) DIV greatest(bq, 1)") + lit(1L))
           .cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),

@@ -44,9 +44,15 @@ object SimilarityOps {
   /** Deterministic hyperplane weight for (table t, plane h, 1-based dim
     * d): a fixed integer pattern in [-3, 3] — pseudo-random enough to
     * split buckets, and expressible identically in any SQL engine (no
-    * RNG seed to agree on). */
+    * RNG seed to agree on). Single source of truth: [[bucketIds]]
+    * derives its reduced 7-class weights by calling this. */
   private def planeWeight(t: Int, h: Int, d: Int): Int =
     ((d * 131 + h * 37 + t * 59) % 7) - 3
+
+  /** The weight vector of (t, h) depends only on this residue class:
+    * planeWeight ≡ ((5d + 2h + 3t) % 7) - 3, so c = (2h + 3t) % 7
+    * indexes the 7 distinct hyperplanes shared by the 16 (t, h) pairs. */
+  private def planeClass(t: Int, h: Int): Int = (2 * h + 3 * t) % 7
 
   /** (vec_id, t, bucket) per hash table — multi-table random-hyperplane
     * LSH (single-table recall was measured at ~8% on this corpus by
@@ -65,13 +71,15 @@ object SimilarityOps {
     * generated method was the dominant compile+run cost at sf0.1). */
   private[operators] def bucketIds(flat: DataFrame): DataFrame = {
     val dots = (0 until 7).map { c =>
+      // representative (t, h) for class c: t = 0, h = 4c mod 7
+      // (4 = 2⁻¹ mod 7), so the weights come from planeWeight itself
       (0 until DedupOps.Dim)
-        .map(i => col(s"q$i") * lit(((5 * (i + 1) + c) % 7) - 3)).reduce(_ + _)
+        .map(i => col(s"q$i") * lit(planeWeight(0, (4 * c) % 7, i + 1))).reduce(_ + _)
         .as(s"dot$c")
     }
     val tables = (0 until NTables).map { t =>
       val bucketCol = (0 until NPlanes).map { h =>
-        when(col(s"dot${(2 * h + 3 * t) % 7}") >= 0, lit(1L << h)).otherwise(lit(0L))
+        when(col(s"dot${planeClass(t, h)}") >= 0, lit(1L << h)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucketCol.as("bucket"))
     }
@@ -84,10 +92,15 @@ object SimilarityOps {
     * in ANY hash table, deduped to distinct (query, neighbor) pairs
     * BEFORE any cosine is computed — each surviving pair pays exactly one
     * 64-term dot product (a pair colliding in all 4 tables would
-    * otherwise be scored 4×). The distinct shuffles only id pairs; the
-    * scoring join then broadcasts the (tiny) candidate set against the
-    * corpus, so the corpus itself never shuffles. Same output schema as
-    * brute force. */
+    * otherwise be scored 4×). The distinct shuffles only id pairs.
+    *
+    * Scoring-join shape: with NPlanes=4 the candidate set is a constant
+    * fraction of the CORPUS (≈|queries|·(1-(15/16)^NTables) of it per
+    * query), so it must NOT be broadcast — only the |queries|-row vector
+    * frame is. The candidate ids pick up their query vector from that
+    * broadcast, then shuffle-join the corpus on neighbor id: one co-shuffle
+    * of (pairs, corpus) on vec_id, both sides bounded, no O(corpus)
+    * driver collect. Same output schema as brute force. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopKFrom(DedupOps.flattened(spark, dir).cache())
 
@@ -100,8 +113,8 @@ object SimilarityOps {
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"))
       .distinct()
     val queries = flat.filter(col("vec_id") < NQueries)
-    val pairs = broadcast(
-        cand.join(queries.as("a"), col("query_id") === col("a.vec_id")))
+    val pairs = cand
+      .join(broadcast(queries.as("a")), col("query_id") === col("a.vec_id"))
       .join(flat.as("b"), col("neighbor") === col("b.vec_id"))
       .select(col("query_id"), col("neighbor"),
         DedupOps.flatCosine("a", "b").as("cosine"))
@@ -136,12 +149,17 @@ object SimilarityOps {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = DedupOps.flattened(spark, dir).cache()
     val seeds = q.filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + NLists)
+    // cache the coarse assignment: `lists` is consumed twice (centroid
+    // aggregation + candidate join), and without the cache the full-corpus
+    // seed scoring + per-vector window — the dominant subplan — runs twice.
+    // 2 narrow columns, one row per vector: cheap to hold, spills if not.
     val asg = q.as("v").crossJoin(broadcast(seeds).as("s"))
       .select(col("v.vec_id").as("vec_id"), col("s.vec_id").as("cl"),
         DedupOps.flatCosine("v", "s").as("scos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("scos").desc, col("cl").asc)))
       .filter(col("rn") === 1).select("vec_id", "cl")
+      .cache()
     val lists = q.join(asg, "vec_id")
     val sums = (0 until DedupOps.Dim).map(i => sum(col(s"q$i")).as(s"c$i"))
     val cents = lists.groupBy("cl").agg(sums.head, sums.tail: _*)
