@@ -304,4 +304,42 @@ object Oracles {
       | UNION ALL
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
+
+  /** Synthetic phenotype long-form shared by the two P9 oracles — the
+    * DuckDB twin of Harmonize.syntheticLong. */
+  private val p9Long: String =
+    """SELECT c_custkey AS material_id, 'SEX' AS name,
+      |  CAST(c_custkey % 2 + 1 AS VARCHAR) AS value FROM customer
+      |UNION ALL SELECT c_custkey, 'AGE', CAST(20 + c_custkey % 60 AS VARCHAR) FROM customer
+      |UNION ALL SELECT c_custkey, 'SYSBP', CAST(90 + c_custkey % 80 AS VARCHAR) FROM customer
+      |UNION ALL SELECT c_custkey, 'MHHTN',
+      |  CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Yes' WHEN 1 THEN '1'
+      |   WHEN 2 THEN 'No' ELSE '' END FROM customer""".stripMargin
+
+  val etlHarmonizedPhenotypes: String =
+    s"""WITH long AS ($p9Long), h AS (
+      | SELECT material_id,
+      |  CASE WHEN upper(name) IN ('GENDER','SEX') THEN 'Gender'
+      |   WHEN upper(name) IN ('VISIT_AGE','AGE','AGE_ENROLL') THEN 'Age'
+      |   WHEN upper(name) = 'VISIT_YEAR' THEN 'Visit year'
+      |   WHEN upper(name) = 'SYSBP' THEN 'Systolic blood pressure'
+      |   WHEN upper(name) = 'DIASBP' THEN 'Diastolic blood pressure' END AS hname,
+      |  CASE WHEN upper(name) IN ('GENDER','SEX') THEN
+      |    CASE value WHEN '2' THEN 'female' WHEN '1' THEN 'male' END
+      |   ELSE value END AS hvalue
+      | FROM long WHERE value IS NOT NULL AND value <> '')
+      |SELECT material_id, hname AS name, min(hvalue) AS value FROM h
+      |WHERE hname IS NOT NULL GROUP BY material_id, hname
+      |ORDER BY material_id, name""".stripMargin
+
+  val etlHypertensionStatus: String =
+    s"""WITH long AS ($p9Long), s AS (
+      | SELECT material_id,
+      |  CASE WHEN lower(value) = 'yes' OR value = '1' THEN 2
+      |   WHEN regexp_matches(value, '\\S') THEN 1 ELSE 0 END AS rk
+      | FROM long WHERE upper(name) IN ('HYPERTENSION','HIGHBLOODPRES','MHHTN'))
+      |SELECT material_id, 'Hypertension' AS name, 'DOID:10763' AS disease_id,
+      | CASE WHEN max(rk) = 2 THEN 'yes' ELSE 'no' END AS status
+      |FROM s GROUP BY material_id HAVING max(rk) > 0
+      |ORDER BY material_id""".stripMargin
 }

@@ -51,6 +51,8 @@ object SparkEntry {
     "sim_lsh_recall" -> (SimilarityOps.lshRecall _),
     "rel_representative_values" -> (Representative.representativeValues _),
     "rel_column_profile" -> (Representative.columnProfile _),
+    "etl_harmonized_phenotypes" -> (graft.etl.Harmonize.harmonizedPhenotypesQuery _),
+    "etl_hypertension_status" -> (graft.etl.Harmonize.hypertensionStatusQuery _),
     "evt_sessionize" -> (EventOps.sessionize _),
     "evt_hourly_rollup" -> (EventOps.hourlyRollup _),
     "evt_running_total" -> (EventOps.runningTotal _),
@@ -148,6 +150,8 @@ object SparkEntry {
     "sim_lsh_recall" -> Oracles.simLshRecall,
     "rel_representative_values" -> Oracles.relRepresentativeValues,
     "rel_column_profile" -> Oracles.relColumnProfile,
+    "etl_harmonized_phenotypes" -> Oracles.etlHarmonizedPhenotypes,
+    "etl_hypertension_status" -> Oracles.etlHypertensionStatus,
     "evt_sessionize" -> Oracles.evtSessionize,
     "evt_hourly_rollup" -> Oracles.evtHourlyRollup,
     "evt_running_total" -> Oracles.evtRunningTotal,

@@ -212,6 +212,7 @@ object AgrMgdEtl {
         lit("").as("access_url"), lit(0L).as("size"), lit("").as("md5"),
         lit("").as("doi")),
       dataAcquisitions = spark.range(0).select(lit("").as("dataset_id"),
-        lit("").as("input_material_id")))
+        lit("").as("input_material_id")),
+      diseases = Harmonize.emptyDiseases(spark))
   }
 }

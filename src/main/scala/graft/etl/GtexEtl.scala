@@ -30,7 +30,10 @@ object GtexEtl {
       characteristics: DataFrame,
       dimensions: DataFrame,
       distributions: DataFrame,
-      dataAcquisitions: DataFrame)
+      dataAcquisitions: DataFrame,
+      /** P9 — diseases(material_id, name, disease_id, status): per-subject
+        * bearerOfDisease rows (harmonized hypertension status). */
+      diseases: DataFrame)
 
   // ---- column specs (ccmm/gtex/parsers/portal_files.py:16-108) ----
 
@@ -313,7 +316,10 @@ object GtexEtl {
       characteristics = characteristics,
       dimensions = studyDimensions.unionByName(fileDimensions),
       distributions = fileDistributions,
-      dataAcquisitions = dataAcquisitions)
+      dataAcquisitions = dataAcquisitions,
+      // public portal columns carry no phenotype variables to harmonize;
+      // hypertension arrives with the restricted overlay (P9)
+      diseases = Harmonize.emptyDiseases(spark))
   }
 
   /** §3.1 step 10 — the restricted-access overlay
@@ -337,12 +343,18 @@ object GtexEtl {
     // rewrite characteristics: drop public chars of overlaid subjects,
     // add the restricted variables in long form
     val restrictedVars = merged.columns.filterNot(c => c == "SUBJID" || c == "dbGaP_Subject_ID")
-    val overlaidChars = restrictedVars.map { v =>
+    val rawChars = restrictedVars.map { v =>
       merged.filter(col(v).isNotNull && col(v) =!= "").select(
         entityId("Material", col("SUBJID")).as("material_id"),
         lit(null).cast("string").as("var_acc"),
         lit(v).as("name"), col(v).as("value"))
     }.reduce(_ unionByName _)
+    // P9: harmonized dimensions prepend the raw dbGaP variables
+    // (dna_extracts.py:93-175; GTEx decodes numeric sex codes) and the
+    // hypertension variables become bearerOfDisease rows
+    val overlaidChars = rawChars.unionByName(
+      Harmonize.harmonizedChars(rawChars, numericSexCodes = true))
+    val overlaidDiseases = Harmonize.hypertension(rawChars)
     val overlaidIds = merged.select(entityId("Material", col("SUBJID")).as("material_id"))
     val keptChars = graph.characteristics.join(
       graph.materials.filter(col("material_type") === "subject").select("material_id")
@@ -362,7 +374,8 @@ object GtexEtl {
     graph.copy(
       characteristics = keptChars.unionByName(overlaidChars),
       studyGroups = graph.studyGroups.unionByName(consentGroups),
-      groupMembers = graph.groupMembers.unionByName(consentMembers))
+      groupMembers = graph.groupMembers.unionByName(consentMembers),
+      diseases = graph.diseases.unionByName(overlaidDiseases))
   }
 
   /** J2 — manifest ↔ portal reconciliation tallies

@@ -147,13 +147,18 @@ object TopmedEtl {
       lit(null).cast("string").as("derives_from"),
       lit(null).cast("string").as("anatomy_id"),
       concat(lit("TOPMed subject "), col("SUBJECT_ID")).as("description"))
-    val subjChars = subjects.columns
+    val rawSubjChars = subjects.columns
       .filterNot(c => c == "SUBJECT_ID" || c == "dbGaP_Subject_ID").toSeq
       .map { v =>
         subjects.filter(col(v).isNotNull && col(v) =!= "").select(
           entityId("Material", col("SUBJECT_ID")).as("material_id"),
           lit(null).cast("string").as("var_acc"), lit(v).as("name"), col(v).as("value"))
       }.reduce(_ unionByName _)
+    // P9: harmonized phenotype dimensions alongside the raw dbGaP vars
+    // (subjects.py:33-120 keeps both); TOPMed gender is plain lower-case
+    val subjChars = rawSubjChars.unionByName(
+      Harmonize.harmonizedChars(rawSubjChars, numericSexCodes = false))
+    val diseases = Harmonize.hypertension(rawSubjChars)
 
     // sample materials: TOPMed manifest carries no explicit subject link
     // in the public fixture — samples derive from a per-study synthetic
@@ -250,6 +255,7 @@ object TopmedEtl {
         lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
         lit("").as("value")),
       distributions = fileDistributions,
-      dataAcquisitions = dataAcquisitions)
+      dataAcquisitions = dataAcquisitions,
+      diseases = diseases)
   }
 }

@@ -86,6 +86,7 @@ object DatsJsonWriter {
     val materialById = materials.map(r => r.getAs[String]("material_id") -> r).toMap
     val anatomies = rows(g.anatomicalParts).map(r => r.getAs[String]("anatomy_id") -> r).toMap
     val chars = rows(g.characteristics).groupBy(_.getAs[String]("material_id"))
+    val diseases = rows(g.diseases).groupBy(_.getAs[String]("material_id"))
     val dims = rows(g.dimensions).groupBy(_.getAs[String]("owner_id"))
     val dists = rows(g.distributions).groupBy(_.getAs[String]("dataset_id"))
     val acqs = rows(g.dataAcquisitions).groupBy(_.getAs[String]("dataset_id"))
@@ -108,11 +109,40 @@ object DatsJsonWriter {
         cs.sortBy(c => (c.getAs[String]("name"), c.getAs[String]("value"))).foreach { c =>
           val cv = mapper.createObjectNode()
           cv.put("name", c.getAs[String]("name"))
+          // harmonized phenotype dimensions carry the reference's fixed
+          // descriptions (P9, ccmm/topmed/subjects.py:55-93)
+          graft.etl.Harmonize.Descriptions.get(c.getAs[String]("name"))
+            .foreach(cv.put("description", _))
           Option(c.getAs[String]("var_acc")).foreach(cv.put("identifier", _))
           cv.put("value", c.getAs[String]("value"))
           arr.add(cv)
         }
         n.set[ObjectNode]("characteristics", arr)
+      }
+      diseases.get(mid).foreach { ds =>
+        // P9 bearerOfDisease (subjects.py:96-110): Disease node with DOID
+        // identifier, OBO alternate id, and yes/no diseaseStatus
+        val arr = mapper.createArrayNode()
+        ds.sortBy(_.getAs[String]("name")).foreach { d =>
+          val dn = mapper.createObjectNode()
+          dn.put("name", d.getAs[String]("name"))
+          val idn = mapper.createObjectNode()
+          idn.put("identifier", d.getAs[String]("disease_id"))
+          idn.put("identifierSource", "Disease Ontology")
+          dn.set[ObjectNode]("identifier", idn)
+          val altArr = mapper.createArrayNode()
+          val alt = mapper.createObjectNode()
+          alt.put("identifier", "http://purl.obolibrary.org/obo/" +
+            d.getAs[String]("disease_id").replace(":", "_"))
+          alt.put("identifierSource", "Disease Ontology")
+          altArr.add(alt)
+          dn.set[ObjectNode]("alternateIdentifiers", altArr)
+          val st = mapper.createObjectNode()
+          st.put("value", d.getAs[String]("status"))
+          dn.set[ObjectNode]("diseaseStatus", st)
+          arr.add(dn)
+        }
+        n.set[ObjectNode]("bearerOfDisease", arr)
       }
       Option(r.getAs[String]("anatomy_id")).foreach { aid =>
         val a = anatomies(aid)

@@ -155,7 +155,21 @@ class OverlayS8Spec extends SparkTestBase {
       .select("material_id").head.getString(0)
     val chars1111 = over.characteristics.filter(col("material_id") === g1111)
       .select("name").collect().map(_.getString(0)).toSet
-    assert(chars1111 === Set("CONSENT", "GENDER", "VISIT_AGE", "HYPERTENSION"))
+    // raw restricted vars + the P9 harmonized twins (GENDER→Gender,
+    // VISIT_AGE→Age); HYPERTENSION also lands in graph.diseases
+    assert(chars1111 === Set("CONSENT", "GENDER", "VISIT_AGE", "HYPERTENSION",
+      "Gender", "Age"))
+    val disease1111 = over.diseases.filter(col("material_id") === g1111).head
+    assert(disease1111.getAs[String]("status") === "yes")
+    assert(disease1111.getAs[String]("disease_id") === "DOID:10763")
+    // numeric sex decode on the GTEx restricted path: "1" → male
+    val gender1111 = over.characteristics.filter(
+      col("material_id") === g1111 && col("name") === "Gender").head.getAs[String]("value")
+    assert(gender1111 === "male")
+    // blank HYPERTENSION (GTEX-4444) → unknown → no disease row
+    val g4444 = graph.materials.filter(col("name") === "GTEX-4444")
+      .select("material_id").head.getString(0)
+    assert(over.diseases.filter(col("material_id") === g4444).count() === 0)
     // non-overlaid subjects keep public chars
     val g3333 = graph.materials.filter(col("name") === "GTEX-3333")
       .select("material_id").head.getString(0)

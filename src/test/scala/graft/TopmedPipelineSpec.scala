@@ -39,6 +39,20 @@ class TopmedPipelineSpec extends SparkTestBase {
     assert(sci.getAs[Long]("size") === 12300000000L) // P10 sci-notation cast
   }
 
+  test("P9: harmonized phenotypes and hypertension wired into the graph") {
+    val su001 = graph.materials.filter(col("name") === "SU001")
+      .select("material_id").head.getString(0)
+    val harmonized = graph.characteristics
+      .filter(col("material_id") === su001 && col("name").isin("Gender", "Age"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("value")).toMap
+    // TOPMed gender is lower-cased only (subjects.py:36), so "1" stays
+    assert(harmonized === Map("Gender" -> "1", "Age" -> "54"))
+    val status = graph.diseases
+      .join(graph.materials.select(col("material_id"), col("name").as("subj")), "material_id")
+      .collect().map(r => r.getAs[String]("subj") -> r.getAs[String]("status")).toMap
+    assert(status === Map("SU001" -> "yes", "SU003" -> "no")) // SU002 blank → absent
+  }
+
   test("TOPMed queries + writer run end-to-end") {
     val members = DatsQueries.listStudyGroupMembers(
       graph, "phs000951.v2.p2", "consent group 1").collect()
