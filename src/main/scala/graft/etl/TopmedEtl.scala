@@ -90,6 +90,27 @@ object TopmedEtl {
     joined.orderBy("CONSENT")
   }
 
+  /** P8 — BODY_SITE → anatomy (ccmm/topmed/dna_extracts.py:62-95):
+    * value containing "blood" → blood/UBERON:0000178, exactly "saliva" →
+    * saliva/UBERON:0001836, anything else fatal. Returns the input with
+    * `anatomy_name` and `uberon_id` columns added; null BODY_SITE rows
+    * pass through with null anatomy. */
+  def withBodySiteAnatomy(samples: DataFrame,
+                          bodySiteCol: String = "BODY_SITE"): DataFrame = {
+    val v = lower(col(bodySiteCol))
+    val named = samples
+      .withColumn("anatomy_name",
+        when(v.contains("blood"), "blood").when(v === "saliva", "saliva"))
+      .withColumn("uberon_id",
+        when(col("anatomy_name") === "blood", "UBERON:0000178")
+          .when(col("anatomy_name") === "saliva", "UBERON:0001836"))
+    val unknown = named.filter(col(bodySiteCol).isNotNull &&
+      col(bodySiteCol) =!= "" && col("anatomy_name").isNull)
+    require(unknown.isEmpty, "BODY_SITE other than Blood/Saliva in TOPMed sample " +
+      s"metadata: ${unknown.select(bodySiteCol).distinct().collect().mkString(",")}")
+    named
+  }
+
   /** Synthetic-subject path (ccmm/topmed/subjects.py:157-184): with only
     * public metadata, one synthetic subject per study carries the
     * representative value of every variable — A4 pick per var. Input is
@@ -114,6 +135,11 @@ object TopmedEtl {
       guidPaths: Seq[String],
       subjectTsv: String,
       phenotypesTsv: String,
+      /** J6 — restricted Sample / Sample_Attributes tables; when present
+        * they are merged (conflict-fatal) and drive sample→subject links,
+        * P8 anatomy, and restricted sample characteristics. */
+      sampleTsv: Option[String] = None,
+      sampleAttributesTsv: Option[String] = None,
       studyAccession: String = "phs000951.v2.p2",
       studyName: String = "TOPMed study")
 
@@ -160,18 +186,75 @@ object TopmedEtl {
       Harmonize.harmonizedChars(rawSubjChars, numericSexCodes = false))
     val diseases = Harmonize.hypertension(rawSubjChars)
 
-    // sample materials: TOPMed manifest carries no explicit subject link
-    // in the public fixture — samples derive from a per-study synthetic
-    // pool the way the reference's public-only path does
-    // (ccmm/topmed/samples.py:146-238)
-    val sampleMaterials = manifest.select(
-      entityId("Material", col("sample_id")).as("material_id"),
-      col("sample_id").as("name"),
-      lit("sample").as("material_type"), lit("specimen").as("role"),
-      lit(null).cast("string").as("subject_id"),
-      lit(null).cast("string").as("derives_from"),
-      lit(null).cast("string").as("anatomy_id"),
-      concat(lit("DNA extracted from sample "), col("sample_id")).as("description"))
+    // J6: restricted Sample ⋈ Sample_Attributes merged conflict-fatal
+    // (ccmm/topmed/samples.py:189-224 — add_properties is the same
+    // fatal-on-conflict merge as J5), then P8 anatomy from BODY_SITE
+    val restrictedSamples: Option[DataFrame] = in.sampleTsv.map { sp =>
+      val (sampleRaw, _) = Readers.commentTsv(spark, sp)
+      val merged = in.sampleAttributesTsv match {
+        case Some(ap) =>
+          val (attsRaw, _) = Readers.commentTsv(spark, ap)
+          mergeSubjectTables(sampleRaw, attsRaw, "dbGaP_Sample_ID")
+        case None => sampleRaw
+      }
+      withBodySiteAnatomy(merged).cache()
+    }
+
+    // sample materials: without the restricted tables the TOPMed manifest
+    // carries no subject link or body site (the reference's public-only
+    // path, ccmm/topmed/samples.py:146-238); with them, samples link to
+    // their subject (derivesFrom) and anatomical part
+    val sampleMaterials = restrictedSamples match {
+      case Some(rs) =>
+        // rename before joining: the analyzer is case-insensitive, so
+        // rs.SAMPLE_ID would collide with manifest.sample_id
+        manifest.join(
+            rs.select(col("SAMPLE_ID").as("rs_sample_id"),
+              col("SUBJECT_ID").as("rs_subject_id"), col("anatomy_name")),
+            col("sample_id") === col("rs_sample_id"), "left")
+          .select(
+            entityId("Material", col("sample_id")).as("material_id"),
+            col("sample_id").as("name"),
+            lit("sample").as("material_type"), lit("specimen").as("role"),
+            col("rs_subject_id").as("subject_id"),
+            when(col("rs_subject_id").isNotNull,
+              entityId("Material", col("rs_subject_id"))).as("derives_from"),
+            when(col("anatomy_name").isNotNull,
+              entityId("AnatomicalPart", col("anatomy_name"))).as("anatomy_id"),
+            concat(lit("DNA extracted from sample "), col("sample_id")).as("description"))
+      case None =>
+        manifest.select(
+          entityId("Material", col("sample_id")).as("material_id"),
+          col("sample_id").as("name"),
+          lit("sample").as("material_type"), lit("specimen").as("role"),
+          lit(null).cast("string").as("subject_id"),
+          lit(null).cast("string").as("derives_from"),
+          lit(null).cast("string").as("anatomy_id"),
+          concat(lit("DNA extracted from sample "), col("sample_id")).as("description"))
+    }
+
+    // P8: anatomy dimension table from the distinct mapped body sites
+    val anatomicalParts = restrictedSamples match {
+      case Some(rs) =>
+        rs.filter(col("anatomy_name").isNotNull)
+          .select(col("anatomy_name"), col("uberon_id")).distinct()
+          .select(entityId("AnatomicalPart", col("anatomy_name")).as("anatomy_id"),
+            col("anatomy_name").as("name"), col("uberon_id"))
+      case None =>
+        spark.range(0).select(lit("").as("anatomy_id"), lit("").as("name"),
+          lit("").as("uberon_id"))
+    }
+
+    // restricted sample characteristics in long form (samples.py:226-234)
+    val sampleChars: Option[DataFrame] = restrictedSamples.map { rs =>
+      val idCols = Set("dbGaP_Sample_ID", "dbGaP_Subject_ID", "SAMPLE_ID",
+        "SUBJECT_ID", "anatomy_name", "uberon_id")
+      rs.columns.filterNot(idCols).toSeq.map { v =>
+        rs.filter(col(v).isNotNull && col(v) =!= "").select(
+          entityId("Material", col("SAMPLE_ID")).as("material_id"),
+          lit(null).cast("string").as("var_acc"), lit(v).as("name"), col(v).as("value"))
+      }.reduce(_ unionByName _)
+    }
 
     // CRAM + VCF file datasets (samples.py:241-476): one dataset per
     // (sample, filetype present in the manifest)
@@ -247,10 +330,8 @@ object TopmedEtl {
       studyGroups = studyGroups,
       groupMembers = groupMembers,
       materials = subjectMaterials.unionByName(referenced),
-      anatomicalParts = spark.emptyDataFrame
-        .sparkSession.range(0).select(lit("").as("anatomy_id"), lit("").as("name"),
-          lit("").as("uberon_id")),
-      characteristics = subjChars,
+      anatomicalParts = anatomicalParts,
+      characteristics = sampleChars.fold(subjChars)(subjChars.unionByName),
       dimensions = spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
         lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
         lit("").as("value")),

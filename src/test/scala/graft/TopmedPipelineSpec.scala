@@ -15,7 +15,9 @@ class TopmedPipelineSpec extends SparkTestBase {
     guidPaths = Seq(res("topmed/topmed-cram.tsv"), res("topmed/topmed-crai.tsv"),
       res("topmed/topmed-vcf.tsv"), res("topmed/topmed-vcfcsi.tsv")),
     subjectTsv = res("gtex/restricted_subject.txt"),
-    phenotypesTsv = res("topmed/restricted_subject_phenotypes.txt")))
+    phenotypesTsv = res("topmed/restricted_subject_phenotypes.txt"),
+    sampleTsv = Some(res("topmed/restricted_sample.txt")),
+    sampleAttributesTsv = Some(res("topmed/restricted_sample_attributes.txt"))))
 
   test("TOPMed graph: subjects, consent groups, CRAM+VCF datasets, J12") {
     assert(graph.materials.filter(col("material_type") === "subject").count() === 3)
@@ -37,6 +39,48 @@ class TopmedPipelineSpec extends SparkTestBase {
     val sci = graph.distributions
       .filter(col("access_url") === "s3://t/NWD100002.b38.irc.v1.cram").head
     assert(sci.getAs[Long]("size") === 12300000000L) // P10 sci-notation cast
+  }
+
+  test("P8/J6: samples carry subject links, anatomy, and merged attributes") {
+    val samples = graph.materials.filter(col("material_type") === "sample")
+    // every sample has a subject link and a non-null anatomy (P8)
+    assert(samples.filter(col("anatomy_id").isNull).count() === 0)
+    assert(samples.filter(col("derives_from").isNull).count() === 0)
+    // blood (contains-match on "Peripheral Blood"/"Blood") vs saliva
+    val anat = graph.anatomicalParts.collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("uberon_id")).toMap
+    assert(anat === Map("blood" -> "UBERON:0000178", "saliva" -> "UBERON:0001836"))
+    val nwd1 = samples.filter(col("name") === "NWD100001").head
+    val bloodId = graph.anatomicalParts.filter(col("name") === "blood")
+      .head.getAs[String]("anatomy_id")
+    assert(nwd1.getAs[String]("anatomy_id") === bloodId)
+    assert(nwd1.getAs[String]("subject_id") === "SU001")
+    // J6 merged Sample_Attributes columns land as sample characteristics
+    val chars1 = graph.characteristics
+      .filter(col("material_id") === nwd1.getAs[String]("material_id"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("value")).toMap
+    assert(chars1("BODY_SITE") === "Peripheral Blood")
+    assert(chars1("SAMPLE_USE") === "Seq_DNA_WholeGenome")
+    assert(chars1("ANALYTE_TYPE") === "DNA")
+  }
+
+  test("J6: disjoint sample-attribute columns fill in; conflicts are fatal") {
+    import spark.implicits._
+    val s = Seq(("101", "NWD1", "useA")).toDF("dbGaP_Sample_ID", "SAMPLE_ID", "SAMPLE_USE")
+    val disjoint = Seq(("101", "Blood")).toDF("dbGaP_Sample_ID", "BODY_SITE")
+    val merged = TopmedEtl.mergeSubjectTables(s, disjoint, "dbGaP_Sample_ID")
+    assert(merged.head.getAs[String]("BODY_SITE") === "Blood")
+    assert(merged.head.getAs[String]("SAMPLE_USE") === "useA")
+    val conflicting = Seq(("101", "NWD9")).toDF("dbGaP_Sample_ID", "SAMPLE_ID")
+    intercept[IllegalArgumentException] {
+      TopmedEtl.mergeSubjectTables(s, conflicting, "dbGaP_Sample_ID")
+    }
+  }
+
+  test("P8: unmappable BODY_SITE is fatal") {
+    import spark.implicits._
+    val bad = Seq(("NWD1", "Bone Marrow")).toDF("SAMPLE_ID", "BODY_SITE")
+    intercept[IllegalArgumentException] { TopmedEtl.withBodySiteAnatomy(bad) }
   }
 
   test("P9: harmonized phenotypes and hypertension wired into the graph") {
