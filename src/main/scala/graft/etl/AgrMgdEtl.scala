@@ -210,7 +210,7 @@ object AgrMgdEtl {
         lit("").as("value")),
       distributions = spark.range(0).select(lit("").as("dataset_id"),
         lit("").as("access_url"), lit(0L).as("size"), lit("").as("md5"),
-        lit("").as("doi")),
+        lit("").as("doi"), lit("").as("index_doi")),
       dataAcquisitions = spark.range(0).select(lit("").as("dataset_id"),
         lit("").as("input_material_id")),
       diseases = Harmonize.emptyDiseases(spark))

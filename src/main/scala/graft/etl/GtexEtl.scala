@@ -223,14 +223,18 @@ object GtexEtl {
       col("data_type"),
       lit(null).cast("string").as("study_id"))
 
+    // index_doi = the .crai index file's DOI (the reference surfaces it
+    // as the distribution's relatedIdentifier, rdflib_tabular_dump.py:199-212)
     val fileDistributions = files.select(col("dataset_id"),
         col("cram_file_gcp").as("access_url"),
         col("cram_file_size").cast("long").as("size"),
-        col("cram_file_md5").as("md5"), col("Sodium_GUID_cram").as("doi"))
+        col("cram_file_md5").as("md5"), col("Sodium_GUID_cram").as("doi"),
+        col("Sodium_GUID_crai").as("index_doi"))
       .unionByName(files.select(col("dataset_id"),
         col("cram_file_aws").as("access_url"),
         col("cram_file_size").cast("long").as("size"),
-        col("cram_file_md5").as("md5"), col("Sodium_GUID_cram").as("doi")))
+        col("cram_file_md5").as("md5"), col("Sodium_GUID_cram").as("doi"),
+        col("Sodium_GUID_crai").as("index_doi")))
 
     val fileDimensions = files.select(
       entityId("Dimension", concat(col("dataset_id"), lit("|md5"))).as("dim_id"),

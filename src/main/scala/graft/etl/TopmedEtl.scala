@@ -268,6 +268,12 @@ object TopmedEtl {
       .join(guids.select(col("File_Name").as("guid_file_name"), col("md5sum"),
         col("file_size"), col("Sodium_GUID")),
         col("file_name") === col("guid_file_name"), "left") // J4
+      // index-file DOI: the .crai / .csi companion's GUID row
+      .join(guids.select(col("File_Name").as("idx_file_name"),
+        col("Sodium_GUID").as("index_doi")),
+        concat(col("file_name"),
+          when(col("data_type") === "WGS", ".crai").otherwise(".csi"))
+          === col("idx_file_name"), "left")
       .withColumn("dataset_id",
         entityId("Dataset", concat(col("sample_id"), lit("|"), col("data_type"))))
 
@@ -278,10 +284,10 @@ object TopmedEtl {
       lit("v2").as("version"), col("data_type"), lit(null).cast("string").as("study_id"))
     val fileDistributions = files.select(col("dataset_id"),
         col("gs_uri").as("access_url"), col("file_size").as("size"),
-        col("md5sum").as("md5"), col("Sodium_GUID").as("doi"))
+        col("md5sum").as("md5"), col("Sodium_GUID").as("doi"), col("index_doi"))
       .unionByName(files.select(col("dataset_id"),
         col("s3_uri").as("access_url"), col("file_size").as("size"),
-        col("md5sum").as("md5"), col("Sodium_GUID").as("doi")))
+        col("md5sum").as("md5"), col("Sodium_GUID").as("doi"), col("index_doi")))
     val dataAcquisitions = files.select(col("dataset_id"),
       entityId("Material", col("sample_id")).as("input_material_id"))
 

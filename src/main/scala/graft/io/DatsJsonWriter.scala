@@ -207,6 +207,16 @@ object DatsJsonWriter {
           dn.set[ObjectNode]("access", acc)
           if (!d.isNullAt(d.fieldIndex("size"))) dn.put("size", d.getAs[Long]("size"))
           Option(d.getAs[String]("doi")).foreach(dn.put("identifier", _))
+          // index-file DOI as a relatedIdentifier (the reference stores
+          // the .crai DOI there, rdflib_tabular_dump.py:199-212)
+          Option(d.getAs[String]("index_doi")).foreach { idx =>
+            val rel = mapper.createArrayNode()
+            val rn = mapper.createObjectNode()
+            rn.put("@type", "RelatedIdentifier")
+            rn.put("identifier", idx)
+            rel.add(rn)
+            dn.set[ObjectNode]("relatedIdentifiers", rel)
+          }
           arr.add(dn)
         }
         n.set[ObjectNode]("distributions", arr)

@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *  - anatomical_parts(anatomy_id, name, uberon_id)
   *  - characteristics(material_id, var_acc, name, value)
   *  - dimensions(dim_id, owner_id, name, var_acc, description, value)
-  *  - distributions(dataset_id, access_url, size, md5, doi)
+  *  - distributions(dataset_id, access_url, size, md5, doi, index_doi)
   *  - data_acquisitions(dataset_id, input_material_id)    — producedBy.input
+  *  - diseases(material_id, name, disease_id, status)     — bearerOfDisease
   */
 object Dats {
 

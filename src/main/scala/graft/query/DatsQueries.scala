@@ -101,48 +101,97 @@ object DatsQueries {
       .orderBy("material_name", "char_name", "value")
 
   /** Q7 — the denormalizing tabular dump
-    * (rdflib_tabular_dump.py:12-418, ~410 LoC → one join+pivot program):
-    * subjects × characteristics-pivot (R1) left-joined to their files via
-    * the DataAcquisition.input → extract → sample → subject chain, with
-    * per-file datatype (P6), MD5 (from dimensions), DOI (from
-    * distributions); subjects without files still emitted; multi-level
-    * sort (O6).
+    * (rdflib_tabular_dump.py:12-418, ~410 LoC → one join+pivot program)
+    * with the reference's exact column set and order (:335-342):
+    * Project, dbGaP_Study, Study_Group, Subject_ID, <sorted dynamic
+    * characteristic names — including disease names valued by their
+    * status, :146-149>, Anatomical_Part, Anatomical_Part_ID, Datatype,
+    * File_Size, MD5_Checksum, AWS_URI, GCP_URI, DOI, INDEX_DOI.
     *
-    * Pivot values are declared (the subject phenotype variables), so no
-    * extra distinct pass — and the pivot stays a single shuffle keyed on
-    * the subject material. */
-  def tabularDump(g: EntityGraph, charNames: Seq[String] = Seq("SEX", "AGE", "DTHHRDY")): DataFrame = {
+    * Row grain is (study dataset × study group × member subject × file);
+    * subjects with no files still emit one padded row (:371-377). Files
+    * attach to subjects through the acquisition input material's
+    * subject_id key — one hop regardless of how deep the derivesFrom
+    * chain is, so the same plan serves GTEx (extract→sample→subject) and
+    * TOPMed (sample→subject).
+    *
+    * Scale shape: the only driver-side step is collecting the DISTINCT
+    * characteristic names for the pivot header (bounded by the number of
+    * dbGaP variables, not rows; the reference scans the whole graph for
+    * the same set). Everything else is joins keyed on subject/dataset
+    * ids; the pivot is a single shuffle on the subject material.
+    * `charNames` can be passed explicitly to skip the distinct pass. */
+  def tabularDump(g: EntityGraph, charNames: Option[Seq[String]] = None): DataFrame = {
     val subjects = g.materials.filter(col("role") === "donor")
       .select(col("material_id").as("subject_mid"), col("name").as("subject_name"))
 
-    val charsPivot = g.characteristics
+    // characteristics ∪ disease-status rows feed both the dynamic header
+    // and the pivot (rdflib_tabular_dump.py:98-149)
+    val subjChars = g.characteristics
+      .select(col("material_id"), col("name"), col("value"))
+      .unionByName(g.diseases
+        .select(col("material_id"), col("name"), col("status").as("value")))
       .join(subjects, col("material_id") === col("subject_mid"))
-      .groupBy(col("subject_mid"))
-      .pivot("name", charNames)
-      .agg(first(col("value")))
+    val names = charNames.getOrElse(
+      subjChars.select("name").distinct().collect().map(_.getString(0)).toSeq).sorted
+    // positional rename to __c<i> right after the pivot: the analyzer is
+    // case-insensitive, so e.g. raw GENDER and harmonized Gender would be
+    // unresolvable by name; the final select aliases them back
+    val charsPivot = subjChars.groupBy(col("subject_mid"))
+      .pivot("name", names).agg(first(col("value")))
+      .toDF("subject_mid" +: names.indices.map(i => s"__c$i"): _*)
+    val pivotCols = names.indices.map(i => col(s"__c$i").as(names(i)))
 
-    // file chain: dataset ← acquisition ← extract ← sample ← subject
-    val extracts = g.materials.select(col("material_id").as("extract_id"),
-      col("derives_from").as("sample_fk"))
-    val samples = g.materials.select(col("material_id").as("sample_mid"),
-      col("name").as("sample_name"), col("derives_from").as("subject_fk"),
-      col("anatomy_id"))
-    val s3Dist = g.distributions.filter(col("access_url").startsWith("s3://"))
-      .select(col("dataset_id"), col("access_url").as("s3_uri"), col("md5"), col("doi"))
+    // scaffold: study dataset → project title + dbGaP accession → groups
+    // → member subjects (:345-360)
+    val studyDatasets = g.studies.select(col("study_id"), col("dataset_id"))
+      .join(g.datasets.select(col("dataset_id"), col("parent_dataset_id")), "dataset_id")
+      .join(g.identifiers.select(col("entity_id"), col("identifier").as("dbgap_study")),
+        col("dataset_id") === col("entity_id"), "left")
+      .join(g.datasets.select(col("dataset_id").as("parent_id"), col("title").as("project")),
+        col("parent_dataset_id") === col("parent_id"), "left")
+      .select(col("study_id"), col("project"), col("dbgap_study"))
+    val scaffold = studyDatasets
+      .join(g.studyGroups.select(col("group_id"), col("study_id"),
+        col("name").as("study_group")), "study_id")
+      .join(g.groupMembers, "group_id")
+      .join(subjects, col("material_id") === col("subject_mid"))
+
+    // file chain: acquisition input material carries subject_id + anatomy;
+    // AWS/GCP distributions split by URI scheme (:276-320)
+    val inputs = g.materials.select(col("material_id").as("input_id"),
+      col("subject_id").as("file_subject_key"), col("anatomy_id"))
+    val aws = g.distributions.filter(col("access_url").startsWith("s3://"))
+      .select(col("dataset_id"), col("access_url").as("aws_uri"),
+        col("size").as("file_size"), col("md5"), col("doi"), col("index_doi"))
+    val gcp = g.distributions.filter(col("access_url").startsWith("gs://"))
+      .select(col("dataset_id"), col("access_url").as("gcp_uri"))
     val files = g.dataAcquisitions
-      .join(extracts, col("input_material_id") === col("extract_id"))
-      .join(samples, col("sample_fk") === col("sample_mid"))
+      .join(inputs, col("input_material_id") === col("input_id"))
       .join(g.datasets.select(col("dataset_id"), col("data_type")), "dataset_id")
-      .join(s3Dist, "dataset_id")
-      .join(g.anatomicalParts.select(col("anatomy_id"), col("name").as("anatomical_part")), "anatomy_id")
+      .join(aws, Seq("dataset_id"), "left")
+      .join(gcp, Seq("dataset_id"), "left")
+      .join(g.anatomicalParts.select(col("anatomy_id"),
+        col("name").as("anatomical_part"),
+        col("uberon_id").as("anatomical_part_id")), Seq("anatomy_id"), "left")
+      .filter(col("file_subject_key").isNotNull)
 
-    subjects
+    scaffold
       .join(charsPivot, Seq("subject_mid"), "left")
-      .join(files, col("subject_fk") === col("subject_mid"), "left")
-      .select(Seq(col("subject_name")) ++ charNames.map(col) ++ Seq(
-        col("sample_name"), col("anatomical_part"), col("data_type"),
-        col("s3_uri"), col("md5"), col("doi")): _*)
-      .orderBy(col("subject_name"), col("anatomical_part").asc_nulls_first,
-        col("data_type").asc_nulls_first, col("s3_uri").asc_nulls_first)
+      .join(files, col("file_subject_key") === col("subject_name"), "left")
+      .select(Seq(col("project").as("Project"),
+        col("dbgap_study").as("dbGaP_Study"),
+        col("study_group").as("Study_Group"),
+        col("subject_name").as("Subject_ID")) ++ pivotCols ++ Seq(
+        col("anatomical_part").as("Anatomical_Part"),
+        col("anatomical_part_id").as("Anatomical_Part_ID"),
+        col("data_type").as("Datatype"),
+        col("file_size").as("File_Size"),
+        col("md5").as("MD5_Checksum"),
+        col("aws_uri").as("AWS_URI"), col("gcp_uri").as("GCP_URI"),
+        col("doi").as("DOI"), col("index_doi").as("INDEX_DOI")): _*)
+      .orderBy(col("dbGaP_Study"), col("Study_Group"), col("Subject_ID"),
+        col("Anatomical_Part").asc_nulls_first,
+        col("Datatype").asc_nulls_first, col("AWS_URI").asc_nulls_first)
   }
 }

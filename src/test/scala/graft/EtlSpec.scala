@@ -155,12 +155,28 @@ class EtlSpec extends SparkTestBase {
   }
 
   test("Q7: tabular dump keeps subjects without files (left join)") {
-    val rows = DatsQueries.tabularDump(graph).collect()
+    val dump = DatsQueries.tabularDump(graph)
+    // reference column order (rdflib_tabular_dump.py:335-342) with the
+    // dynamic sorted characteristic names in the middle
+    assert(dump.columns.toSeq === Seq("Project", "dbGaP_Study", "Study_Group",
+      "Subject_ID", "AGE", "DTHHRDY", "SEX", "Anatomical_Part",
+      "Anatomical_Part_ID", "Datatype", "File_Size", "MD5_Checksum",
+      "AWS_URI", "GCP_URI", "DOI", "INDEX_DOI"))
+    val rows = dump.collect()
     assert(rows.length === 7) // 6 file rows + 1 file-less subject row
-    val noFiles = rows.filter(_.isNullAt(5))
-    assert(noFiles.map(_.getString(0)).toSeq === Seq("GTEX-3333"))
-    val g1111 = rows.filter(_.getString(0) === "GTEX-1111")
-    assert(g1111.map(_.getString(1)).distinct.toSeq === Seq("male")) // pivoted SEX
+    assert(rows.forall(_.getString(0) === GtexEtl.TopDatasetTitle))
+    assert(rows.forall(_.getString(1) === "phs000424.v7.p2"))
+    assert(rows.forall(_.getString(2) === "all subjects"))
+    val noFiles = rows.filter(_.isNullAt(12))
+    assert(noFiles.map(_.getString(3)).toSeq === Seq("GTEX-3333"))
+    val g1111 = rows.filter(_.getString(3) === "GTEX-1111")
+    assert(g1111.map(_.getString(6)).distinct.toSeq === Seq("male")) // pivoted SEX
+    // file rows carry the anatomy id, dual URIs, and both DOIs
+    val withFiles = rows.filter(!_.isNullAt(12))
+    assert(withFiles.forall(r => r.getString(8).startsWith("UBERON:")
+      || r.getString(8).startsWith("EFO_")))
+    assert(withFiles.forall(r => r.getString(13).startsWith("gs://")))
+    assert(withFiles.forall(r => r.getString(15).endsWith("-crai")))
   }
 
   // ---- K1 writer ----

@@ -22,10 +22,13 @@ class SinksSpec extends SparkTestBase {
       .write.option("sep", "\t").option("header", "true").csv(out)
     val file = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv")).head
     val lines = scala.io.Source.fromFile(file).getLines().toSeq
-    assert(lines.head.startsWith("subject_name\tSEX\tAGE\tDTHHRDY\tsample_name"))
+    assert(lines.head === "Project\tdbGaP_Study\tStudy_Group\tSubject_ID\tAGE" +
+      "\tDTHHRDY\tSEX\tAnatomical_Part\tAnatomical_Part_ID\tDatatype" +
+      "\tFile_Size\tMD5_Checksum\tAWS_URI\tGCP_URI\tDOI\tINDEX_DOI")
     assert(lines.length === 8) // header + 7 dump rows
     // golden spot-check: first data row is the sorted-first subject+file
-    assert(lines(1).startsWith("GTEX-1111\tmale\t60-69\t"))
+    assert(lines(1).startsWith("Genotype-Tissue Expression Project (GTEx)" +
+      "\tphs000424.v7.p2\tall subjects\tGTEX-1111\t60-69\t"))
   }
 
   test("K2: per-entity JSON files partitioned by material type") {

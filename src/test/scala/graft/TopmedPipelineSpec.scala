@@ -62,6 +62,17 @@ class TopmedPipelineSpec extends SparkTestBase {
     assert(chars1("BODY_SITE") === "Peripheral Blood")
     assert(chars1("SAMPLE_USE") === "Seq_DNA_WholeGenome")
     assert(chars1("ANALYTE_TYPE") === "DNA")
+    // Q7 carries the anatomy, harmonized chars, and index DOI per file row
+    val dump = DatsQueries.tabularDump(graph).collect()
+    val su1 = dump.filter(r => r.getAs[String]("Subject_ID") == "SU001"
+      && r.getAs[String]("Study_Group") == "all subjects"
+      && r.getAs[String]("Datatype") == "WGS").head
+    assert(su1.getAs[String]("Anatomical_Part") === "blood")
+    assert(su1.getAs[String]("Anatomical_Part_ID") === "UBERON:0000178")
+    assert(su1.getAs[String]("Hypertension") === "yes")
+    assert(su1.getAs[String]("Gender") === "1")
+    assert(su1.getAs[String]("INDEX_DOI") === "https://doi.org/10.2000/i1")
+    assert(su1.getAs[Long]("File_Size") === 12345678901L)
   }
 
   test("J6: disjoint sample-attribute columns fill in; conflicts are fatal") {
