@@ -20,15 +20,21 @@ object GtexPipeline {
     val outJson = args.lift(1).getOrElse("/tmp/gtex_dats.json")
     val spark = Tables.session("gtex-pipeline")
 
+    def ifExists(p: String): Option[String] =
+      Some(p).filter(x => new java.io.File(x).exists())
+    val varReport = ifExists(
+      s"$inDir/dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml")
     val graph = GtexEtl.build(spark, GtexEtl.Inputs(
       subjectsPath = s"$inDir/GTEx_v7_Annotations_SubjectPhenotypesDS.txt",
       samplesPath = s"$inDir/GTEx_v7_Annotations_SampleAttributesDS.txt",
       wgsManifestPath = s"$inDir/wgs_cram_manifest.txt",
       rnaseqManifestPath = s"$inDir/rnaseq_cram_manifest.txt",
       doiPath = s"$inDir/doi_manifest.txt",
-      dbgapDataDictPath = Some(
-        s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
-        .filter(p => new java.io.File(p).exists())))
+      dbgapDataDictPath = ifExists(
+        s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml"),
+      // J10: study skeleton from the scrape when present
+      dbgapStudiesScrapePath = ifExists(s"$inDir/dbgap_studies.txt"),
+      dbgapVarReportPath = varReport))
 
     DatsJsonWriter.write(graph, outJson)
     println(s"[pipeline] wrote DATS JSON-LD to $outJson " +
@@ -52,8 +58,10 @@ object GtexPipeline {
     // restricted-access overlay (§3.1 step 10) when the files are present
     val restrictedSubj = new java.io.File(s"$inDir/restricted_gtex_subject.txt")
     if (restrictedSubj.exists()) {
+      // P18/J9: consent groups named + count-checked from the var_report
       val over = GtexEtl.restrictedOverlay(spark, graph,
-        restrictedSubj.getPath, s"$inDir/restricted_gtex_subject_phenotypes.txt")
+        restrictedSubj.getPath, s"$inDir/restricted_gtex_subject_phenotypes.txt",
+        consentMeta = varReport.map(GtexEtl.consentMeta(spark, _)))
       show("Q5 after restricted overlay", DatsQueries.listSubjectCharacteristics(over))
       show("study groups after overlay", over.studyGroups)
     }

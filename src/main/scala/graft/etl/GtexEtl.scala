@@ -86,7 +86,68 @@ object GtexEtl {
   final case class Inputs(
       subjectsPath: String, samplesPath: String,
       wgsManifestPath: String, rnaseqManifestPath: String, doiPath: String,
-      dbgapDataDictPath: Option[String] = None)
+      dbgapDataDictPath: Option[String] = None,
+      /** J10 — S14 dbGaP search-results scrape; when present the study
+        * Dataset skeleton is built from data instead of constants. */
+      dbgapStudiesScrapePath: Option[String] = None,
+      /** P18/J9 — Subject var_report XML; when present the restricted
+        * overlay names consent groups from the CONSENT enum and asserts
+        * declared counts. */
+      dbgapVarReportPath: Option[String] = None)
+
+  /** P5 — normalized study accession: phsNNNNNN.vN from the full
+    * phsNNNNNN.vN.pN id; no match ⇒ empty string (callers assert,
+    * bin/gtex_v7_to_dats.py:301-305). */
+  def normalizeStudyId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(c, "^(phs\\d+\\.v\\d+)\\.p\\d+$", 1)
+
+  /** P18 — select THE consent variable from a Subject var_report:
+    * var_name == "CONSENT" with no .cN consent-group suffix on the id;
+    * anything but exactly one match is fatal
+    * (bin/gtex_v7_to_dats.py:202-206). */
+  def consentVariable(varReport: DataFrame): DataFrame = {
+    val c = varReport.filter(col("_var_name") === "CONSENT" &&
+      !regexp_like(col("_id"), lit("\\.c\\d+$")))
+    val n = c.count()
+    require(n == 1, s"found $n CONSENT variables in Subject var_report XML")
+    c
+  }
+
+  /** J9 (GTEx side) — consent-code metadata from the P18-selected
+    * variable's enum: (CONSENT code, group name, declared count)
+    * (bin/gtex_v7_to_dats.py:207-221). */
+  def consentMeta(spark: SparkSession, varReportPath: String): DataFrame = {
+    val consentId = consentVariable(
+      graft.sources.Readers.dbgapVariables(spark, varReportPath))
+      .select("_id").head.getString(0)
+    graft.sources.Readers.dbgapVarReportEnums(spark, varReportPath)
+      .filter(col("var_id") === consentId)
+      .select(col("code").cast("string").as("CONSENT"),
+        col("label").as("consent_name"),
+        col("count").cast("long").as("declared_count"))
+  }
+
+  /** J11 — dbGaP variable lookup keyed by (var_type, var_name +
+    * consent-group suffix), the key restricted columns use to find their
+    * dbGaP accession; duplicate keys fatal
+    * (ccmm/dbgap/public_metadata.py:352-402). */
+  def dbgapVarLookup(vars: DataFrame, varType: String): DataFrame = {
+    val hasDescription = vars.columns.contains("description")
+    val description =
+      if (hasDescription) col("description").cast("string")
+      else lit(null).cast("string")
+    val out = vars.select(
+      lit(varType).as("var_type"),
+      concat(col("_var_name"),
+        regexp_extract(col("_id"), "(\\.c\\d+)$", 1)).as("lookup_key"),
+      col("_id").as("var_id"), col("_var_name").as("var_name"),
+      description.as("description"))
+    val dups = out.groupBy("var_type", "lookup_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    require(dups.isEmpty, "duplicate definition for dbGaP variable(s): " +
+      dups.collect().map(_.getString(1)).mkString(","))
+    out
+  }
 
   val TopDatasetTitle = "Genotype-Tissue Expression Project (GTEx)"
   val StudyAccession = "phs000424.v7.p2"
@@ -252,27 +313,70 @@ object GtexEtl {
     val topId = entityId("Dataset", lit(TopDatasetTitle))
     val studyDatasetId = entityId("Dataset", lit(StudyAccession))
     val studyId = entityId("Study", lit(StudyAccession))
-    val topDatasets = spark.range(1).select(
-        topId.as("dataset_id"), lit(null).cast("string").as("parent_dataset_id"),
-        lit(TopDatasetTitle).as("title"),
-        lit("Common Fund Genotype-Tissue Expression Project").as("description"),
-        lit("v7").as("version"), lit(null).cast("string").as("data_type"),
-        lit(null).cast("string").as("study_id"))
-      .unionByName(spark.range(1).select(
-        studyDatasetId.as("dataset_id"), topId.as("parent_dataset_id"),
-        lit(StudyAccession).as("title"),
-        lit("GTEx dbGaP study").as("description"),
-        lit("v7").as("version"), lit(null).cast("string").as("data_type"),
-        studyId.as("study_id")))
+    val topRow = spark.range(1).select(
+      topId.as("dataset_id"), lit(null).cast("string").as("parent_dataset_id"),
+      lit(TopDatasetTitle).as("title"),
+      lit("Common Fund Genotype-Tissue Expression Project").as("description"),
+      lit("v7").as("version"), lit(null).cast("string").as("data_type"),
+      lit(null).cast("string").as("study_id"))
+
+    // J10: study Dataset skeleton built FROM the S14 scrape when given
+    // (ccmm/gtex/wgs_datasets.py:85-175 + bin/gtex_v7_to_dats.py:292-324)
+    // — one Dataset per scraped dbGaP study, accession as identifier,
+    // subject count as an "Actual Subject Count" Dimension. The dataset
+    // keyed by StudyAccession keeps the same content-hash id as the
+    // constant path, so file datasets and the Study link are unchanged.
+    val scraped: Option[DataFrame] = in.dbgapStudiesScrapePath.map { p =>
+      val s = graft.sources.Readers.scrapeDbgapStudies(
+        spark, p, descrPrefix = "Genotype-Tissue Expression").cache()
+      // P5: every scraped id must carry a parseable phsN.vN prefix
+      val bad = s.filter(normalizeStudyId(col("id")) === "")
+      require(bad.isEmpty, "unable to parse study_id(s): " +
+        bad.select("id").collect().map(_.getString(0)).mkString(","))
+      s
+    }
+    val studyRows = scraped match {
+      case Some(s) =>
+        s.select(
+          entityId("Dataset", col("id")).as("dataset_id"),
+          topId.as("parent_dataset_id"),
+          lit(TopDatasetTitle + " WGS and RNA-Seq data").as("title"),
+          concat(lit("Genotype-Tissue Expression"),
+            coalesce(col("descr"), lit(""))).as("description"),
+          col("version"),
+          lit(null).cast("string").as("data_type"),
+          when(col("id") === StudyAccession, studyId).as("study_id"))
+      case None =>
+        spark.range(1).select(
+          studyDatasetId.as("dataset_id"), topId.as("parent_dataset_id"),
+          lit(StudyAccession).as("title"),
+          lit("GTEx dbGaP study").as("description"),
+          lit("v7").as("version"), lit(null).cast("string").as("data_type"),
+          studyId.as("study_id"))
+    }
     // file datasets hang off the study dataset
-    val datasets = topDatasets.unionByName(
+    val datasets = topRow.unionByName(studyRows).unionByName(
       fileDatasets.withColumn("parent_dataset_id", studyDatasetId))
 
-    val identifiers = spark.range(1).select(
-        topId.as("entity_id"), lit("GTEx").as("identifier"), lit("GTEx").as("identifier_source"))
-      .unionByName(spark.range(1).select(
+    val topIdentifier = spark.range(1).select(
+      topId.as("entity_id"), lit("GTEx").as("identifier"), lit("GTEx").as("identifier_source"))
+    val identifiers = scraped match {
+      case Some(s) => topIdentifier.unionByName(s.select(
+        entityId("Dataset", col("id")).as("entity_id"), col("id").as("identifier"),
+        lit("dbGaP").as("identifier_source")))
+      case None => topIdentifier.unionByName(spark.range(1).select(
         studyDatasetId.as("entity_id"), lit(StudyAccession).as("identifier"),
         lit("dbGaP").as("identifier_source")))
+    }
+
+    // scraped subject counts as Dimensions (wgs_datasets.py:130-137)
+    val scrapeDimensions = scraped.map(_.select(
+      entityId("Dimension", concat(col("id"), lit("|subject_count"))).as("dim_id"),
+      entityId("Dataset", col("id")).as("owner_id"),
+      lit("Actual Subject Count").as("name"),
+      lit(null).cast("string").as("var_acc"),
+      lit("The actual number of subjects entered into a clinical trial.").as("description"),
+      col("n_participants").cast("string").as("value")))
 
     val studies = spark.range(1).select(
       studyId.as("study_id"), lit("GTEx v7").as("name"), studyDatasetId.as("dataset_id"))
@@ -318,7 +422,8 @@ object GtexEtl {
       materials = materials,
       anatomicalParts = anatomicalParts,
       characteristics = characteristics,
-      dimensions = studyDimensions.unionByName(fileDimensions),
+      dimensions = scrapeDimensions.fold(studyDimensions)(studyDimensions.unionByName)
+        .unionByName(fileDimensions),
       distributions = fileDistributions,
       dataAcquisitions = dataAcquisitions,
       // public portal columns carry no phenotype variables to harmonize;
@@ -338,21 +443,35 @@ object GtexEtl {
     * characteristics.
     */
   def restrictedOverlay(spark: SparkSession, graph: EntityGraph,
-                        subjectTsv: String, phenotypesTsv: String): EntityGraph = {
+                        subjectTsv: String, phenotypesTsv: String,
+                        consentMeta: Option[DataFrame] = None,
+                        varLookup: Option[DataFrame] = None): EntityGraph = {
     import graft.model.Dats.entityId
     val (subj, _) = graft.sources.Readers.commentTsv(spark, subjectTsv)
     val (pheno, _) = graft.sources.Readers.commentTsv(spark, phenotypesTsv)
     val merged = TopmedEtl.mergeSubjectTables(subj, pheno, "SUBJID").cache()
 
     // rewrite characteristics: drop public chars of overlaid subjects,
-    // add the restricted variables in long form
+    // add the restricted variables in long form; J11: when a dbGaP
+    // variable lookup is given, each restricted column picks up its phv
+    // accession by (var_name + consent-suffix) key
     val restrictedVars = merged.columns.filterNot(c => c == "SUBJID" || c == "dbGaP_Subject_ID")
-    val rawChars = restrictedVars.map { v =>
+    val bareChars = restrictedVars.map { v =>
       merged.filter(col(v).isNotNull && col(v) =!= "").select(
         entityId("Material", col("SUBJID")).as("material_id"),
-        lit(null).cast("string").as("var_acc"),
         lit(v).as("name"), col(v).as("value"))
     }.reduce(_ unionByName _)
+    val rawChars = varLookup match {
+      case Some(lk) =>
+        bareChars.join(
+            broadcast(lk.select(col("lookup_key"),
+              regexp_extract(col("var_id"), "^(phv\\d+)", 1).as("var_acc"))),
+            col("name") === col("lookup_key"), "left")
+          .select(col("material_id"), col("var_acc"), col("name"), col("value"))
+      case None =>
+        bareChars.select(col("material_id"),
+          lit(null).cast("string").as("var_acc"), col("name"), col("value"))
+    }
     // P9: harmonized dimensions prepend the raw dbGaP variables
     // (dna_extracts.py:93-175; GTEx decodes numeric sex codes) and the
     // hypertension variables become bearerOfDisease rows
@@ -365,13 +484,35 @@ object GtexEtl {
         .join(overlaidIds, Seq("material_id"), "left_semi"),
       Seq("material_id"), "left_anti")
 
-    // A1: per-consent StudyGroups over the overlaid subjects
+    // A1: per-consent StudyGroups over the overlaid subjects. With P18
+    // consent metadata the groups take the CONSENT enum's label as name
+    // and the declared count is asserted against the actual membership
+    // (J9, bin/gtex_v7_to_dats.py:207-221).
     val studyId = entityId("Study", lit(StudyAccession))
-    val consentGroups = merged.filter(col("CONSENT").isNotNull).select(
-      entityId("StudyGroup", concat(lit("consent-"), col("CONSENT"))).as("group_id"),
+    val withConsent = merged.filter(col("CONSENT").isNotNull)
+    val groupName = consentMeta match {
+      case Some(_) => col("consent_name")
+      case None => concat(lit("consent group "), col("CONSENT"))
+    }
+    val consentBase = consentMeta match {
+      case Some(meta) =>
+        val counts = withConsent.groupBy(col("CONSENT").cast("string").as("CONSENT"))
+          .agg(count(lit(1)).as("n_subjects"))
+          .join(broadcast(meta), Seq("CONSENT"), "left")
+        val unknown = counts.filter(col("consent_name").isNull)
+        require(unknown.isEmpty, "consent code(s) missing from var_report enum: " +
+          unknown.select("CONSENT").collect().map(_.getString(0)).mkString(","))
+        val mismatch = counts.filter(col("declared_count") =!= col("n_subjects"))
+        require(mismatch.isEmpty, "subject count mismatch in consent group(s): " +
+          mismatch.select("CONSENT").collect().map(_.getString(0)).mkString(","))
+        withConsent.join(broadcast(meta), withConsent("CONSENT") === meta("CONSENT"))
+      case None => withConsent
+    }
+    val consentGroups = consentBase.select(
+      entityId("StudyGroup", concat(lit("consent-"), withConsent("CONSENT"))).as("group_id"),
       studyId.as("study_id"),
-      concat(lit("consent group "), col("CONSENT")).as("name")).distinct()
-    val consentMembers = merged.filter(col("CONSENT").isNotNull).select(
+      groupName.as("name")).distinct()
+    val consentMembers = withConsent.select(
       entityId("StudyGroup", concat(lit("consent-"), col("CONSENT"))).as("group_id"),
       entityId("Material", col("SUBJID")).as("material_id"))
 

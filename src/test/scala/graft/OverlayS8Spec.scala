@@ -31,6 +31,74 @@ class OverlayS8Spec extends SparkTestBase {
     assert(vars.head.getString(3) === "Sex of the subject") // XML description
   }
 
+  test("J10/P5: study Dataset skeleton built from the S14 scrape") {
+    val g = GtexEtl.build(spark, GtexEtl.Inputs(
+      subjectsPath = res("GTEx_v7_Annotations_SubjectPhenotypesDS.txt"),
+      samplesPath = res("GTEx_v7_Annotations_SampleAttributesDS.txt"),
+      wgsManifestPath = res("wgs_cram_manifest.txt"),
+      rnaseqManifestPath = res("rnaseq_cram_manifest.txt"),
+      doiPath = res("doi_manifest.txt"),
+      dbgapStudiesScrapePath = Some(res("dbgap_studies.txt"))))
+    // Q1 lists BOTH scraped dbGaP studies as 2nd-level datasets
+    val q1 = graft.query.DatsQueries.listSecondLevelDatasets(
+      g, Seq(GtexEtl.TopDatasetTitle)).collect()
+    assert(q1.map(_.getString(0)).toSeq === Seq("phs000424.v7.p2", "phs000920.v4.p2"))
+    // the scraped subject count becomes an Actual Subject Count Dimension
+    val counts = g.dimensions.filter(col("name") === "Actual Subject Count")
+      .join(g.identifiers, col("owner_id") === col("entity_id"))
+      .select("identifier", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(counts === Map("phs000424.v7.p2" -> "752", "phs000920.v4.p2" -> "100"))
+    // file datasets still hang off the StudyAccession dataset
+    assert(g.datasets.filter(col("data_type").isNotNull).count() === 6)
+  }
+
+  test("P18/J9: CONSENT variable selection and consent-group metadata") {
+    val vr = res("dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml")
+    // exactly one CONSENT var without a .cN suffix is selected
+    val cv = GtexEtl.consentVariable(Readers.dbgapVariables(spark, vr))
+    assert(cv.select("_id").head.getString(0) === "phv00169064.v7")
+    // zero matches (a data_dict with no CONSENT) is fatal
+    intercept[IllegalArgumentException] {
+      GtexEtl.consentVariable(Readers.dbgapVariables(spark,
+        res("phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")))
+    }
+    val meta = GtexEtl.consentMeta(spark, vr).orderBy("CONSENT").collect()
+    assert(meta.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("1", "General Research Use (GRU)", 2L), ("2", "Disease-Specific (DS)", 1L)))
+    // overlay with the metadata: groups named from the enum labels and
+    // the declared counts hold against the restricted fixture
+    val over = GtexEtl.restrictedOverlay(spark, graph,
+      res("restricted_gtex_subject.txt"), res("restricted_gtex_subject_phenotypes.txt"),
+      consentMeta = Some(GtexEtl.consentMeta(spark, vr)))
+    val names = over.studyGroups.filter(col("name") =!= "all subjects")
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names === Set("General Research Use (GRU)", "Disease-Specific (DS)"))
+  }
+
+  test("J11: (type, var_name + consent-suffix) lookup with dup-fatal gate") {
+    val vr = res("dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml")
+    val vars = Readers.dbgapVariables(spark, vr)
+    val lk = GtexEtl.dbgapVarLookup(vars, "Subject")
+    val keys = lk.select("lookup_key").collect().map(_.getString(0)).toSet
+    assert(keys === Set("SEX", "CONSENT", "CONSENT.c1")) // suffix kept distinct
+    intercept[IllegalArgumentException] {
+      GtexEtl.dbgapVarLookup(vars.unionByName(vars), "Subject")
+    }
+    // overlay joins accessions onto restricted chars by lookup key
+    val dd = Readers.dbgapVariables(spark,
+      res("phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml"))
+    val over = GtexEtl.restrictedOverlay(spark, graph,
+      res("restricted_gtex_subject.txt"), res("restricted_gtex_subject_phenotypes.txt"),
+      varLookup = Some(GtexEtl.dbgapVarLookup(dd, "Subject")))
+    // GENDER/VISIT_AGE aren't in the public data_dict fixture → null acc;
+    // the join itself must not drop or duplicate rows
+    val g1111 = graph.materials.filter(col("name") === "GTEX-1111")
+      .select("material_id").head.getString(0)
+    val chars = over.characteristics.filter(col("material_id") === g1111)
+    assert(chars.count() === 6) // 4 raw + 2 harmonized
+  }
+
   test("S7/A5: var_report stats and enum counts parse from XML") {
     val xml = res("phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
     val stats = Readers.dbgapVarReportStats(spark, xml)
