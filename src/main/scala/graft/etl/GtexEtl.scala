@@ -83,6 +83,73 @@ object GtexEtl {
   def subjectIdOf(sampid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(sampid, "^((GTEX|K)-[^-]+)", 1)
 
+  // ---- S3: GitHub id-dump scans (github_files.py:14-56) ----
+
+  private val SubjectIdRegex = "^(GTEX|K)-[0-9A-Z]+$"
+  private val SampleIdRegex =
+    "^GTEX-[0-9A-Z]+-\\d+-([A-Za-z0-9]+-)?[A-Z]+-[A-Z0-9]+|K-\\d+-[A-Z]+-[0-9A-Z]+$"
+
+  val subjectIdDumpSpec: Seq[ColumnSpec] = Seq(
+    ColumnSpec("Native form", Regex(SubjectIdRegex)),
+    ColumnSpec("Prefixed form", Regex(SubjectIdRegex)),
+    ColumnSpec("URI", emptyOk = true),
+    ColumnSpec("Destination URL"),
+    ColumnSpec("Outgoing URI", emptyOk = true),
+    ColumnSpec("Entity Type", Regex("^individual_organism$")))
+
+  val sampleIdDumpSpec: Seq[ColumnSpec] = Seq(
+    ColumnSpec("Native form", Regex(SampleIdRegex)),
+    ColumnSpec("Prefixed form", Regex(SampleIdRegex)),
+    ColumnSpec("URI", emptyOk = true),
+    ColumnSpec("Destination URL"),
+    ColumnSpec("Outgoing URI", emptyOk = true),
+    ColumnSpec("Entity Type", Regex("^biosample$")))
+
+  val tissueIdDumpSpec: Seq[ColumnSpec] = Seq(
+    ColumnSpec("Native form", Regex("^[a-zA-Z\\d+\\-_]+$")),
+    ColumnSpec("Uberon id", Regex("^\\d+|EFO_\\d+$")),
+    ColumnSpec("Prefixed form", Regex("^[a-zA-Z\\d+\\-_]+$")),
+    ColumnSpec("URI", emptyOk = true),
+    ColumnSpec("Destination URL"),
+    ColumnSpec("Outgoing URI", emptyOk = true),
+    ColumnSpec("Entity Type", Regex("^gross_anatomical_structure$")))
+
+  /** S3 — validated id-dump scans keyed by Native form
+    * (github_files.py:111-124). */
+  def readSubjectIdDump(spark: SparkSession, path: String): DataFrame =
+    ValidatedTsv.readStrict(spark, path, subjectIdDumpSpec, "Native form")
+  def readSampleIdDump(spark: SparkSession, path: String): DataFrame =
+    ValidatedTsv.readStrict(spark, path, sampleIdDumpSpec, "Native form")
+  def readTissueIdDump(spark: SparkSession, path: String): DataFrame =
+    ValidatedTsv.readStrict(spark, path, tissueIdDumpSpec, "Native form")
+
+  /** J2 (4-way) — cross-check a CRAM manifest against subject + sample id
+    * dumps (bin/gtex_v7_to_dats.py:42-94 + :284-289): distinct manifest
+    * sample ids found / not found in the sample dump, and their derived
+    * subject ids (P3, unparseable ⇒ fatal) found / not found in the
+    * subject dump. Four tally rows — two anti-join counts per id kind,
+    * the same shuffle shape as [[reconcile]]. */
+  def crossCheckIds(subjects: DataFrame, samples: DataFrame,
+                    manifest: DataFrame,
+                    manifestCol: String = "sample_id"): DataFrame = {
+    val mSamples = manifest.select(col(manifestCol).as("id")).distinct().cache()
+    val unparseable = mSamples.filter(subjectIdOf(col("id")) === "")
+    require(unparseable.isEmpty, "couldn't parse GTEx subject id from sample_id(s): " +
+      unparseable.collect().map(_.getString(0)).mkString(","))
+    val mSubjects = mSamples.select(subjectIdOf(col("id")).as("id")).distinct()
+    val sampleDump = samples.select(col("Native form").as("id"))
+    val subjectDump = subjects.select(col("Native form").as("id"))
+    val sampFound = mSamples.join(sampleDump, Seq("id"), "left_semi").count()
+    val sampNotFound = mSamples.join(sampleDump, Seq("id"), "left_anti").count()
+    val subjFound = mSubjects.join(subjectDump, Seq("id"), "left_semi").count()
+    val subjNotFound = mSubjects.join(subjectDump, Seq("id"), "left_anti").count()
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    Seq(("samples_found", sampFound), ("samples_not_found", sampNotFound),
+      ("subjects_found", subjFound), ("subjects_not_found", subjNotFound))
+      .toDF("category", "n")
+  }
+
   final case class Inputs(
       subjectsPath: String, samplesPath: String,
       wgsManifestPath: String, rnaseqManifestPath: String, doiPath: String,

@@ -31,6 +31,27 @@ class OverlayS8Spec extends SparkTestBase {
     assert(vars.head.getString(3) === "Sex of the subject") // XML description
   }
 
+  test("S3/J2: id dumps validate and cross-check against both manifests") {
+    import graft.sources.ValidatedTsv
+    val subj = GtexEtl.readSubjectIdDump(spark, res("gtex_v7_subject_ids.txt"))
+    assert(subj.count() === 3)
+    val samp = GtexEtl.readSampleIdDump(spark, res("gtex_v7_sample_ids.txt"))
+    assert(samp.count() === 4)
+    val tissue = GtexEtl.readTissueIdDump(spark, res("gtex_v7_tissue_ids.txt"))
+    assert(tissue.count() === 3)
+    val wgs = ValidatedTsv.readStrict(spark, res("wgs_cram_manifest.txt"),
+      GtexEtl.manifestSpec(withFirecloud = true), "sample_id")
+    val rna = ValidatedTsv.readStrict(spark, res("rnaseq_cram_manifest.txt"),
+      GtexEtl.manifestSpec(withFirecloud = false), "sample_id")
+    val manifest = wgs.drop("firecloud_id").unionByName(rna)
+    val tallies = GtexEtl.crossCheckIds(subj, samp, manifest)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 6 distinct manifest samples: 4 in the dump; subjects GTEX-1111/
+    // 2222/4444 in the dump, K-562 not
+    assert(tallies === Map("samples_found" -> 4L, "samples_not_found" -> 2L,
+      "subjects_found" -> 3L, "subjects_not_found" -> 1L))
+  }
+
   test("J10/P5: study Dataset skeleton built from the S14 scrape") {
     val g = GtexEtl.build(spark, GtexEtl.Inputs(
       subjectsPath = res("GTEx_v7_Annotations_SubjectPhenotypesDS.txt"),
