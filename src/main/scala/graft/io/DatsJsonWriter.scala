@@ -69,8 +69,16 @@ object DatsJsonWriter {
     }
   }
 
-  /** Assemble the whole graph into one JSON document string. */
-  def render(g: EntityGraph): String = {
+  /** Assemble the whole graph into one JSON document string.
+    *
+    * `maxOutputSamples` is O2 (`--max_output_samples`,
+    * bin/gtex_v7_to_dats.py:376-378): the study dataset's `isAbout` list
+    * holds the name-sorted sample materials truncated to N. The top-N is
+    * computed as orderBy+limit — Spark plans TakeOrderedAndProject, a
+    * per-partition heap + single merge, never a global sort. Everything
+    * else (file datasets, derivesFrom chains) stays complete, exactly as
+    * the reference truncates only that one list. */
+  def render(g: EntityGraph, maxOutputSamples: Option[Int] = None): String = {
     val mapper = new ObjectMapper()
     val em = new Emitter(mapper)
 
@@ -90,6 +98,14 @@ object DatsJsonWriter {
     val dims = rows(g.dimensions).groupBy(_.getAs[String]("owner_id"))
     val dists = rows(g.distributions).groupBy(_.getAs[String]("dataset_id"))
     val acqs = rows(g.dataAcquisitions).groupBy(_.getAs[String]("dataset_id"))
+    // O2/isAbout: name-sorted sample materials, truncated to N when set —
+    // orderBy+limit plans TakeOrderedAndProject (distributed top-N)
+    val sampleFrame = {
+      import org.apache.spark.sql.functions.col
+      g.materials.filter(col("material_type") === "sample").orderBy(col("name"))
+    }
+    val isAboutIds = rows(maxOutputSamples.fold(sampleFrame)(sampleFrame.limit))
+      .map(_.getAs[String]("material_id"))
     val children = datasets.filter(_.getAs[String]("parent_dataset_id") != null)
       .groupBy(_.getAs[String]("parent_dataset_id"))
 
@@ -181,6 +197,13 @@ object DatsJsonWriter {
         t.put("value", dt)
         types.add(t)
         n.set[ObjectNode]("types", types)
+      }
+      // study datasets carry the (possibly O2-truncated) sample list
+      // (gtex_v7_to_dats.py:379 `isAbout`)
+      if (r.getAs[String]("study_id") != null && isAboutIds.nonEmpty) {
+        val arr = mapper.createArrayNode()
+        isAboutIds.foreach(mid => arr.add(materialNode(mid)))
+        n.set[ObjectNode]("isAbout", arr)
       }
       dims.get(id).foreach { ds =>
         val arr = mapper.createArrayNode()
@@ -277,8 +300,9 @@ object DatsJsonWriter {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  def write(g: EntityGraph, path: String): Unit = {
-    val s = render(g)
+  def write(g: EntityGraph, path: String,
+            maxOutputSamples: Option[Int] = None): Unit = {
+    val s = render(g, maxOutputSamples)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), s)
   }
 }

@@ -86,11 +86,20 @@ object ValidatedTsv {
       case AnyValue => "required"
     }
 
-    val cellViolations = specs.map { s =>
-      raw.filter(cellViolation(s)).select(
-        pk.as("pk"), lit(s.name).as("column"),
-        lit(ruleName(s)).as("rule"), col(s.name).as("value"))
-    }.reduce(_ unionByName _)
+    // SINGLE-PASS cell validation: one struct per spec, array_compact to
+    // drop the passing cells, one explode — the file is scanned ONCE for
+    // all rules, not once per spec (the previous per-spec filter+union
+    // form read an 11-column file 11 times; at 100 TB that is 11 reads).
+    val checkStructs = specs.map { s =>
+      when(cellViolation(s), struct(
+        lit(s.name).as("column"), lit(ruleName(s)).as("rule"),
+        col(s.name).as("value")))
+    }
+    val cellViolations = raw
+      .select(pk.as("pk"), array_compact(array(checkStructs: _*)).as("vs"))
+      .select(col("pk"), explode(col("vs")).as("v"))
+      .select(col("pk"), col("v.column").as("column"),
+        col("v.rule").as("rule"), col("v.value").as("value"))
 
     // Duplicate-PK check (parsers/util.py:97-103; dup ⇒ fatal there).
     val dupViolations = raw.groupBy(pk).agg(count(lit(1)).as("n"))

@@ -45,6 +45,17 @@ class EtlSpec extends SparkTestBase {
     }
   }
 
+  test("S1: validation is single-pass — scans don't grow with spec count") {
+    // 11-rule sample spec: cell rules fold into ONE scan (array_compact +
+    // explode); the dup-key agg is a second, pk-pruned scan. The old
+    // per-spec filter+union form produced 12 scans here.
+    val r = ValidatedTsv.read(spark, res("GTEx_v7_Annotations_SampleAttributesDS.txt"),
+      GtexEtl.sampleSpec, "SAMPID")
+    val plan = r.violations.queryExecution.executedPlan.toString
+    val scans = "Scan csv".r.findAllIn(plan).length
+    assert(scans === 2)
+  }
+
   test("S1: header mismatch is fatal") {
     intercept[ValidatedTsv.HeaderMismatchException] {
       ValidatedTsv.read(spark, res("doi_manifest.txt"), GtexEtl.subjectSpec, "SUBJID")
@@ -180,6 +191,22 @@ class EtlSpec extends SparkTestBase {
   }
 
   // ---- K1 writer ----
+
+  test("O2: --max_output_samples truncates the study dataset's isAbout list") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nSamples = graph.materials
+      .filter(col("material_type") === "sample").count().toInt
+    val full = mapper.readTree(DatsJsonWriter.render(graph))
+      .path("hasPart").get(0).path("isAbout")
+    assert(full.size() === nSamples)
+    val limited = mapper.readTree(DatsJsonWriter.render(graph, maxOutputSamples = Some(2)))
+      .path("hasPart").get(0).path("isAbout")
+    assert(limited.size() === 2)
+    // name-sorted head, not arbitrary rows (the reference sorts by name
+    // before slicing, gtex_v7_to_dats.py:375-377)
+    val names = (0 until 2).map(i => limited.get(i).path("name").asText())
+    assert(names === Seq("GTEX-1111-0001-SM-A", "GTEX-1111-0002-SM-B"))
+  }
 
   test("K1: JSON writer is deterministic and uses idrefs after first emission") {
     val s1 = DatsJsonWriter.render(graph)
