@@ -83,6 +83,14 @@ object GtexEtl {
   def subjectIdOf(sampid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(sampid, "^((GTEX|K)-[^-]+)", 1)
 
+  /** P16 — SMAFRZE freeze-class filter
+    * (ccmm/gtex/rna_extracts.py:193-204): the per-sample extract driver's
+    * optional restriction of the sample set to one freeze class
+    * (`--smafrze RNASEQ|WGS|WES|OMNI|EXCLUDE`); None = all samples. A
+    * plain pushed-down predicate — no shuffle. */
+  def filterSamplesBySmafrze(samples: DataFrame, smafrze: Option[String]): DataFrame =
+    smafrze.fold(samples)(v => samples.filter(col("SMAFRZE") === v))
+
   // ---- S3: GitHub id-dump scans (github_files.py:14-56) ----
 
   private val SubjectIdRegex = "^(GTEX|K)-[0-9A-Z]+$"

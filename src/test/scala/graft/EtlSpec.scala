@@ -56,6 +56,17 @@ class EtlSpec extends SparkTestBase {
     assert(scans === 2)
   }
 
+  test("P16: SMAFRZE freeze-class filter restricts the sample set") {
+    val samples = ValidatedTsv.readStrict(spark,
+      res("GTEx_v7_Annotations_SampleAttributesDS.txt"), GtexEtl.sampleSpec, "SAMPID")
+    val all = samples.count()
+    val rnaseq = GtexEtl.filterSamplesBySmafrze(samples, Some("RNASEQ"))
+    assert(rnaseq.count() > 0 && rnaseq.count() < all)
+    assert(rnaseq.select("SMAFRZE").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("RNASEQ"))
+    assert(GtexEtl.filterSamplesBySmafrze(samples, None).count() === all)
+  }
+
   test("S1: header mismatch is fatal") {
     intercept[ValidatedTsv.HeaderMismatchException] {
       ValidatedTsv.read(spark, res("doi_manifest.txt"), GtexEtl.subjectSpec, "SUBJID")
