@@ -305,6 +305,28 @@ object Oracles {
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
 
+  /** Connected components over the exact-Jaccard pair relation via a
+    * recursive CTE: reach(node) accumulates every label reachable over
+    * the symmetric edge list; min per node = the component's minimum
+    * doc_id — the same fixpoint the Spark min-label propagation hits. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $W,
+       |$SH,
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |i AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b
+       |  FROM i JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE)/(ca.n_sh + cb.n_sh - inter) >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Synthetic phenotype long-form shared by the two P9 oracles — the
     * DuckDB twin of Harmonize.syntheticLong. */
   private val p9Long: String =

@@ -123,6 +123,50 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER formation — connected components over the exact
+    * n-gram Jaccard pair relation: each document that appears in a
+    * near-dup pair is labeled with the minimum doc_id of its connected
+    * component (the canonical survivor a dedup pipeline keeps).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — per
+    * round, every node takes the min of its own label and its neighbors'
+    * labels; one shuffle per round, keyed on node id. Rounds needed =
+    * component diameter, and near-dup components are star-like (diameter
+    * ≤ ~3) because near-duplicate similarity is nearly transitive at
+    * j ≥ 0.5 — so 2-4 rounds at any corpus size. For adversarial long-
+    * chain graphs the alternating large-star/small-star variant (same
+    * join shape, O(log n) rounds) is the drop-in upgrade; propagation is
+    * kept here because its relation is expressible in recursive SQL and
+    * therefore oracle-checkable. The driver loop only reads the CHANGED
+    * COUNT per round (an aggregate, not data), so nothing corpus-sized
+    * ever reaches the driver. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 60-bit sketch from per-shingle base hashes,
     * candidates blocked on four 15-bit chunks (pigeonhole: any pair with
     * hamming ≤ 3 must agree on a full chunk; pairs at hamming 4-6 are

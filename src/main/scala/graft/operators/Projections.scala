@@ -71,10 +71,14 @@ object Projections {
   def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
     val sortCols = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    // partition count follows the session's shuffle parallelism, so a
+    // 100x scale-up tunes it with one config; the offsets frame below
+    // stays exactly this many rows
+    val nParts = spark.sessionState.conf.numShufflePartitions
     // cache: both the offsets agg and the rank join re-read the sorted
     // frame (MEMORY_AND_DISK by default, so it spills rather than OOMs)
     val parted = customer.select("c_custkey", "c_acctbal")
-      .repartitionByRange(32, sortCols: _*)
+      .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(

@@ -15,6 +15,23 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("dedup: clusters are a fixpoint labeling consistent with the pairs") {
+    val pairs = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupOps.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is labeled; both ends of a pair share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is a member of its own cluster and is the minimum
+    clusters.values.toSet.foreach { (c: Long) =>
+      assert(clusters(c) === c)
+      assert(clusters.filter(_._2 == c).keys.min === c)
+    }
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
