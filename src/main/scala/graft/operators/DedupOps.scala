@@ -141,7 +141,10 @@ object DedupOps {
     * COUNT per round (an aggregate, not data), so nothing corpus-sized
     * ever reaches the driver. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    // cache the pair relation: the symmetric union below consumes it
+    // twice, and without the cache the whole shingle-join pipeline runs
+    // twice (2 narrow columns, one row per near-dup pair — tiny)
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
