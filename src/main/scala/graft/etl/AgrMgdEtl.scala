@@ -17,14 +17,44 @@ import graft.sources.Readers
   */
 object AgrMgdEtl {
 
-  /** P13 — SO term code→name lookup (agr/genes.py:16-41, 25 entries in
-    * the reference; representative subset — missing key is fatal). */
+  /** P13 — the full SO term code→name lookup (agr/genes.py:16-41, all 25
+    * reference entries; missing key is fatal). */
   val SoTerms: Map[String, String] = Map(
-    "SO:0001217" -> "protein_coding_gene",
-    "SO:0000336" -> "pseudogene",
-    "SO:0001263" -> "ncRNA_gene",
-    "SO:0001637" -> "rRNA_gene",
-    "SO:0001272" -> "tRNA_gene")
+    "SO:0000336" -> "Pseudogene",
+    "SO:0000374" -> "Ribozyme",
+    "SO:0000704" -> "Gene",
+    "SO:0001217" -> "Protein Coding Gene",
+    "SO:0001263" -> "Non-coding RNA Gene",
+    "SO:0001265" -> "miRNA Gene",
+    "SO:0001266" -> "scRNA Gene",
+    "SO:0001267" -> "snoRNA Gene",
+    "SO:0001268" -> "snRNA Gene",
+    "SO:0001269" -> "SRP RNA Gene",
+    "SO:0001272" -> "tRNA Gene",
+    "SO:0001500" -> "Phenotypic Marker",
+    "SO:0001637" -> "rRNAGene",
+    "SO:0001639" -> "RNase P RNA Gene",
+    "SO:0001640" -> "RNase MRP RNA Gene",
+    "SO:0001641" -> "lincRNA Gene",
+    "SO:0001643" -> "Telomerase RNA Gene",
+    "SO:0001841" -> "Polymorphic Pseudogene",
+    "SO:0001877" -> "Long Non-coding RNA",
+    "SO:0001904" -> "Antisense Transcript",
+    "SO:0002132" -> "Sense Overlap lncRNA",
+    "SO:0002184" -> "Sense Intronic lncRNA gene",
+    "SO:0002185" -> "Bidirectional Promoter lncRNA",
+    "SO:3000000" -> "Gene Segment")
+
+  /** P13 — evidence code → ECO id (agr/genes.py:43-52; the reference's
+    * DOA entry is its own acknowledged placeholder, kept verbatim). */
+  val EvidenceCodes: Map[String, String] = Map(
+    "TAS" -> "ECO_0000304",
+    "DOA" -> "ECO_000000",
+    "IAGP" -> "ECO_0005613",
+    "IDA" -> "ECO_0000314",
+    "IEP" -> "ECO_0000270",
+    "IGI" -> "ECO_0000316",
+    "IMP" -> "ECO_0000315")
 
   /** P13 — strand symbol → name (mgd/ref_genome_dataset.py:44-48). */
   val StrandNames: Map[String, String] = Map("+" -> "forward", "-" -> "reverse")
@@ -62,10 +92,16 @@ object AgrMgdEtl {
     * DOid collapse (agr/genes.py:61-62, 268-273). */
   def geneDiseases(genes: DataFrame, diseases: DataFrame): DataFrame =
     genes.select(col("gene_id"), col("symbol"))
-      .join(diseases.select(col("objectId"), col("DOid")),
+      .join(diseases.select(col("objectId"), col("DOid"),
+          col("evidence.evidenceCodes").as("ev_codes")),
         col("gene_id") === col("objectId"), "left")
       .groupBy("gene_id", "symbol")
-      .agg(sort_array(collect_set(col("DOid"))).as("do_ids"))
+      .agg(sort_array(collect_set(col("DOid"))).as("do_ids"),
+        // P13: annotation evidence codes mapped to ECO ids (genes.py:43-52,
+        // consumed :156); unknown codes surface as nulls in the array
+        sort_array(array_distinct(flatten(collect_list(
+          transform(col("ev_codes"),
+            c => element_at(mapCol(EvidenceCodes), c)))))).as("eco_ids"))
       .withColumn("n_diseases", size(col("do_ids")))
 
   /** J7 + A7 — gene → phenotype term ids (agr/genes.py:329-335). */

@@ -75,17 +75,21 @@ class TopmedAgrSpec extends SparkTestBase {
     val genes = AgrMgdEtl.bgiGenes(spark, res("agr/MGI_BGI.json"))
     assert(genes.count() === 3) // human gene filtered out
     val xkr4 = genes.filter(col("gene_id") === "MGI:1918911").head
-    assert(xkr4.getAs[String]("so_name") === "protein_coding_gene")
+    assert(xkr4.getAs[String]("so_name") === "Protein Coding Gene")
     assert(xkr4.getAs[String]("strand") === "reverse")
   }
 
   test("J7/A7: gene→disease broadcast join with distinct DOid collapse") {
     val genes = AgrMgdEtl.bgiGenes(spark, res("agr/MGI_BGI.json"))
     val diseases = Readers.agrJson(spark, res("agr/MGI_disease.json"))
-    val gd = AgrMgdEtl.geneDiseases(genes, diseases).collect()
-      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val rows = AgrMgdEtl.geneDiseases(genes, diseases).collect()
+    val gd = rows.map(r => r.getString(0) -> r.getSeq[String](2)).toMap
     assert(gd("MGI:1918911") === Seq("DOID:0001", "DOID:0002")) // duplicate DOID collapsed
     assert(gd("MGI:2222222") === Seq.empty)
+    // P13: evidence codes mapped to ECO ids (IMP→0000315, IDA→0000314)
+    val eco = rows.map(r => r.getString(0) ->
+      r.getSeq[String](r.fieldIndex("eco_ids"))).toMap
+    assert(eco("MGI:1918911") === Seq("ECO_0000314", "ECO_0000315"))
   }
 
   test("S10/J7: orthology with preamble skip and human-taxon filter") {
