@@ -61,7 +61,12 @@ object GtexPipeline {
       // P18/J9: consent groups named + count-checked from the var_report
       val over = GtexEtl.restrictedOverlay(spark, graph,
         restrictedSubj.getPath, s"$inDir/restricted_gtex_subject_phenotypes.txt",
-        consentMeta = varReport.map(GtexEtl.consentMeta(spark, _)))
+        consentMeta = varReport.map(GtexEtl.consentMeta(spark, _)),
+        // J11: phv accessions for restricted columns via the data_dict
+        varLookup = ifExists(
+          s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
+          .map(p => GtexEtl.dbgapVarLookup(
+            graft.sources.Readers.dbgapVariables(spark, p), "Subject")))
       show("Q5 after restricted overlay", DatsQueries.listSubjectCharacteristics(over))
       show("study groups after overlay", over.studyGroups)
     }

@@ -305,6 +305,14 @@ object Oracles {
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
 
+  /** Deterministic per-language stratified sample — the DuckDB twin of
+    * TextOps.stratifiedSample (en kept at 0.4, everything else 1.0). */
+  val textStratifiedSample: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${graft.operators.Texty.baseHash60Sql("CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < (CASE WHEN lang = 'en' THEN 0.4 ELSE 1.0 END) * 1000000
+       |ORDER BY doc_id""".stripMargin
+
   /** Connected components over the exact-Jaccard pair relation via a
     * recursive CTE: reach(node) accumulates every label reachable over
     * the symmetric edge list; min per node = the component's minimum

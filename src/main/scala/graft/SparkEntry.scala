@@ -40,6 +40,7 @@ object SparkEntry {
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_bpe_tokens" -> (TextOps.bpeTokenStats _),
+    "text_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _),
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "text_lang_id" -> Oracles.textLangId,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_bpe_tokens" -> Oracles.textBpeTokens,
+    "text_stratified_sample" -> Oracles.textStratifiedSample,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairs,
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,

@@ -149,4 +149,28 @@ object TextOps {
       Texty.baseHash60(norm).as("fp_long"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic per-language stratified sampling (north-star op): a
+    * training-data pipeline downsamples over-represented strata (e.g.
+    * keep 40% of English, all of everything else). The keep decision is
+    * `hash60(doc_id) mod 1e6 < rate·1e6` — a pure projection: ONE scan,
+    * ZERO shuffles, identical result on any engine and any partitioning
+    * (no `rand()`, whose draw order is partition-dependent), and the
+    * sample is reproducible across reruns — the property lineage
+    * tracking needs. Rates ride in a literal map (broadcast-equivalent);
+    * unlisted languages default to 1.0. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Map[String, Double] = Map("en" -> 0.4)): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val rateCol = coalesce(
+      element_at(map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("lang")),
+      lit(1.0))
+    docs.select(col("doc_id"), col("lang"),
+        (pmod(Texty.baseHash60(col("doc_id").cast("string")), lit(1000000L)) <
+          rateCol * lit(1000000L)).as("kept"))
+      .filter(col("kept"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
 }

@@ -15,6 +15,21 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("text: stratified sample is deterministic and strata-proportional") {
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.stratifiedSample(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en strata pass through untouched; en is downsampled near 40%
+    total.keys.filter(_ != "en").foreach(l => assert(kept(l) === total(l)))
+    val enRate = kept("en").toDouble / total("en")
+    assert(enRate > 0.2 && enRate < 0.6, s"en rate $enRate")
+    // rerun is byte-identical (hash-gated, no rand())
+    assert(TextOps.stratifiedSample(spark, sf).collect().toSeq ===
+      TextOps.stratifiedSample(spark, sf).collect().toSeq)
+  }
+
   test("dedup: clusters are a fixpoint labeling consistent with the pairs") {
     val pairs = DedupOps.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
