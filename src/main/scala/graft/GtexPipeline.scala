@@ -24,14 +24,15 @@ object GtexPipeline {
       Some(p).filter(x => new java.io.File(x).exists())
     val varReport = ifExists(
       s"$inDir/dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml")
+    val dataDict = ifExists(
+      s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
     val graph = GtexEtl.build(spark, GtexEtl.Inputs(
       subjectsPath = s"$inDir/GTEx_v7_Annotations_SubjectPhenotypesDS.txt",
       samplesPath = s"$inDir/GTEx_v7_Annotations_SampleAttributesDS.txt",
       wgsManifestPath = s"$inDir/wgs_cram_manifest.txt",
       rnaseqManifestPath = s"$inDir/rnaseq_cram_manifest.txt",
       doiPath = s"$inDir/doi_manifest.txt",
-      dbgapDataDictPath = ifExists(
-        s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml"),
+      dbgapDataDictPath = dataDict,
       // J10: study skeleton from the scrape when present
       dbgapStudiesScrapePath = ifExists(s"$inDir/dbgap_studies.txt"),
       dbgapVarReportPath = varReport))
@@ -63,10 +64,8 @@ object GtexPipeline {
         restrictedSubj.getPath, s"$inDir/restricted_gtex_subject_phenotypes.txt",
         consentMeta = varReport.map(GtexEtl.consentMeta(spark, _)),
         // J11: phv accessions for restricted columns via the data_dict
-        varLookup = ifExists(
-          s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
-          .map(p => GtexEtl.dbgapVarLookup(
-            graft.sources.Readers.dbgapVariables(spark, p), "Subject")))
+        varLookup = dataDict.map(p => GtexEtl.dbgapVarLookup(
+          graft.sources.Readers.dbgapVariables(spark, p), "Subject")))
       show("Q5 after restricted overlay", DatsQueries.listSubjectCharacteristics(over))
       show("study groups after overlay", over.studyGroups)
     }

@@ -17,8 +17,9 @@ import graft.sources.Readers
   */
 object AgrMgdEtl {
 
-  /** P13 — the full SO term code→name lookup (agr/genes.py:16-41, all 25
-    * reference entries; missing key is fatal). */
+  /** P13 — the full SO term code→name lookup (agr/genes.py:16-41, all 24
+    * reference entries with names verbatim — including its `rRNAGene`
+    * irregular; missing key is fatal). */
   val SoTerms: Map[String, String] = Map(
     "SO:0000336" -> "Pseudogene",
     "SO:0000374" -> "Ribozyme",
@@ -90,19 +91,27 @@ object AgrMgdEtl {
 
   /** J7 + A7 — gene → diseases: broadcast join then per-gene distinct
     * DOid collapse (agr/genes.py:61-62, 268-273). */
-  def geneDiseases(genes: DataFrame, diseases: DataFrame): DataFrame =
-    genes.select(col("gene_id"), col("symbol"))
+  def geneDiseases(genes: DataFrame, diseases: DataFrame): DataFrame = {
+    val joined = genes.select(col("gene_id"), col("symbol"))
       .join(diseases.select(col("objectId"), col("DOid"),
           col("evidence.evidenceCodes").as("ev_codes")),
         col("gene_id") === col("objectId"), "left")
+    // P13: unknown evidence codes are fatal — the reference's EVID[i]
+    // lookup raises on a missing key (genes.py:293)
+    val unknownEv = joined.select(explode(col("ev_codes")).as("c"))
+      .filter(element_at(mapCol(EvidenceCodes), col("c")).isNull).distinct()
+    require(unknownEv.isEmpty, "unknown evidence code(s): " +
+      unknownEv.collect().map(_.getString(0)).mkString(","))
+    joined
       .groupBy("gene_id", "symbol")
       .agg(sort_array(collect_set(col("DOid"))).as("do_ids"),
-        // P13: annotation evidence codes mapped to ECO ids (genes.py:43-52,
-        // consumed :156); unknown codes surface as nulls in the array
+        // annotation evidence codes mapped to ECO ids (genes.py:43-52,
+        // consumed :293)
         sort_array(array_distinct(flatten(collect_list(
           transform(col("ev_codes"),
             c => element_at(mapCol(EvidenceCodes), c)))))).as("eco_ids"))
       .withColumn("n_diseases", size(col("do_ids")))
+  }
 
   /** J7 + A7 — gene → phenotype term ids (agr/genes.py:329-335). */
   def genePhenotypes(genes: DataFrame, phenotypes: DataFrame): DataFrame = {

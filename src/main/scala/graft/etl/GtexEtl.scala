@@ -94,8 +94,11 @@ object GtexEtl {
   // ---- S3: GitHub id-dump scans (github_files.py:14-56) ----
 
   private val SubjectIdRegex = "^(GTEX|K)-[0-9A-Z]+$"
+  // the reference applies its pattern via re.match, which start-anchors
+  // BOTH alternatives but leaves the first open-ended; the outer ^(...)
+  // group reproduces that exactly under regexp_like's search semantics
   private val SampleIdRegex =
-    "^GTEX-[0-9A-Z]+-\\d+-([A-Za-z0-9]+-)?[A-Z]+-[A-Z0-9]+|K-\\d+-[A-Z]+-[0-9A-Z]+$"
+    "^(GTEX-[0-9A-Z]+-\\d+-([A-Za-z0-9]+-)?[A-Z]+-[A-Z0-9]+|K-\\d+-[A-Z]+-[0-9A-Z]+$)"
 
   val subjectIdDumpSpec: Seq[ColumnSpec] = Seq(
     ColumnSpec("Native form", Regex(SubjectIdRegex)),
@@ -115,7 +118,8 @@ object GtexEtl {
 
   val tissueIdDumpSpec: Seq[ColumnSpec] = Seq(
     ColumnSpec("Native form", Regex("^[a-zA-Z\\d+\\-_]+$")),
-    ColumnSpec("Uberon id", Regex("^\\d+|EFO_\\d+$")),
+    ColumnSpec("Uberon id", Regex("^(\\d+|EFO_\\d+$)")), // re.match anchoring, as above
+
     ColumnSpec("Prefixed form", Regex("^[a-zA-Z\\d+\\-_]+$")),
     ColumnSpec("URI", emptyOk = true),
     ColumnSpec("Destination URL"),
@@ -144,17 +148,20 @@ object GtexEtl {
     val unparseable = mSamples.filter(subjectIdOf(col("id")) === "")
     require(unparseable.isEmpty, "couldn't parse GTEx subject id from sample_id(s): " +
       unparseable.collect().map(_.getString(0)).mkString(","))
-    val mSubjects = mSamples.select(subjectIdOf(col("id")).as("id")).distinct()
+    val mSubjects = mSamples.select(subjectIdOf(col("id")).as("id")).distinct().cache()
     val sampleDump = samples.select(col("Native form").as("id"))
     val subjectDump = subjects.select(col("Native form").as("id"))
+    // not-found counts are complements of found — no anti-join pass needed
+    val nSamples = mSamples.count()
+    val nSubjects = mSubjects.count()
     val sampFound = mSamples.join(sampleDump, Seq("id"), "left_semi").count()
-    val sampNotFound = mSamples.join(sampleDump, Seq("id"), "left_anti").count()
     val subjFound = mSubjects.join(subjectDump, Seq("id"), "left_semi").count()
-    val subjNotFound = mSubjects.join(subjectDump, Seq("id"), "left_anti").count()
+    mSamples.unpersist()
+    mSubjects.unpersist()
     val spark = manifest.sparkSession
     import spark.implicits._
-    Seq(("samples_found", sampFound), ("samples_not_found", sampNotFound),
-      ("subjects_found", subjFound), ("subjects_not_found", subjNotFound))
+    Seq(("samples_found", sampFound), ("samples_not_found", nSamples - sampFound),
+      ("subjects_found", subjFound), ("subjects_not_found", nSubjects - subjFound))
       .toDF("category", "n")
   }
 
@@ -408,6 +415,11 @@ object GtexEtl {
       val bad = s.filter(normalizeStudyId(col("id")) === "")
       require(bad.isEmpty, "unable to parse study_id(s): " +
         bad.select("id").collect().map(_.getString(0)).mkString(","))
+      // the study the samples/files hang off MUST be in the scrape —
+      // otherwise file datasets and the Study link would dangle and the
+      // writer (which walks parent→child) would silently drop them
+      require(!s.filter(col("id") === StudyAccession).isEmpty,
+        s"scraped dbGaP studies do not include $StudyAccession")
       s
     }
     val studyRows = scraped match {

@@ -73,9 +73,7 @@ object DatsJsonWriter {
     *
     * `maxOutputSamples` is O2 (`--max_output_samples`,
     * bin/gtex_v7_to_dats.py:376-378): the study dataset's `isAbout` list
-    * holds the name-sorted sample materials truncated to N. The top-N is
-    * computed as orderBy+limit — Spark plans TakeOrderedAndProject, a
-    * per-partition heap + single merge, never a global sort. Everything
+    * holds the name-sorted sample materials truncated to N. Everything
     * else (file datasets, derivesFrom chains) stays complete, exactly as
     * the reference truncates only that one list. */
   def render(g: EntityGraph, maxOutputSamples: Option[Int] = None): String = {
@@ -98,13 +96,14 @@ object DatsJsonWriter {
     val dims = rows(g.dimensions).groupBy(_.getAs[String]("owner_id"))
     val dists = rows(g.distributions).groupBy(_.getAs[String]("dataset_id"))
     val acqs = rows(g.dataAcquisitions).groupBy(_.getAs[String]("dataset_id"))
-    // O2/isAbout: name-sorted sample materials, truncated to N when set —
-    // orderBy+limit plans TakeOrderedAndProject (distributed top-N)
-    val sampleFrame = {
-      import org.apache.spark.sql.functions.col
-      g.materials.filter(col("material_type") === "sample").orderBy(col("name"))
-    }
-    val isAboutIds = rows(maxOutputSamples.fold(sampleFrame)(sampleFrame.limit))
+    // O2/isAbout: name-sorted sample materials, truncated to N when set.
+    // Derived from the ALREADY-COLLECTED materials rows — a second Spark
+    // job over g.materials would recompute the whole lineage for a list
+    // the driver is holding anyway.
+    val sortedSamples = materials
+      .filter(_.getAs[String]("material_type") == "sample")
+      .sortBy(_.getAs[String]("name"))
+    val isAboutIds = maxOutputSamples.fold(sortedSamples)(sortedSamples.take)
       .map(_.getAs[String]("material_id"))
     val children = datasets.filter(_.getAs[String]("parent_dataset_id") != null)
       .groupBy(_.getAs[String]("parent_dataset_id"))

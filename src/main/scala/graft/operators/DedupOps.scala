@@ -165,6 +165,11 @@ object DedupOps {
       labels = next
       rounds += 1
     }
+    // a silent non-converged labeling would be WRONG output (pairs split
+    // across clusters) — refuse instead; 50 rounds covers any diameter a
+    // near-dup graph plausibly has
+    require(changed == 0, s"connected components did not converge in $rounds rounds")
+    pairs.unpersist()
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
