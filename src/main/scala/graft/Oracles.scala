@@ -126,6 +126,23 @@ object Oracles {
        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Auto-blocked embedding near-dup: the IVF coarse assignment (same
+    * CTEs as simIvfTopK) as the blocking key, same-list pairs only. */
+  val dedupEmbeddingAuto: String =
+    s"""WITH $QN,
+       |asg0 AS (SELECT v.vec_id, s.vec_id AS cl,
+       |  CAST(list_sum(list_transform(generate_series(1,64), i -> v.qv[i]*s.qv[i])) AS BIGINT)
+       |    / sqrt(CAST(v.nrm AS DOUBLE)) / sqrt(CAST(s.nrm AS DOUBLE)) AS scos
+       |  FROM n v JOIN n s ON s.vec_id BETWEEN 10 AND 19),
+       |asg AS (SELECT vec_id, cl FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
+       |  FROM asg0) t WHERE rn = 1),
+       |m AS (SELECT n.*, g.cl FROM n JOIN asg g USING (vec_id))
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cl AS cl,
+       | ${cosine("a", "b")} AS cosine
+       |FROM m a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+
   val simBruteTopK: String =
     s"""WITH $QN,
        |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor,

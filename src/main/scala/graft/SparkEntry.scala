@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
     "dedup_simhash" -> (DedupOps.simhash _),
     "dedup_embedding_cosine" -> (DedupOps.embeddingNearDup _),
+    "dedup_embedding_auto" -> (DedupOps.embeddingNearDupAuto _),
     "dedup_clusters" -> (DedupOps.nearDupClusters _),
     "sim_brute_topk" -> (SimilarityOps.bruteForceTopK _),
     "sim_lsh_topk" -> (SimilarityOps.lshTopK _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_embedding_cosine" -> Oracles.dedupEmbedding,
+    "dedup_embedding_auto" -> Oracles.dedupEmbeddingAuto,
     "dedup_clusters" -> Oracles.dedupClusters,
     "sim_brute_topk" -> Oracles.simBruteTopK,
     "sim_lsh_topk" -> Oracles.simLshTopK,

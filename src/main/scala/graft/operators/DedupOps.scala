@@ -224,6 +224,35 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding near-dup WITHOUT a pre-existing blocking label — the
+    * clustering step [[embeddingNearDup]] assumes done. Coarse Voronoi
+    * blocking, exactly the IVF assignment: every vector joins the list
+    * of its max-cosine seed (deterministic seeds vec_id 10..19 here; in
+    * production, k-means centroids with nlist ∝ √n so list sizes stay
+    * bounded), and only same-list pairs pay the exact cosine. The
+    * blocking is nprobe=1, so cross-list near-dups are missed — the
+    * standard recall/cost trade, and the oracle replays the identical
+    * relation so the gate is exact. Shuffle shape: one broadcast
+    * assignment pass + one self-join keyed on the list id. */
+  def embeddingNearDupAuto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = flattened(spark, dir).cache()
+    val seeds = q.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val asg = q.as("v").crossJoin(broadcast(seeds).as("s"))
+      .select(col("v.vec_id").as("vid"), col("s.vec_id").as("cl"),
+        flatCosine("v", "s").as("scos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vid").orderBy(col("scos").desc, col("cl").asc)))
+      .filter(col("rn") === 1).select(col("vid"), col("cl"))
+    val blocked = q.join(asg, col("vec_id") === col("vid")).drop("vid")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cl").as("cl"), flatCosine("a", "b").as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity. */
   private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings").select(

@@ -47,6 +47,17 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup: auto-blocked embedding near-dup finds same-list label pairs") {
+    val auto = DedupOps.embeddingNearDupAuto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.nonEmpty)
+    // the labeled variant is ground truth within a label; auto blocking
+    // recovers a meaningful share of it (nprobe=1 misses cross-list)
+    val labeled = DedupOps.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.intersect(labeled).nonEmpty)
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
