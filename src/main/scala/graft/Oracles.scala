@@ -322,6 +322,19 @@ object Oracles {
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
 
+  /** Per-language in-order sequence packing — the DuckDB twin of
+    * TextOps.packSequences at budget 2048. */
+  val textPackSequences: String =
+    s"""WITH $W,
+       |t AS (SELECT doc_id, lang,
+       |  CAST(len(list_filter(ws, x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM w),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, cum_tokens,
+       | (cum_tokens - n_tokens) // 2048 AS seq_id
+       |FROM c ORDER BY lang, doc_id""".stripMargin
+
   /** Deterministic per-language stratified sample — the DuckDB twin of
     * TextOps.stratifiedSample (en kept at 0.4, everything else 1.0). */
   val textStratifiedSample: String =

@@ -41,6 +41,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_bpe_tokens" -> (TextOps.bpeTokenStats _),
     "text_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
+    "text_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _),
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_bpe_tokens" -> Oracles.textBpeTokens,
     "text_stratified_sample" -> Oracles.textStratifiedSample,
+    "text_pack_sequences" -> Oracles.textPackSequences,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairs,
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,

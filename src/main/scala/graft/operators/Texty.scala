@@ -150,6 +150,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (north-star op): assign documents to fixed
+    * token-budget training sequences. Documents are ordered
+    * deterministically within each language stratum and cut into
+    * sequences wherever the running token total crosses the budget —
+    * `seq_id = (cumsum - n_tokens) div budget`, the streaming-friendly
+    * first-fit-in-order policy (greedy bin packing is inherently
+    * sequential; in-order cutting is what distributed packers actually
+    * run). The window is PARTITIONED BY lang — never a partition-less
+    * global window — so state per task is one stratum, and strata pack
+    * independently exactly as a sharded packer would. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Long = 2048L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        ((col("cum_tokens") - col("n_tokens")) / lit(budget)).cast("long"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Deterministic per-language stratified sampling (north-star op): a
     * training-data pipeline downsamples over-represented strata (e.g.
     * keep 40% of English, all of everything else). The keep decision is
