@@ -140,6 +140,10 @@ object TopmedEtl {
         * P8 anatomy, and restricted sample characteristics. */
       sampleTsv: Option[String] = None,
       sampleAttributesTsv: Option[String] = None,
+      /** S7/J11 — dbGaP data_dict XMLs: variables register as study
+        * Dimensions (ccmm/topmed/public_metadata.add_study_vars,
+        * bin/topmed_to_dats.py:176). */
+      dbgapDataDictPaths: Seq[String] = Nil,
       studyAccession: String = "phs000951.v2.p2",
       studyName: String = "TOPMed study")
 
@@ -338,9 +342,21 @@ object TopmedEtl {
       materials = subjectMaterials.unionByName(referenced),
       anatomicalParts = anatomicalParts,
       characteristics = sampleChars.fold(subjChars)(subjChars.unionByName),
-      dimensions = spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
-        lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
-        lit("").as("value")),
+      dimensions = in.dbgapDataDictPaths.map { xml =>
+        // dbGaP variables as study Dimensions, same registration as the
+        // GTEx path (topmed/public_metadata.add_study_vars)
+        Readers.dbgapVariables(spark, xml).select(
+          entityId("Dimension", regexp_extract(col("_id"), "^(phv\\d+)", 1)).as("dim_id"),
+          studyDatasetId.as("owner_id"),
+          col("_var_name").as("name"),
+          regexp_extract(col("_id"), "^(phv\\d+)", 1).as("var_acc"),
+          coalesce(col("description").cast("string"),
+            concat(lit("dbGaP variable "), col("_var_name"))).as("description"),
+          lit(null).cast("string").as("value"))
+      }.reduceOption(_ unionByName _).getOrElse(
+        spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
+          lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
+          lit("").as("value"))),
       distributions = fileDistributions,
       dataAcquisitions = dataAcquisitions,
       diseases = diseases)

@@ -17,7 +17,9 @@ class TopmedPipelineSpec extends SparkTestBase {
     subjectTsv = res("gtex/restricted_subject.txt"),
     phenotypesTsv = res("topmed/restricted_subject_phenotypes.txt"),
     sampleTsv = Some(res("topmed/restricted_sample.txt")),
-    sampleAttributesTsv = Some(res("topmed/restricted_sample_attributes.txt"))))
+    sampleAttributesTsv = Some(res("topmed/restricted_sample_attributes.txt")),
+    dbgapDataDictPaths = Seq(
+      res("topmed/phs000951.v2.pht003641.v2.p2.TOPMed_Subject.data_dict.xml"))))
 
   test("TOPMed graph: subjects, consent groups, CRAM+VCF datasets, J12") {
     assert(graph.materials.filter(col("material_type") === "subject").count() === 3)
@@ -106,6 +108,14 @@ class TopmedPipelineSpec extends SparkTestBase {
       .join(graph.materials.select(col("material_id"), col("name").as("subj")), "material_id")
       .collect().map(r => r.getAs[String]("subj") -> r.getAs[String]("status")).toMap
     assert(status === Map("SU001" -> "yes", "SU003" -> "no")) // SU002 blank → absent
+  }
+
+  test("S7: TOPMed study variables register as Dimensions (Q2)") {
+    val vars = DatsQueries.listDatasetVariables(graph, Some("phs000951.v2.p2"))
+      .collect().map(r => r.getString(1) -> r.getString(2))
+    assert(vars.toSeq === Seq(
+      "phv00250000" -> "SUBJECT_ID", "phv00250001" -> "CONSENT",
+      "phv00250002" -> "AFFECTION_STATUS"))
   }
 
   test("TOPMed queries + writer run end-to-end") {
