@@ -23,7 +23,14 @@ object TopmedPipeline {
         s"$inDir/topmed/topmed-cram.tsv", s"$inDir/topmed/topmed-crai.tsv",
         s"$inDir/topmed/topmed-vcf.tsv", s"$inDir/topmed/topmed-vcfcsi.tsv"),
       subjectTsv = s"$inDir/gtex/restricted_subject.txt",
-      phenotypesTsv = s"$inDir/topmed/restricted_subject_phenotypes.txt"))
+      phenotypesTsv = s"$inDir/topmed/restricted_subject_phenotypes.txt",
+      sampleTsv = Some(s"$inDir/topmed/restricted_sample.txt")
+        .filter(p => new java.io.File(p).exists()),
+      sampleAttributesTsv = Some(s"$inDir/topmed/restricted_sample_attributes.txt")
+        .filter(p => new java.io.File(p).exists()),
+      dbgapDataDictPaths = Seq(
+        s"$inDir/topmed/phs000951.v2.pht003641.v2.p2.TOPMed_Subject.data_dict.xml")
+        .filter(p => new java.io.File(p).exists())))
 
     DatsJsonWriter.write(graph, outJson)
     println(s"[pipeline] wrote TOPMed DATS JSON-LD to $outJson " +
@@ -38,6 +45,9 @@ object TopmedPipeline {
     show("Q3 consent group 1 members", DatsQueries.listStudyGroupMembers(
       graph, "phs000951.v2.p2", "consent group 1"))
     show("Q5 subject characteristics", DatsQueries.listSubjectCharacteristics(graph))
+    show("Q2 study variables", DatsQueries.listDatasetVariables(
+      graph, Some("phs000951.v2.p2")))
+    show("Q7 tabular dump", DatsQueries.tabularDump(graph))
     spark.stop()
   }
 }
