@@ -322,6 +322,22 @@ object Oracles {
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
 
+  /** Winnowing fingerprints (k=8, w=4) — the DuckDB twin of
+    * TextOps.winnowFingerprint: same k-gram hashes, same window minima,
+    * full windows only. */
+  val textWinnowFingerprint: String =
+    s"""WITH $W,
+       |d0 AS (SELECT doc_id,
+       |  lower(array_to_string(list_filter(ws, x -> len(x) > 0), ' ')) AS nt FROM w),
+       |d AS (SELECT doc_id, nt, len(nt) - 7 AS ng FROM d0 WHERE len(nt) - 7 >= 4),
+       |g AS (SELECT doc_id, ng, i, ${graft.operators.Texty.baseHash60Sql("substr(nt, CAST(i AS INT), 8)")} AS h
+       |  FROM d, UNNEST(range(1, CAST(ng AS INT) + 1)) AS t(i)),
+       |mw AS (SELECT doc_id, ng, i,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+       |  FROM g)
+       |SELECT DISTINCT doc_id, mn AS fingerprint FROM mw
+       |WHERE i <= ng - 3 ORDER BY doc_id, fingerprint""".stripMargin
+
   /** Per-language in-order sequence packing — the DuckDB twin of
     * TextOps.packSequences at budget 2048. */
   val textPackSequences: String =

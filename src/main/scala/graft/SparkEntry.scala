@@ -42,6 +42,7 @@ object SparkEntry {
     "text_bpe_tokens" -> (TextOps.bpeTokenStats _),
     "text_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "text_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
+    "text_winnow_fingerprint" -> ((s: SparkSession, d: String) => TextOps.winnowFingerprint(s, d)),
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _),
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "text_bpe_tokens" -> Oracles.textBpeTokens,
     "text_stratified_sample" -> Oracles.textStratifiedSample,
     "text_pack_sequences" -> Oracles.textPackSequences,
+    "text_winnow_fingerprint" -> Oracles.textWinnowFingerprint,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairs,
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,

@@ -150,6 +150,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (north-star op — the ROLLING-hash document
+    * fingerprint): hash every char k-gram of the normalized text, slide
+    * a w-wide window over the hash sequence, and keep each window's
+    * minimum — the classic winnowing scheme whose fingerprint set is
+    * position-robust (any shared substring of length ≥ k+w-1 guarantees
+    * a shared fingerprint). One explode (k-grams) + one doc-keyed window
+    * + distinct: all shuffles key on doc_id, the natural partitioning.
+    * Emitted row-per-fingerprint so overlap joins compose directly with
+    * the inverted-index dedup pattern. */
+  def winnowFingerprint(spark: SparkSession, dir: String,
+                        k: Int = 8, w: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = lower(concat_ws(" ", tokens(col("text"))))
+    val d = docs.select(col("doc_id"), norm.as("nt"))
+      .withColumn("ng", length(col("nt")) - lit(k - 1))
+      .filter(col("ng") >= w) // need at least one full window
+    val grams = d.select(col("doc_id"), col("ng"),
+      posexplode(expr(s"transform(sequence(1, length(nt) - ${k - 1})," +
+        s" i -> substring(nt, i, $k))")).as(Seq("pos0", "gram")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
+    grams
+      .select(col("doc_id"), col("ng"), col("pos0"),
+        Texty.baseHash60(col("gram")).as("h"))
+      .withColumn("mn", min(col("h")).over(win))
+      .filter(col("pos0") <= col("ng") - w) // full windows only (pos0 is 0-based)
+      .select(col("doc_id"), col("mn").as("fingerprint")).distinct()
+      .orderBy("doc_id", "fingerprint")
+  }
+
   /** Sequence packing (north-star op): assign documents to fixed
     * token-budget training sequences. Documents are ordered
     * deterministically within each language stratum and cut into
