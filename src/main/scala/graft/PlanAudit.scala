@@ -10,27 +10,34 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val spark = Tables.session("plan-audit")
-    Seq(
+    val frames = Seq(
       "rel_pricing_summary", "rel_revenue_by_nation",
       "dedup_minhash_lsh", "sim_brute_topk",
       "text_stratified_sample", "text_pack_sequences",
-      "dedup_embedding_auto").foreach { name =>
+      "dedup_embedding_auto").map { name =>
       println(s"\n===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
-    }
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.explain("formatted")
+      name -> df
+    }.toMap
     // machine checks on the properties the audit exists for: column
     // pruning reaches the parquet scan, and the sampling op is
     // shuffle-free (pure scan → project → filter)
-    val sample = SparkEntry.queries("text_stratified_sample")(spark, dir)
-    val samplePlan = sample.queryExecution.executedPlan.toString
+    val samplePlan = frames("text_stratified_sample")
+      .queryExecution.executedPlan.toString
     // the keep-decision is a pure projection: the only allowed Exchange
     // is the rangepartitioning of the final presentation sort
     assert(!samplePlan.contains("hashpartitioning"),
       "stratified sample must not hash-shuffle")
-    assert(samplePlan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
-      "stratified sample must prune to doc_id+lang at the scan")
-    val pack = SparkEntry.queries("text_pack_sequences")(spark, dir)
-    val packPlan = pack.queryExecution.executedPlan.toString
+    // pruned scan: the documents FileScan reads doc_id and lang and no
+    // other field (order/type tolerant — exact-string schemas are brittle)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(samplePlan).map(_.group(1)).getOrElse("")
+    val readCols = readSchema.split(",").map(_.split(":")(0).trim).toSet
+    assert(readCols == Set("doc_id", "lang"),
+      s"stratified sample must prune to doc_id+lang at the scan, read: $readCols")
+    val packPlan = frames("text_pack_sequences")
+      .queryExecution.executedPlan.toString
     assert(packPlan.contains("hashpartitioning(lang"),
       "packing window must partition by lang, never be partition-less")
     println("\n[plan-audit] machine checks passed")

@@ -209,6 +209,28 @@ object GtexEtl {
         col("count").cast("long").as("declared_count"))
   }
 
+  /** S7/J11 — dbGaP data_dict variables as owner-dataset Dimensions
+    * (public_metadata.add_study_vars; shared by the GTEx and TOPMed
+    * paths). `<description>` is optional in dbGaP dicts — when absent
+    * from the inferred XML schema the fallback label is used instead of
+    * an unresolvable-column crash. */
+  def dbgapDimensions(spark: SparkSession, xmlPath: String,
+                      ownerId: org.apache.spark.sql.Column): DataFrame = {
+    import graft.model.Dats.entityId
+    val vars = graft.sources.Readers.dbgapVariables(spark, xmlPath)
+    val description =
+      if (vars.columns.contains("description")) col("description").cast("string")
+      else lit(null).cast("string")
+    vars.select(
+      entityId("Dimension", regexp_extract(col("_id"), "^(phv\\d+)", 1)).as("dim_id"),
+      ownerId.as("owner_id"),
+      col("_var_name").as("name"),
+      regexp_extract(col("_id"), "^(phv\\d+)", 1).as("var_acc"),
+      coalesce(description,
+        concat(lit("dbGaP variable "), col("_var_name"))).as("description"),
+      lit(null).cast("string").as("value"))
+  }
+
   /** J11 — dbGaP variable lookup keyed by (var_type, var_name +
     * consent-group suffix), the key restricted columns use to find their
     * dbGaP accession; duplicate keys fatal
@@ -481,14 +503,7 @@ object GtexEtl {
     // public_metadata.py:352-402): registered from the parsed data_dict
     // XML (S7/J11) when provided, else the known phenotype variables
     val studyDimensions = in.dbgapDataDictPath match {
-      case Some(xml) =>
-        graft.sources.Readers.dbgapVariables(spark, xml).select(
-          entityId("Dimension", regexp_extract(col("_id"), "^(phv\\d+)", 1)).as("dim_id"),
-          studyDatasetId.as("owner_id"),
-          col("_var_name").as("name"),
-          regexp_extract(col("_id"), "^(phv\\d+)", 1).as("var_acc"),
-          coalesce(col("description"), concat(lit("dbGaP variable "), col("_var_name"))).as("description"),
-          lit(null).cast("string").as("value"))
+      case Some(xml) => dbgapDimensions(spark, xml, studyDatasetId)
       case None =>
         Seq(("SEX", "phv00169061"), ("AGE", "phv00169063"), ("DTHHRDY", "phv00169064"))
           .map { case (n, acc) =>

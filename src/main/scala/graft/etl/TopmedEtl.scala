@@ -342,18 +342,11 @@ object TopmedEtl {
       materials = subjectMaterials.unionByName(referenced),
       anatomicalParts = anatomicalParts,
       characteristics = sampleChars.fold(subjChars)(subjChars.unionByName),
-      dimensions = in.dbgapDataDictPaths.map { xml =>
+      dimensions = in.dbgapDataDictPaths
         // dbGaP variables as study Dimensions, same registration as the
         // GTEx path (topmed/public_metadata.add_study_vars)
-        Readers.dbgapVariables(spark, xml).select(
-          entityId("Dimension", regexp_extract(col("_id"), "^(phv\\d+)", 1)).as("dim_id"),
-          studyDatasetId.as("owner_id"),
-          col("_var_name").as("name"),
-          regexp_extract(col("_id"), "^(phv\\d+)", 1).as("var_acc"),
-          coalesce(col("description").cast("string"),
-            concat(lit("dbGaP variable "), col("_var_name"))).as("description"),
-          lit(null).cast("string").as("value"))
-      }.reduceOption(_ unionByName _).getOrElse(
+        .map(xml => GtexEtl.dbgapDimensions(spark, xml, studyDatasetId))
+        .reduceOption(_ unionByName _).getOrElse(
         spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
           lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
           lit("").as("value"))),

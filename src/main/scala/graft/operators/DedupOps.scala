@@ -245,7 +245,11 @@ object DedupOps {
         Window.partitionBy("vid").orderBy(col("scos").desc, col("cl").asc)))
       .filter(col("rn") === 1).select(col("vid"), col("cl"))
     val blocked = q.join(asg, col("vec_id") === col("vid")).drop("vid")
-    blocked.as("a").join(blocked.as("b"),
+    // broadcast build side: a 10-list cl join would otherwise hash into
+    // 10 skewed partitions (same rationale as embeddingNearDup's label
+    // join); at real scale nlist ∝ √n keeps lists bounded and the join
+    // becomes a normal co-shuffle on cl instead
+    blocked.as("a").join(broadcast(blocked).as("b"),
         col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.cl").as("cl"), flatCosine("a", "b").as("cosine"))
