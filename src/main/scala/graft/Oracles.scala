@@ -322,6 +322,40 @@ object Oracles {
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
 
+  /** Weekly retention cohorts — the DuckDB twin of EventOps.retention. */
+  val evtRetention: String =
+    """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+      |s AS (SELECT cohort, count(*) AS n_cohort FROM c GROUP BY cohort),
+      |r AS (SELECT cohort, wk - cohort AS k, count(*) AS n_retained
+      |  FROM e JOIN c USING (user_id) WHERE wk - cohort <= 3 GROUP BY cohort, k)
+      |SELECT cohort, k, n_cohort, n_retained,
+      | CAST(n_retained AS DOUBLE)/n_cohort AS retention
+      |FROM r JOIN s USING (cohort) ORDER BY cohort, k""".stripMargin
+
+  /** Corpus keep/drop tallies — the DuckDB twin of TextOps.corpusFilter
+    * (duplicate → language → quality decision order). */
+  val textCorpusFilter: String =
+    s"""WITH $W,
+       |nrm AS (SELECT doc_id, md5(array_to_string(ws, ' ')) AS fp FROM w),
+       |canon AS (SELECT doc_id,
+       |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_canonical
+       |  FROM nrm),
+       |tok AS (SELECT doc_id, lang, t.tok FROM w, UNNEST(ws) AS t(tok)),
+       |agg AS (SELECT doc_id, lang, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+       |  FROM tok GROUP BY doc_id, lang),
+       |qual AS (SELECT doc_id, lang,
+       |  least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * (1.0 - CAST(n_stopwords AS DOUBLE)/n_tokens) AS quality
+       |  FROM agg),
+       |j AS (SELECT c.doc_id,
+       |  CASE WHEN is_canonical = 0 THEN 'drop_duplicate'
+       |   WHEN lang NOT IN ('de','en','es','fr') THEN 'drop_lang'
+       |   WHEN quality < 0.4 THEN 'drop_quality'
+       |   ELSE 'kept' END AS status
+       |  FROM canon c JOIN qual USING (doc_id))
+       |SELECT status, count(*) AS n_docs FROM j GROUP BY status ORDER BY status""".stripMargin
+
   /** Winnowing fingerprints (k=8, w=4) — the DuckDB twin of
     * TextOps.winnowFingerprint: same k-gram hashes, same window minima,
     * full windows only. */

@@ -62,6 +62,8 @@ object SparkEntry {
     "evt_hourly_rollup" -> (EventOps.hourlyRollup _),
     "evt_running_total" -> (EventOps.runningTotal _),
     "evt_props_profile" -> (EventOps.propsProfile _),
+    "evt_retention" -> (EventOps.retention _),
+    "text_corpus_filter" -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,5 +168,7 @@ object SparkEntry {
     "evt_hourly_rollup" -> Oracles.evtHourlyRollup,
     "evt_running_total" -> Oracles.evtRunningTotal,
     "evt_props_profile" -> Oracles.evtPropsProfile,
+    "evt_retention" -> Oracles.evtRetention,
+    "text_corpus_filter" -> Oracles.textCorpusFilter,
   )
 }

@@ -86,6 +86,28 @@ object EventOps {
       .orderBy("user_id", "ms", "event_id")
   }
 
+  /** Weekly retention cohorts — the user-lifecycle rollup every event
+    * pipeline reports: cohort = a user's first active epoch-week; for
+    * offsets k = 0..3, the share of the cohort active in week
+    * cohort + k. Distinct (user, week) first, so the cohort assignment
+    * and the retention counts are one user-keyed shuffle each; cohort
+    * sizes broadcast back onto the tallies. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val weeks = events.select(col("user_id"),
+      expr("ms div 604800000").as("wk")).distinct().cache()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    weeks.join(cohorts, "user_id")
+      .withColumn("k", (col("wk") - col("cohort")).cast("long"))
+      .filter(col("k") <= 3)
+      .groupBy("cohort", "k").agg(count(lit(1)).as("n_retained"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("k"), col("n_cohort"), col("n_retained"),
+        (col("n_retained").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort", "k")
+  }
+
   /** Semi-structured extraction from the JSON-ish `props` column (the
     * reference's GFF3 attribute-split P14/S11 analogue,
     * ccmm/mgd/ref_genome_dataset.py:159-168): regex-extract a typed field,

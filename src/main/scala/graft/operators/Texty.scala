@@ -150,6 +150,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus cleaning (north-star composition): the keep/drop decision a
+    * training pipeline applies before anything else — drop exact
+    * duplicates (keep the canonical group minimum), drop languages off
+    * the whitelist, drop low-quality documents — with per-reason tallies
+    * so the filtering is auditable. Decision order is fixed
+    * (duplicate → language → quality) so every document lands in exactly
+    * one bucket. Composes [[DedupOps.exact]] and [[qualityScore]]: two
+    * doc-keyed aggregations joined on doc_id — the corpus never shuffles
+    * on anything but its natural key. */
+  def corpusFilter(spark: SparkSession, dir: String,
+                   langs: Seq[String] = Seq("de", "en", "es", "fr"),
+                   minQuality: Double = 0.4): DataFrame = {
+    val canonical = DedupOps.exact(spark, dir).select(col("doc_id"), col("is_canonical"))
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("lang"), col("quality"))
+    canonical.join(quality, "doc_id")
+      .withColumn("status",
+        when(col("is_canonical") === 0, "drop_duplicate")
+          .when(!col("lang").isin(langs: _*), "drop_lang")
+          .when(col("quality") < minQuality, "drop_quality")
+          .otherwise("kept"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
   /** Winnowing fingerprints (north-star op — the ROLLING-hash document
     * fingerprint): hash every char k-gram of the normalized text, slide
     * a w-wide window over the hash sequence, and keep each window's

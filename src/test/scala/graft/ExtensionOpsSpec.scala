@@ -15,6 +15,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("evt: retention cohorts — week 0 is 100%, later weeks never exceed it") {
+    val rows = EventOps.retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getLong(1) == 0L)
+      .foreach(r => assert(r.getDouble(4) === 1.0)) // cohort week retains itself
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2))) // retained <= cohort
+  }
+
+  test("text: corpus filter buckets partition the corpus") {
+    val tallies = TextOps.corpusFilter(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tallies.values.sum === Tables.load(spark, sf, "documents").count())
+    assert(tallies.contains("kept") && tallies("kept") > 0)
+    assert(tallies.getOrElse("drop_lang", 0L) > 0) // zh is off the whitelist
+  }
+
   test("text: stratified sample is deterministic and strata-proportional") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.groupBy("lang").count().collect()
