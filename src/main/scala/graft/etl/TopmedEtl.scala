@@ -204,38 +204,49 @@ object TopmedEtl {
       withBodySiteAnatomy(merged).cache()
     }
 
-    // sample materials: without the restricted tables the TOPMed manifest
-    // carries no subject link or body site (the reference's public-only
-    // path, ccmm/topmed/samples.py:146-238); with them, samples link to
-    // their subject (derivesFrom) and anatomical part
-    val sampleMaterials = restrictedSamples match {
+    // the reference's TOPMed material chain is THREE deep
+    // (ccmm/topmed/dna_extracts.py:236-275): subject (donor) → biological
+    // sample (specimen, "…specimen collected from subject X") → DNA
+    // extract ("DNA from <sample>", role "DNA extract") — and file
+    // datasets take the EXTRACT as their acquisition input
+    // (samples.py:387,465). Without the restricted tables the manifest
+    // carries no subject link or body site, so those columns stay null.
+    val enriched = restrictedSamples match {
       case Some(rs) =>
         // rename before joining: the analyzer is case-insensitive, so
         // rs.SAMPLE_ID would collide with manifest.sample_id
         manifest.join(
-            rs.select(col("SAMPLE_ID").as("rs_sample_id"),
-              col("SUBJECT_ID").as("rs_subject_id"), col("anatomy_name")),
-            col("sample_id") === col("rs_sample_id"), "left")
-          .select(
-            entityId("Material", col("sample_id")).as("material_id"),
-            col("sample_id").as("name"),
-            lit("sample").as("material_type"), lit("specimen").as("role"),
-            col("rs_subject_id").as("subject_id"),
-            when(col("rs_subject_id").isNotNull,
-              entityId("Material", col("rs_subject_id"))).as("derives_from"),
-            when(col("anatomy_name").isNotNull,
-              entityId("AnatomicalPart", col("anatomy_name"))).as("anatomy_id"),
-            concat(lit("DNA extracted from sample "), col("sample_id")).as("description"))
+          rs.select(col("SAMPLE_ID").as("rs_sample_id"),
+            col("SUBJECT_ID").as("rs_subject_id"), col("anatomy_name")),
+          col("sample_id") === col("rs_sample_id"), "left")
       case None =>
-        manifest.select(
-          entityId("Material", col("sample_id")).as("material_id"),
-          col("sample_id").as("name"),
-          lit("sample").as("material_type"), lit("specimen").as("role"),
-          lit(null).cast("string").as("subject_id"),
-          lit(null).cast("string").as("derives_from"),
-          lit(null).cast("string").as("anatomy_id"),
-          concat(lit("DNA extracted from sample "), col("sample_id")).as("description"))
+        manifest
+          .withColumn("rs_subject_id", lit(null).cast("string"))
+          .withColumn("anatomy_name", lit(null).cast("string"))
     }
+    val anatomyPrefix = // "blood " / "saliva " when known (dna_extracts.py:247-249)
+      coalesce(concat(col("anatomy_name"), lit(" ")), lit(""))
+    val subjectSuffix = concat(lit("specimen collected from subject "),
+      coalesce(col("rs_subject_id"), lit("unknown")))
+    val sampleMaterials = enriched.select(
+      entityId("Material", col("sample_id")).as("material_id"),
+      col("sample_id").as("name"),
+      lit("sample").as("material_type"), lit("specimen").as("role"),
+      col("rs_subject_id").as("subject_id"),
+      when(col("rs_subject_id").isNotNull,
+        entityId("Material", col("rs_subject_id"))).as("derives_from"),
+      when(col("anatomy_name").isNotNull,
+        entityId("AnatomicalPart", col("anatomy_name"))).as("anatomy_id"),
+      concat(anatomyPrefix, subjectSuffix).as("description"))
+    val extractMaterials = enriched.select(
+      entityId("Material", concat(col("sample_id"), lit("-dna"))).as("material_id"),
+      concat(lit("DNA from "), col("sample_id")).as("name"),
+      lit("extract").as("material_type"), lit("DNA extract").as("role"),
+      col("rs_subject_id").as("subject_id"),
+      entityId("Material", col("sample_id")).as("derives_from"),
+      when(col("anatomy_name").isNotNull,
+        entityId("AnatomicalPart", col("anatomy_name"))).as("anatomy_id"),
+      concat(lit("DNA extracted from "), anatomyPrefix, subjectSuffix).as("description"))
 
     // P8: anatomy dimension table from the distinct mapped body sites
     val anatomicalParts = restrictedSamples match {
@@ -292,12 +303,18 @@ object TopmedEtl {
       .unionByName(files.select(col("dataset_id"),
         col("s3_uri").as("access_url"), col("file_size").as("size"),
         col("md5sum").as("md5"), col("Sodium_GUID").as("doi"), col("index_doi")))
+    // acquisition input = the DNA extract (samples.py:387,465)
     val dataAcquisitions = files.select(col("dataset_id"),
-      entityId("Material", col("sample_id")).as("input_material_id"))
+      entityId("Material", concat(col("sample_id"), lit("-dna"))).as("input_material_id"))
 
-    // J12: only samples referenced by a file dataset are emitted
-    val referenced = referencedSamples(
-      sampleMaterials, dataAcquisitions, "material_id")
+    // J12: only extracts referenced by a file dataset are emitted, and
+    // only samples whose extract survived
+    val referencedExtracts = referencedSamples(
+      extractMaterials, dataAcquisitions, "material_id")
+    val referenced = sampleMaterials.join(
+        referencedExtracts.select(col("derives_from").as("ref_sample_id")),
+        col("material_id") === col("ref_sample_id"), "left_semi")
+      .unionByName(referencedExtracts)
 
     // A1: consent StudyGroups + the all-subjects group
     val allGroupId = entityId("StudyGroup", lit("all subjects"))

@@ -26,10 +26,14 @@ class TopmedPipelineSpec extends SparkTestBase {
     // 3 CRAM datasets + 2 VCF (NWD100002 has no s3_vcf in the fixture)
     assert(graph.datasets.filter(col("data_type") === "WGS").count() === 3)
     assert(graph.datasets.filter(col("data_type") === "SNP/CNV").count() === 2)
-    // J12: every emitted sample is referenced by a file dataset
+    // J12: every emitted extract is referenced by a file dataset, and
+    // every emitted sample is the derivesFrom of an emitted extract
+    val extracts = graph.materials.filter(col("material_type") === "extract")
+    assert(extracts.join(graph.dataAcquisitions,
+      extracts("material_id") === col("input_material_id"), "left_anti").count() === 0)
     val samples = graph.materials.filter(col("material_type") === "sample")
-    assert(samples.join(graph.dataAcquisitions,
-      samples("material_id") === col("input_material_id"), "left_anti").count() === 0)
+    assert(samples.join(extracts.select(col("derives_from").as("d")),
+      samples("material_id") === col("d"), "left_anti").count() === 0)
     // consent groups 1 and 2 plus all-subjects
     assert(graph.studyGroups.count() === 3)
   }
@@ -108,6 +112,15 @@ class TopmedPipelineSpec extends SparkTestBase {
       .join(graph.materials.select(col("material_id"), col("name").as("subj")), "material_id")
       .collect().map(r => r.getAs[String]("subj") -> r.getAs[String]("status")).toMap
     assert(status === Map("SU001" -> "yes", "SU003" -> "no")) // SU002 blank → absent
+  }
+
+  test("Q4: subject→sample→extract chain answers for TOPMed") {
+    val rows = DatsQueries.listSubjectSamples(graph).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.contains(("SU001", "NWD100001", "DNA extract")))
+    // one row per (subject, sample) — extracts are 1:1 with samples here
+    assert(rows.length === graph.materials
+      .filter(col("material_type") === "extract").count())
   }
 
   test("S7: TOPMed study variables register as Dimensions (Q2)") {
