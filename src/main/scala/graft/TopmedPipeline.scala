@@ -44,6 +44,7 @@ object TopmedPipeline {
       graph, Seq("Trans-Omics for Precision Medicine (TOPMed)")))
     show("Q3 consent group 1 members", DatsQueries.listStudyGroupMembers(
       graph, "phs000951.v2.p2", "consent group 1"))
+    show("Q4 subject samples", DatsQueries.listSubjectSamples(graph))
     show("Q5 subject characteristics", DatsQueries.listSubjectCharacteristics(graph))
     show("Q2 study variables", DatsQueries.listDatasetVariables(
       graph, Some("phs000951.v2.p2")))
