@@ -350,10 +350,10 @@ object Oracles {
        |  FROM agg),
        |j AS (SELECT c.doc_id,
        |  CASE WHEN is_canonical = 0 THEN 'drop_duplicate'
-       |   WHEN lang NOT IN ('de','en','es','fr') THEN 'drop_lang'
-       |   WHEN quality < 0.4 THEN 'drop_quality'
+       |   WHEN d.lang NOT IN ('de','en','es','fr') THEN 'drop_lang'
+       |   WHEN quality IS NULL OR quality < 0.4 THEN 'drop_quality'
        |   ELSE 'kept' END AS status
-       |  FROM canon c JOIN qual USING (doc_id))
+       |  FROM documents d JOIN canon c USING (doc_id) LEFT JOIN qual USING (doc_id))
        |SELECT status, count(*) AS n_docs FROM j GROUP BY status ORDER BY status""".stripMargin
 
   /** Winnowing fingerprints (k=8, w=4) — the DuckDB twin of

@@ -224,6 +224,10 @@ object TopmedEtl {
           .withColumn("rs_subject_id", lit(null).cast("string"))
           .withColumn("anatomy_name", lit(null).cast("string"))
     }
+    // ONE id expression for the extract material, shared by the material
+    // rows and the acquisition inputs — divergence would make the J12
+    // semi-join silently match nothing
+    val extractId = entityId("Material", concat(col("sample_id"), lit("-dna")))
     val anatomyPrefix = // "blood " / "saliva " when known (dna_extracts.py:247-249)
       coalesce(concat(col("anatomy_name"), lit(" ")), lit(""))
     val subjectSuffix = concat(lit("specimen collected from subject "),
@@ -239,7 +243,7 @@ object TopmedEtl {
         entityId("AnatomicalPart", col("anatomy_name"))).as("anatomy_id"),
       concat(anatomyPrefix, subjectSuffix).as("description"))
     val extractMaterials = enriched.select(
-      entityId("Material", concat(col("sample_id"), lit("-dna"))).as("material_id"),
+      extractId.as("material_id"),
       concat(lit("DNA from "), col("sample_id")).as("name"),
       lit("extract").as("material_type"), lit("DNA extract").as("role"),
       col("rs_subject_id").as("subject_id"),
@@ -305,7 +309,7 @@ object TopmedEtl {
         col("md5sum").as("md5"), col("Sodium_GUID").as("doi"), col("index_doi")))
     // acquisition input = the DNA extract (samples.py:387,465)
     val dataAcquisitions = files.select(col("dataset_id"),
-      entityId("Material", concat(col("sample_id"), lit("-dna"))).as("input_material_id"))
+      extractId.as("input_material_id"))
 
     // J12: only extracts referenced by a file dataset are emitted, and
     // only samples whose extract survived

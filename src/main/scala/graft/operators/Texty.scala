@@ -162,13 +162,19 @@ object TextOps {
   def corpusFilter(spark: SparkSession, dir: String,
                    langs: Seq[String] = Seq("de", "en", "es", "fr"),
                    minQuality: Double = 0.4): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
     val canonical = DedupOps.exact(spark, dir).select(col("doc_id"), col("is_canonical"))
-    val quality = qualityScore(spark, dir).select(col("doc_id"), col("lang"), col("quality"))
-    canonical.join(quality, "doc_id")
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    // anchor on the full document set: quality is LEFT-joined because a
+    // zero-token document has no quality row (the tokenizer emits
+    // nothing) — those docs bucket under drop_quality rather than
+    // silently vanishing from the tallies
+    docs.join(canonical, "doc_id")
+      .join(quality, Seq("doc_id"), "left")
       .withColumn("status",
         when(col("is_canonical") === 0, "drop_duplicate")
           .when(!col("lang").isin(langs: _*), "drop_lang")
-          .when(col("quality") < minQuality, "drop_quality")
+          .when(col("quality").isNull || col("quality") < minQuality, "drop_quality")
           .otherwise("kept"))
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
       .orderBy("status")

@@ -112,8 +112,8 @@ object DatsQueries {
     * subjects with no files still emit one padded row (:371-377). Files
     * attach to subjects through the acquisition input material's
     * subject_id key — one hop regardless of how deep the derivesFrom
-    * chain is, so the same plan serves GTEx (extract→sample→subject) and
-    * TOPMed (sample→subject).
+    * chain is (both GTEx and TOPMed acquisitions key on the extract
+    * material, which carries subject_id and anatomy directly).
     *
     * Scale shape: the only driver-side step is collecting the DISTINCT
     * characteristic names for the pivot header (bounded by the number of
