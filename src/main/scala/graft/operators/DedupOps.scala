@@ -148,19 +148,29 @@ object DedupOps {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var changed = 1L
+    // seed = identity labels with one propagation round applied for free
+    // (min of self and direct neighbors) — saves a full join+agg round
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
+      .cache()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    // labels only ever DECREASE per node, so the total sum strictly
+    // decreases iff any label changed — one aggregate per round instead
+    // of a change-detection join
+    var prevSum = Long.MaxValue
+    var curSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (curSum != prevSum && rounds < 50) {
       val nbrMin = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
       val next = labels.join(nbrMin, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .cache()
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      prevSum = curSum
+      curSum = labelSum(next)
       labels.unpersist()
       labels = next
       rounds += 1
@@ -168,7 +178,7 @@ object DedupOps {
     // a silent non-converged labeling would be WRONG output (pairs split
     // across clusters) — refuse instead; 50 rounds covers any diameter a
     // near-dup graph plausibly has
-    require(changed == 0, s"connected components did not converge in $rounds rounds")
+    require(curSum == prevSum, s"connected components did not converge in $rounds rounds")
     pairs.unpersist()
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
