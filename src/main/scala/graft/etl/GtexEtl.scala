@@ -579,7 +579,7 @@ object GtexEtl {
     // hypertension variables become bearerOfDisease rows
     val overlaidChars = rawChars.unionByName(
       Harmonize.harmonizedChars(rawChars, numericSexCodes = true))
-    val overlaidDiseases = Harmonize.hypertension(rawChars)
+    val overlaidDiseases = Harmonize.hypertension(rawChars, Harmonize.GtexHypertensionVars)
     val overlaidIds = merged.select(entityId("Material", col("SUBJID")).as("material_id"))
     val keptChars = graph.characteristics.join(
       graph.materials.filter(col("material_type") === "subject").select("material_id")
@@ -604,8 +604,12 @@ object GtexEtl {
         val unknown = counts.filter(col("consent_name").isNull)
         require(unknown.isEmpty, "consent code(s) missing from var_report enum: " +
           unknown.select("CONSENT").collect().map(_.getString(0)).mkString(","))
-        val mismatch = counts.filter(col("declared_count") =!= col("n_subjects"))
-        require(mismatch.isEmpty, "subject count mismatch in consent group(s): " +
+        // null-safe: a var_report enum row with no count attribute must be
+        // fatal too (the reference's int(cvc['count']) raises), not
+        // filtered out by a null comparison
+        val mismatch = counts.filter(
+          !(col("declared_count") <=> col("n_subjects")))
+        require(mismatch.isEmpty, "subject count mismatch or missing declared count in consent group(s): " +
           mismatch.select("CONSENT").collect().map(_.getString(0)).mkString(","))
         withConsent.join(broadcast(meta), withConsent("CONSENT") === meta("CONSENT"))
       case None => withConsent

@@ -72,17 +72,28 @@ object Harmonize {
         col("name"), col("value"))
   }
 
+  /** Variable names that trigger a hypertension row in the TOPMed
+    * restricted path (ccmm/topmed/subjects.py:45). */
+  val TopmedHypertensionVars: Seq[String] = Seq("HYPERTENSION", "HIGHBLOODPRES")
+
+  /** Variable names that trigger a hypertension row in the GTEx
+    * restricted path (ccmm/gtex/dna_extracts.py:83). */
+  val GtexHypertensionVars: Seq[String] = Seq("HYPERTENSION", "MHHTN")
+
   /** Per-subject hypertension disease rows (material_id, name, disease_id,
     * status), status ∈ {yes, no} — unknown subjects emit nothing, exactly
     * the reference's `disease['hypertension'] != "unknown"` gate
     * (subjects.py:96). Multiple hypertension variables reduce by max
-    * severity rank (yes > no) so the result is order-independent. */
-  def hypertension(longChars: DataFrame): DataFrame = {
+    * severity rank (yes > no) so the result is order-independent.
+    * `triggerVars` is the pipeline-specific variable-name set — TOPMed and
+    * GTEx each recognize a different pair, so e.g. a GTEx HIGHBLOODPRES
+    * column must NOT produce a disease row. */
+  def hypertension(longChars: DataFrame, triggerVars: Seq[String]): DataFrame = {
     val rank = when(lower(col("value")) === "yes" || col("value") === "1", 2)
       .when(col("value").rlike("\\S"), 1)
       .otherwise(0)
     longChars
-      .filter(upper(col("name")).isin("HYPERTENSION", "HIGHBLOODPRES", "MHHTN"))
+      .filter(upper(col("name")).isin(triggerVars: _*))
       .groupBy("material_id").agg(max(rank).as("rk"))
       .filter(col("rk") > 0)
       .select(col("material_id"), lit("Hypertension").as("name"),
@@ -116,8 +127,9 @@ object Harmonize {
       .select(col("material_id"), col("name"), col("value"))
       .orderBy("material_id", "name")
 
-  /** Hypertension-status twin of [[hypertension]] for the oracle gate. */
+  /** Hypertension-status twin of [[hypertension]] for the oracle gate
+    * (the synthetic long-form uses MHHTN, so the GTEx trigger set). */
   def hypertensionStatusQuery(spark: SparkSession, dir: String): DataFrame =
-    hypertension(syntheticLong(spark, dir))
+    hypertension(syntheticLong(spark, dir), GtexHypertensionVars)
       .orderBy("material_id")
 }

@@ -188,7 +188,7 @@ object TopmedEtl {
     // (subjects.py:33-120 keeps both); TOPMed gender is plain lower-case
     val subjChars = rawSubjChars.unionByName(
       Harmonize.harmonizedChars(rawSubjChars, numericSexCodes = false))
-    val diseases = Harmonize.hypertension(rawSubjChars)
+    val diseases = Harmonize.hypertension(rawSubjChars, Harmonize.TopmedHypertensionVars)
 
     // J6: restricted Sample ⋈ Sample_Attributes merged conflict-fatal
     // (ccmm/topmed/samples.py:189-224 — add_properties is the same
@@ -201,6 +201,13 @@ object TopmedEtl {
           mergeSubjectTables(sampleRaw, attsRaw, "dbGaP_Sample_ID")
         case None => sampleRaw
       }
+      // duplicate SAMPLE_ID would silently fan out the manifest left join
+      // below (duplicating materials, acquisitions, distributions) — make
+      // it fatal, same pattern as mergeGuidFiles' File_Name guard
+      val dups = merged.groupBy("SAMPLE_ID")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      require(dups.isEmpty,
+        s"duplicate SAMPLE_ID in restricted sample tables: ${dups.collect().map(_.getString(0)).mkString(",")}")
       withBodySiteAnatomy(merged).cache()
     }
 

@@ -105,6 +105,15 @@ object DatsJsonWriter {
       .sortBy(_.getAs[String]("name"))
     val isAboutIds = maxOutputSamples.fold(sortedSamples)(sortedSamples.take)
       .map(_.getAs[String]("material_id"))
+    // the globally-collected sample list is only correct when a single
+    // dataset carries it — with two study-linked datasets each would get
+    // ALL samples in the graph, so make that graph shape fatal (the
+    // reference builds one study dataset per document, topmed_to_dats
+    // .py:170-266)
+    val studyLinked = datasets.filter(_.getAs[String]("study_id") != null)
+    require(studyLinked.size <= 1,
+      s"isAbout requires at most one study-linked dataset per graph, found: " +
+        studyLinked.map(_.getAs[String]("dataset_id")).mkString(","))
     val children = datasets.filter(_.getAs[String]("parent_dataset_id") != null)
       .groupBy(_.getAs[String]("parent_dataset_id"))
 

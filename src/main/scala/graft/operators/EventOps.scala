@@ -92,10 +92,18 @@ object EventOps {
     * cohort + k. Distinct (user, week) first, so the cohort assignment
     * and the retention counts are one user-keyed shuffle each; cohort
     * sizes broadcast back onto the tallies. */
-  def retention(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retentionFrom(Tables.load(spark, dir, "events").withColumn("ms", msCol))
+
+  /** [[retention]] over an explicit (user_id, ms) frame. */
+  def retentionFrom(events: DataFrame): DataFrame = {
+    // FLOOR division, not `div`: div truncates toward zero, so a pre-epoch
+    // (negative-ms) event would land one week late vs the oracle's `//`.
+    // pmod keeps the arithmetic in exact longs (float division can round
+    // the wrong way at exact week multiples).
     val weeks = events.select(col("user_id"),
-      expr("ms div 604800000").as("wk")).distinct().cache()
+      expr("(ms - pmod(ms, 604800000)) div 604800000").as("wk"))
+      .distinct().cache()
     val cohorts = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort"))
     val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
     weeks.join(cohorts, "user_id")

@@ -23,6 +23,17 @@ class ExtensionOpsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(2))) // retained <= cohort
   }
 
+  test("evt: retention week bucketing floors (pre-epoch events land early, not late)") {
+    import spark.implicits._
+    // -1 ms is the last instant of week -1: floor(-1/wk) = -1, whereas
+    // truncating `div` puts it in week 0 — the oracle uses floor (`//`)
+    val events = Seq(("u1", -1L), ("u1", 0L), ("u2", 604800000L))
+      .toDF("user_id", "ms")
+    val rows = EventOps.retentionFrom(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // (cohort, k)
+    assert(rows === Set((-1L, 0L), (-1L, 1L), (1L, 0L)))
+  }
+
   test("text: corpus filter buckets partition the corpus") {
     val tallies = TextOps.corpusFilter(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -44,8 +44,8 @@ class HarmonizeSpec extends SparkTestBase {
   test("hypertension status: yes/1 → yes, non-blank → no, blank → absent") {
     val d = Harmonize.hypertension(long(
       ("s1", "HYPERTENSION", "yes"), ("s2", "HIGHBLOODPRES", "1"),
-      ("s3", "MHHTN", "No"), ("s4", "HYPERTENSION", ""),
-      ("s5", "UNRELATED", "yes")))
+      ("s3", "HYPERTENSION", "No"), ("s4", "HYPERTENSION", ""),
+      ("s5", "UNRELATED", "yes")), Harmonize.TopmedHypertensionVars)
     val byId = d.collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(byId === Map("s1" -> "yes", "s2" -> "yes", "s3" -> "no"))
     assert(d.head.getString(1) === "Hypertension")
@@ -54,8 +54,21 @@ class HarmonizeSpec extends SparkTestBase {
 
   test("conflicting hypertension vars reduce by severity, not input order") {
     val d = Harmonize.hypertension(long(
-      ("s1", "HYPERTENSION", "no"), ("s1", "MHHTN", "yes")))
+      ("s1", "HYPERTENSION", "no"), ("s1", "MHHTN", "yes")),
+      Harmonize.GtexHypertensionVars)
     assert(d.head.getString(3) === "yes")
+  }
+
+  test("trigger sets are pipeline-exact: TOPMed ignores MHHTN, GTEx ignores HIGHBLOODPRES") {
+    // subjects.py:45 vs dna_extracts.py:83 — a variable recognized by one
+    // pipeline must not leak a disease row into the other.
+    val rows = long(("s1", "MHHTN", "yes"), ("s2", "HIGHBLOODPRES", "yes"))
+    val topmed = Harmonize.hypertension(rows, Harmonize.TopmedHypertensionVars)
+      .collect().map(_.getString(0)).toSet
+    val gtex = Harmonize.hypertension(rows, Harmonize.GtexHypertensionVars)
+      .collect().map(_.getString(0)).toSet
+    assert(topmed === Set("s2"))
+    assert(gtex === Set("s1"))
   }
 
   test("harmonized descriptions match the reference's fixed strings") {

@@ -97,6 +97,21 @@ class OverlayS8Spec extends SparkTestBase {
     assert(names === Set("General Research Use (GRU)", "Disease-Specific (DS)"))
   }
 
+  test("J9: a var_report enum row with no declared count is fatal, not ignored") {
+    import spark.implicits._
+    // the reference's int(cvc['count']) raises on a missing attribute; a
+    // null declared_count must not slip through the =!= comparison
+    val meta = Seq(("1", "General Research Use (GRU)"), ("2", "Disease-Specific (DS)"))
+      .toDF("CONSENT", "consent_name")
+      .withColumn("declared_count", lit(null).cast("long"))
+    val ex = intercept[IllegalArgumentException] {
+      GtexEtl.restrictedOverlay(spark, graph,
+        res("restricted_gtex_subject.txt"), res("restricted_gtex_subject_phenotypes.txt"),
+        consentMeta = Some(meta))
+    }
+    assert(ex.getMessage.contains("count mismatch or missing"))
+  }
+
   test("J11: (type, var_name + consent-suffix) lookup with dup-fatal gate") {
     val vr = res("dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml")
     val vars = Readers.dbgapVariables(spark, vr)

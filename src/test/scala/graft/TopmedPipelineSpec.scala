@@ -94,6 +94,29 @@ class TopmedPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("duplicate SAMPLE_ID in the restricted sample table is fatal") {
+    // a dup would silently fan out the manifest left join, duplicating
+    // materials/acquisitions/distributions downstream
+    val dir = java.nio.file.Files.createTempDirectory("dup-sample")
+    val dupTsv = dir.resolve("restricted_sample.txt")
+    java.nio.file.Files.writeString(dupTsv,
+      """# Table accession: pht003643.v2.p2
+        |dbGaP_Subject_ID	dbGaP_Sample_ID	SUBJECT_ID	SAMPLE_ID	SAMPLE_USE
+        |1	101	SU001	NWD100001	Seq_DNA_WholeGenome
+        |1	109	SU001	NWD100001	Seq_DNA_WholeGenome
+        |""".stripMargin)
+    val ex = intercept[IllegalArgumentException] {
+      TopmedEtl.build(spark, TopmedEtl.Inputs(
+        manifestPath = res("topmed/manifest.txt"),
+        guidPaths = Seq(res("topmed/topmed-cram.tsv"), res("topmed/topmed-crai.tsv"),
+          res("topmed/topmed-vcf.tsv"), res("topmed/topmed-vcfcsi.tsv")),
+        subjectTsv = res("gtex/restricted_subject.txt"),
+        phenotypesTsv = res("topmed/restricted_subject_phenotypes.txt"),
+        sampleTsv = Some(dupTsv.toString)))
+    }
+    assert(ex.getMessage.contains("NWD100001"))
+  }
+
   test("P8: unmappable BODY_SITE is fatal") {
     import spark.implicits._
     val bad = Seq(("NWD1", "Bone Marrow")).toDF("SAMPLE_ID", "BODY_SITE")
@@ -129,6 +152,16 @@ class TopmedPipelineSpec extends SparkTestBase {
     assert(vars.toSeq === Seq(
       "phv00250000" -> "SUBJECT_ID", "phv00250001" -> "CONSENT",
       "phv00250002" -> "AFFECTION_STATUS"))
+  }
+
+  test("writer: two study-linked datasets in one graph is fatal (isAbout scope)") {
+    // the globally-collected isAbout sample list is only valid for a
+    // single study dataset — a second one would receive ALL samples
+    val extra = graph.datasets.filter(col("study_id").isNotNull)
+      .withColumn("dataset_id", concat(col("dataset_id"), lit("-dup")))
+    val twoStudies = graph.copy(datasets = graph.datasets.unionByName(extra))
+    val ex = intercept[IllegalArgumentException] { DatsJsonWriter.render(twoStudies) }
+    assert(ex.getMessage.contains("study-linked"))
   }
 
   test("TOPMed queries + writer run end-to-end") {
