@@ -193,9 +193,18 @@ object TextOps {
                         k: Int = 8, w: Int = 4): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val norm = lower(concat_ws(" ", tokens(col("text"))))
+    // the cache is a required barrier (same trap as the shingle path):
+    // without it projection collapse inlines the whole tokenize+lower
+    // chain into the transform lambda, which higher-order functions
+    // re-evaluate PER ELEMENT — O(len²) per document. The repartition
+    // moves the ~1-doc-per-row frame onto doc_id BEFORE the k-gram
+    // explode, so the per-doc rolling window below runs without ever
+    // shuffling the exploded (×len) gram rows.
     val d = docs.select(col("doc_id"), norm.as("nt"))
       .withColumn("ng", length(col("nt")) - lit(k - 1))
       .filter(col("ng") >= w) // need at least one full window
+      .repartition(col("doc_id"))
+      .cache()
     val grams = d.select(col("doc_id"), col("ng"),
       posexplode(expr(s"transform(sequence(1, length(nt) - ${k - 1})," +
         s" i -> substring(nt, i, $k))")).as(Seq("pos0", "gram")))
