@@ -14,7 +14,7 @@ object PlanAudit {
       "rel_pricing_summary", "rel_revenue_by_nation",
       "dedup_minhash_lsh", "sim_brute_topk",
       "text_stratified_sample", "text_pack_sequences",
-      "dedup_embedding_auto").map { name =>
+      "dedup_embedding_cosine", "dedup_embedding_auto").map { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.explain("formatted")
@@ -40,6 +40,21 @@ object PlanAudit {
       .queryExecution.executedPlan.toString
     assert(packPlan.contains("hashpartitioning(lang"),
       "packing window must partition by lang, never be partition-less")
+    // the embedding near-dup pair joins must CO-SHUFFLE on the block key
+    // — a corpus-sized broadcast build side is an OOM at cluster scale.
+    // dedup_embedding_cosine has no legitimate broadcast at all; the
+    // auto variant's only broadcast is the nlist-row seed frame inside
+    // its cached coarse assignment, never a BroadcastHashJoin pair join.
+    val cosPlan = frames("dedup_embedding_cosine").queryExecution.executedPlan.toString
+    assert(cosPlan.contains("ShuffledHashJoin"),
+      "embedding near-dup pair join must be a shuffled hash join")
+    assert(!cosPlan.contains("BroadcastExchange"),
+      "embedding near-dup must not broadcast the corpus")
+    val autoPlan = frames("dedup_embedding_auto").queryExecution.executedPlan.toString
+    assert(autoPlan.contains("ShuffledHashJoin"),
+      "embedding auto near-dup pair join must be a shuffled hash join")
+    assert(!autoPlan.contains("BroadcastHashJoin"),
+      "embedding auto near-dup must not broadcast-join the corpus")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

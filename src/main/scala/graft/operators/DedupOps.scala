@@ -221,15 +221,31 @@ object DedupOps {
     * orders; the only float ops (sqrt, divide) run on identical inputs.
     * Block-local pairing bounds the pair space to Σ|block|² — at scale
     * blocks come from a clustering step, keeping blocks ~constant-sized. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // flattened + broadcast build side: a 10-key label join would
-    // otherwise shuffle into 10 skewed partitions, and the flattened
-    // 64-term dot product stays inside whole-stage codegen
-    val q = flattened(spark, dir)
-    q.as("a").join(broadcast(q).as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    blockPairs(flattened(spark, dir), "label")
+
+  /** Block-local pair scoring shared by the embedding near-dup family:
+    * emit every same-block pair (vec_a < vec_b) with exact quantized
+    * cosine ≥ 0.35. Both sides CO-SHUFFLE on (block, salt) — never a
+    * corpus-sized broadcast, which is an OOM the first time the corpus
+    * outgrows one executor. The block key alone is low-cardinality here
+    * (10 toy blocks → ≤10 busy tasks), so the probe side scatters on a
+    * deterministic salt of vec_id and the build side replicates into all
+    * `Salt` slots: same pair set, Salt× the key space, full parallelism.
+    * At real scale nlist ∝ √n makes the block key itself well-distributed
+    * and AQE skew-join splits any residual hot list; the salt then just
+    * caps the per-task pair quadrat. Build side is hinted shuffle_hash:
+    * per (block, salt) key it holds 1/Salt of the block, so the hash map
+    * stays small and neither side is sorted. */
+  private def blockPairs(flat: DataFrame, key: String): DataFrame = {
+    val salt = 8
+    val build = flat.withColumn("_salt", pmod(col("vec_id"), lit(salt)))
+    val probe = flat.withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    probe.as("a").join(build.as("b").hint("shuffle_hash"),
+        col("a." + key) === col("b." + key) && col("a._salt") === col("b._salt") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"), flatCosine("a", "b").as("cosine"))
+        col("a." + key).as(key), flatCosine("a", "b").as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
@@ -243,28 +259,28 @@ object DedupOps {
     * blocking is nprobe=1, so cross-list near-dups are missed — the
     * standard recall/cost trade, and the oracle replays the identical
     * relation so the gate is exact. Shuffle shape: one broadcast
-    * assignment pass + one self-join keyed on the list id. */
+    * assignment pass + one self-join co-shuffled on the list id. */
   def embeddingNearDupAuto(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = flattened(spark, dir).cache()
     val seeds = q.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    // cache the coarse assignment: `blocked` feeds both sides of the
+    // pair self-join, and without the cache the full-corpus seed scoring
+    // + per-vector window — the dominant subplan — would execute twice
+    // (the exact defect ivfTopK had before its r4 fix). 2 narrow
+    // columns, one row per vector: cheap to hold.
     val asg = q.as("v").crossJoin(broadcast(seeds).as("s"))
       .select(col("v.vec_id").as("vid"), col("s.vec_id").as("cl"),
         flatCosine("v", "s").as("scos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vid").orderBy(col("scos").desc, col("cl").asc)))
       .filter(col("rn") === 1).select(col("vid"), col("cl"))
-    val blocked = q.join(asg, col("vec_id") === col("vid")).drop("vid")
-    // broadcast build side: a 10-list cl join would otherwise hash into
-    // 10 skewed partitions (same rationale as embeddingNearDup's label
-    // join); at real scale nlist ∝ √n keeps lists bounded and the join
-    // becomes a normal co-shuffle on cl instead
-    blocked.as("a").join(broadcast(blocked).as("b"),
-        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.cl").as("cl"), flatCosine("a", "b").as("cosine"))
-      .filter(col("cosine") >= 0.35)
-      .orderBy("vec_a", "vec_b")
+      .cache()
+    // the assignment is corpus-LENGTH (one row per vector) even though
+    // it is narrow, so attaching it must co-shuffle on vec_id — Catalyst
+    // would happily broadcast it at toy scale and OOM at real scale
+    val blocked = q.join(asg.hint("shuffle_hash"), col("vec_id") === col("vid")).drop("vid")
+    blockPairs(blocked, "cl")
   }
 
   /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity. */
