@@ -35,7 +35,10 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // clear caches so each query is timed standalone (operators that
-        // cache internally would otherwise borrow earlier queries' work)
+        // cache internally would otherwise borrow earlier queries' work);
+        // release() additionally drains the registry so unpersist isn't
+        // deferred to catalog-wide eviction
+        Caches.release()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -46,7 +49,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the result line: the stdout route is lossy (log
+    // interleaving has left round artifacts with parsed=null), and a
+    // file keeps the per-query numbers machine-readable regardless
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
     spark.stop()
   }
 }

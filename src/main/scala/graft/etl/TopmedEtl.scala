@@ -204,6 +204,11 @@ object TopmedEtl {
       // duplicate SAMPLE_ID would silently fan out the manifest left join
       // below (duplicating materials, acquisitions, distributions) — make
       // it fatal, same pattern as mergeGuidFiles' File_Name guard
+      // a null SAMPLE_ID can never join the manifest — fail with a
+      // distinct message instead of reporting the literal string "null"
+      // (or passing a single null row through to a silent no-match)
+      require(merged.filter(col("SAMPLE_ID").isNull).isEmpty,
+        "null SAMPLE_ID in restricted sample tables")
       val dups = merged.groupBy("SAMPLE_ID")
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       require(dups.isEmpty,

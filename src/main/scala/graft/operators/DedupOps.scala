@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Caches, Tables}
 
 /** Deduplication operator family over the `documents` table (north-star
   * extension ops — the dedup stack of an LLM training-data pipeline).
@@ -41,7 +41,7 @@ object DedupOps {
     * 8-byte longs happens before the explode leaves the scan stage. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks")).cache()
+    val toks = Caches.cached(docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     toks.select(col("doc_id"),
       explode(transform(shingles(col("toks"), 3), s => baseHash60(s))).as("h"))
   }
@@ -69,7 +69,7 @@ object DedupOps {
     // shingles arrive as 60-bit longs: every downstream shuffle/join
     // moves 8-byte keys instead of ~20-byte strings, and the set
     // semantics are unchanged (within-pair collision odds ~1e-13)
-    val sh = shingleTable(spark, dir).cache()
+    val sh = Caches.cached(shingleTable(spark, dir))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -95,12 +95,12 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // one cached pass of 8-byte hashed shingles feeds signatures,
     // candidate verification, and set sizes
-    val sh = shingleTable(spark, dir).cache()
+    val sh = Caches.cached(shingleTable(spark, dir))
     val hashed = sh.withColumn("h0", pmod(col("h"), lit(P)))
     val sigCols = (0 until 16).map { i =>
       min(pmod(col("h0") * lit(31L * i + 7L) + lit(17L * i + 3L), lit(P))).as(s"s$i")
     } :+ count(lit(1)).as("n_sh") // signature + set size in one shuffle
-    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
+    val sigs = Caches.cached(hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         concat_ws("_", lit(b), col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as("band"))
@@ -181,7 +181,11 @@ object DedupOps {
     require(curSum == prevSum, s"connected components did not converge in $rounds rounds")
     pairs.unpersist()
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // the loop's intermediate caches are unpersisted round-by-round
+    // above; the final labels cache backs the returned frame, so its
+    // lifecycle is the caller's — register it for Caches.release()
+    Caches.cached(labels)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
 
@@ -262,20 +266,19 @@ object DedupOps {
     * assignment pass + one self-join co-shuffled on the list id. */
   def embeddingNearDupAuto(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = flattened(spark, dir).cache()
+    val q = flattened(spark, dir)
     val seeds = q.filter(col("vec_id") >= 10 && col("vec_id") < 20)
     // cache the coarse assignment: `blocked` feeds both sides of the
     // pair self-join, and without the cache the full-corpus seed scoring
     // + per-vector window — the dominant subplan — would execute twice
     // (the exact defect ivfTopK had before its r4 fix). 2 narrow
     // columns, one row per vector: cheap to hold.
-    val asg = q.as("v").crossJoin(broadcast(seeds).as("s"))
+    val asg = Caches.cached(q.as("v").crossJoin(broadcast(seeds).as("s"))
       .select(col("v.vec_id").as("vid"), col("s.vec_id").as("cl"),
         flatCosine("v", "s").as("scos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vid").orderBy(col("scos").desc, col("cl").asc)))
-      .filter(col("rn") === 1).select(col("vid"), col("cl"))
-      .cache()
+      .filter(col("rn") === 1).select(col("vid"), col("cl")))
     // the assignment is corpus-LENGTH (one row per vector) even though
     // it is narrow, so attaching it must co-shuffle on vec_id — Catalyst
     // would happily broadcast it at toy scale and OOM at real scale
@@ -300,7 +303,7 @@ object DedupOps {
     * path). Flat columns keep the dot product in whole-stage codegen —
     * higher-order array functions are not codegen'd. */
   private[operators] def flattened(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir).cache()
+    val q = Caches.cached(quantized(spark, dir))
     q.select(Seq(col("vec_id"), col("label"), col("nrm")) ++
       (0 until Dim).map(i => element_at(col("qv"), i + 1).as(s"q$i")): _*)
   }

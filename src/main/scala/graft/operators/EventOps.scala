@@ -103,7 +103,7 @@ object EventOps {
     // the wrong way at exact week multiples).
     val weeks = events.select(col("user_id"),
       expr("(ms - pmod(ms, 604800000)) div 604800000").as("wk"))
-      .distinct().cache()
+      .distinct().transform(graft.Caches.cached(_))
     val cohorts = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort"))
     val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
     weeks.join(cohorts, "user_id")

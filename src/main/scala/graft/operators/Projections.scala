@@ -83,7 +83,7 @@ object Projections {
       .withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(
         Window.partitionBy("pid").orderBy(sortCols: _*)).cast("long"))
-      .cache()
+      .transform(graft.Caches.cached(_))
     val wPrev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

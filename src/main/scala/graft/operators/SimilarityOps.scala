@@ -102,7 +102,7 @@ object SimilarityOps {
     * of (pairs, corpus) on vec_id, both sides bounded, no O(corpus)
     * driver collect. Same output schema as brute force. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    lshTopKFrom(DedupOps.flattened(spark, dir).cache())
+    lshTopKFrom(graft.Caches.cached(DedupOps.flattened(spark, dir)))
 
   private def lshTopKFrom(flat: DataFrame): DataFrame = {
     val b = bucketIds(flat)
@@ -147,7 +147,7 @@ object SimilarityOps {
     * in anyway. Measured on this corpus: recall@5 ≈ 0.5 vs brute force
     * at nprobe=3/10 — same ballpark as the 4×4 multi-table LSH path. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val q = DedupOps.flattened(spark, dir).cache()
+    val q = graft.Caches.cached(DedupOps.flattened(spark, dir))
     val seeds = q.filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + NLists)
     // cache the coarse assignment: `lists` is consumed twice (centroid
     // aggregation + candidate join), and without the cache the full-corpus
@@ -159,7 +159,7 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("scos").desc, col("cl").asc)))
       .filter(col("rn") === 1).select("vec_id", "cl")
-      .cache()
+      .transform(graft.Caches.cached(_))
     val lists = q.join(asg, "vec_id")
     val sums = (0 until DedupOps.Dim).map(i => sum(col(s"q$i")).as(s"c$i"))
     val cents = lists.groupBy("cl").agg(sums.head, sums.tail: _*)
@@ -188,7 +188,7 @@ object SimilarityOps {
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     // one cached flattened projection shared by both arms — the brute
     // and LSH paths otherwise each materialize their own copy
-    val flat = DedupOps.flattened(spark, dir).cache()
+    val flat = graft.Caches.cached(DedupOps.flattened(spark, dir))
     val brute = bruteForceTopKFrom(flat).select(col("query_id"), col("neighbor"))
     val lsh = lshTopKFrom(flat)
       .select(col("query_id").as("q2"), col("neighbor").as("n2"))

@@ -204,7 +204,7 @@ object TextOps {
       .withColumn("ng", length(col("nt")) - lit(k - 1))
       .filter(col("ng") >= w) // need at least one full window
       .repartition(col("doc_id"))
-      .cache()
+      .transform(graft.Caches.cached(_))
     val grams = d.select(col("doc_id"), col("ng"),
       posexplode(expr(s"transform(sequence(1, length(nt) - ${k - 1})," +
         s" i -> substring(nt, i, $k))")).as(Seq("pos0", "gram")))

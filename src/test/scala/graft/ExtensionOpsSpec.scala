@@ -6,6 +6,20 @@ import graft.operators._
 
 class ExtensionOpsSpec extends SparkTestBase {
 
+  test("caches: release() frees every operator-registered cache after consumption") {
+    Caches.release() // drain whatever earlier suites left registered
+    spark.catalog.clearCache()
+    // run a cache-heavy operator end-to-end, then release its scope
+    val n = DedupOps.minhashLsh(spark, sf).count()
+    assert(n > 0)
+    assert(Caches.outstanding > 0, "operator should register its caches")
+    Caches.release()
+    assert(Caches.outstanding === 0)
+    // storage actually freed: no cached RDD blocks survive the release
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "released caches must not leave persistent RDDs behind")
+  }
+
   test("dedup: minhash+LSH recovers exactly the exact-Jaccard pairs") {
     val exact = DedupOps.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
