@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (DedupOps.embeddingNearDup _),
     "dedup_embedding_auto" -> (DedupOps.embeddingNearDupAuto _),
     "dedup_clusters" -> (DedupOps.nearDupClusters _),
+    "dedup_clusters_star" -> (DedupOps.nearDupClustersStar _),
     "sim_brute_topk" -> (SimilarityOps.bruteForceTopK _),
     "sim_lsh_topk" -> (SimilarityOps.lshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.ivfTopK _),
@@ -156,6 +157,10 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Oracles.dedupEmbedding,
     "dedup_embedding_auto" -> Oracles.dedupEmbeddingAuto,
     "dedup_clusters" -> Oracles.dedupClusters,
+    // same relation as dedup_clusters — the star-contraction variant must
+    // produce the identical component-min labeling, so it shares the
+    // recursive-CTE oracle
+    "dedup_clusters_star" -> Oracles.dedupClusters,
     "sim_brute_topk" -> Oracles.simBruteTopK,
     "sim_lsh_topk" -> Oracles.simLshTopK,
     "sim_ivf_topk" -> Oracles.simIvfTopK,

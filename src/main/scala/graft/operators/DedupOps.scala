@@ -26,6 +26,14 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
 
+  /** Drop the storage behind an eagerly-localCheckpointed frame once the
+    * iterative loops below have advanced past it. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** doc_id → 60-bit hashes of the distinct word-3-shingles, the unit
     * all near-dup text ops share.
     *
@@ -134,10 +142,10 @@ object DedupOps {
     * component diameter, and near-dup components are star-like (diameter
     * ≤ ~3) because near-duplicate similarity is nearly transitive at
     * j ≥ 0.5 — so 2-4 rounds at any corpus size. For adversarial long-
-    * chain graphs the alternating large-star/small-star variant (same
-    * join shape, O(log n) rounds) is the drop-in upgrade; propagation is
-    * kept here because its relation is expressible in recursive SQL and
-    * therefore oracle-checkable. The driver loop only reads the CHANGED
+    * chain graphs use [[nearDupClustersStar]] (alternating large-star/
+    * small-star, O(log n) rounds, identical relation); propagation is
+    * kept as the default because its round structure mirrors the
+    * recursive-SQL oracle most directly. The driver loop only reads the CHANGED
     * COUNT per round (an aggregate, not data), so nothing corpus-sized
     * ever reaches the driver. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -149,11 +157,14 @@ object DedupOps {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
     // seed = identity labels with one propagation round applied for free
-    // (min of self and direct neighbors) — saves a full join+agg round
+    // (min of self and direct neighbors) — saves a full join+agg round.
+    // Rounds localCheckpoint (eager) rather than cache: each round's plan
+    // embeds the previous round's, so caching alone would let the logical
+    // tree grow exponentially with rounds (see starComponents).
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("label"))
-      .cache()
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     // labels only ever DECREASE per node, so the total sum strictly
@@ -168,10 +179,10 @@ object DedupOps {
       val next = labels.join(nbrMin, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       prevSum = curSum
       curSum = labelSum(next)
-      labels.unpersist()
+      unpersistCheckpoint(labels)
       labels = next
       rounds += 1
     }
@@ -181,12 +192,81 @@ object DedupOps {
     require(curSum == prevSum, s"connected components did not converge in $rounds rounds")
     pairs.unpersist()
     edges.unpersist()
-    // the loop's intermediate caches are unpersisted round-by-round
-    // above; the final labels cache backs the returned frame, so its
-    // lifecycle is the caller's — register it for Caches.release()
-    Caches.cached(labels)
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // intermediate rounds are unpersisted above; the final checkpointed
+    // labels back the returned frame and are context-cleaned on GC
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  /** Near-dup clusters via alternating LARGE-STAR / SMALL-STAR edge
+    * contraction — the adversarial-graph variant of [[nearDupClusters]],
+    * computing the identical component-min labeling of the exact-Jaccard
+    * pair graph. The difference is round complexity: min-label
+    * propagation needs O(diameter) shuffle rounds (fine for star-like
+    * near-dup graphs, degenerate on chains), star contraction O(log n)
+    * (public algorithm: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14).
+    *
+    * large-star hangs every node's LARGER neighbors onto the smallest
+    * node it can see; small-star re-hangs the smaller-or-equal ones.
+    * Both preserve connectivity, never emit self-loops, and keep edges
+    * canonically (bigger, smaller); the joint fixpoint is a forest of
+    * stars rooted at the component minima. Each half-round is one
+    * groupBy + one join keyed on node id — nothing corpus-sized reaches
+    * the driver, and convergence is an EXACT set-equality check
+    * (count + except), not a heuristic. */
+  def nearDupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    starComponents(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Component-min labeling (doc_id, cluster_id) of an undirected edge
+    * list (doc_a, doc_b); every node incident to an edge is labeled.
+    * Public: usable over any pair relation, not just the Jaccard graph. */
+  def starComponents(pairs: DataFrame): DataFrame = {
+    // invariant across rounds: edges are distinct and oriented (u, v)
+    // with u > v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .toDF("n", "nbr")
+      val mins = sym.groupBy("n").agg(min("nbr").as("mn"))
+      sym.join(mins, "n")
+        .filter(col("nbr") > col("n"))
+        .select(col("nbr").as("u"), least(col("n"), col("mn")).as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val j = e.join(mins, "u")
+      j.select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(j.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // each round must CUT LINEAGE, not just cache: a round's plan embeds
+    // the previous round's plan several times over, so with plain cache()
+    // the logical tree grows exponentially with rounds and plan handling
+    // itself OOMs around round ~10. An eager localCheckpoint materializes
+    // the edge set AND replaces the plan with a leaf scan of it.
+    var cur = pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
+      .distinct().localCheckpoint()
+    var curCount = cur.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      unpersistCheckpoint(cur) // next is lineage-cut, so cur is never re-read
+      cur = next
+      curCount = nextCount
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // the final checkpointed edge set backs the returned frame; its
+    // blocks are dropped by the context cleaner once the frame is GC'd
+    val members = cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = cur.select(col("v")).distinct()
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+    members.unionByName(roots).orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: 60-bit sketch from per-shingle base hashes,

@@ -71,6 +71,31 @@ class ExtensionOpsSpec extends SparkTestBase {
       TextOps.stratifiedSample(spark, sf).collect().toSeq)
   }
 
+  test("dedup: star contraction handles a long chain and matches propagation on the corpus") {
+    import spark.implicits._
+    // a 300-node chain needs ~300 propagation rounds (past nearDupClusters'
+    // 50-round fatal cap) but O(log n) star-contraction rounds — this is
+    // the adversarial shape the variant exists for
+    val n = 300
+    val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labeled = DedupOps.starComponents(chain).collect()
+    assert(labeled.length === n)
+    assert(labeled.forall(_.getLong(1) == 0L), "every chain node joins component 0")
+    // two disjoint components stay disjoint
+    val two = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val m = DedupOps.starComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L))
+    // and on the real near-dup graph it computes the identical relation
+    // as min-label propagation
+    val star = DedupOps.nearDupClustersStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prop = DedupOps.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star === prop)
+    Caches.release()
+  }
+
   test("dedup: clusters are a fixpoint labeling consistent with the pairs") {
     val pairs = DedupOps.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
