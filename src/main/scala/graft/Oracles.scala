@@ -126,18 +126,40 @@ object Oracles {
        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Auto-blocked embedding near-dup: the IVF coarse assignment (same
-    * CTEs as simIvfTopK) as the blocking key, same-list pairs only. */
+  /** Unrolled deterministic Lloyd's (2 rounds) over `n` (from QN) — the
+    * exact replay of operators.KMeans.fit(iters = 2): k0 = seed vectors
+    * 10..19 as centroids; per round t, a{t} = max-cosine assignment
+    * against k{t-1} (ties to the smaller cl) and k{t} = component-wise
+    * truncated integer means of a{t} (`//` and Spark's `div` both
+    * truncate toward zero). Exposes a2 (final assignment) and k2 (its
+    * centroids); all-zero centroids drop out on both engines. */
+  private val KM: String = {
+    def asgCte(t: Int) =
+      s"""a${t}0 AS (SELECT v.vec_id, k.cl,
+         |  CAST(list_sum(list_transform(generate_series(1,64), i -> v.qv[i]*k.cv[i])) AS BIGINT)
+         |    / sqrt(CAST(v.nrm AS DOUBLE)) / sqrt(CAST(k.cnrm AS DOUBLE)) AS scos
+         |  FROM n v, k${t - 1} k),
+         |a$t AS (SELECT vec_id, cl FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
+         |  FROM a${t}0) t WHERE rn = 1)""".stripMargin
+    def centCte(t: Int) =
+      s"""g$t AS (SELECT cl, i, CAST(sum(qv[i]) AS BIGINT) // count(*) AS c
+         |  FROM a$t JOIN n USING (vec_id), UNNEST(range(1, 65)) AS u(i) GROUP BY cl, i),
+         |k$t AS (SELECT * FROM (SELECT cl, list(c ORDER BY i) AS cv,
+         |  CAST(list_sum(list_transform(list(c ORDER BY i), x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM g$t GROUP BY cl) WHERE cnrm > 0)""".stripMargin
+    val init =
+      "k0 AS (SELECT vec_id AS cl, qv AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 10 AND 19)"
+    (Seq(init) ++ (1 to 2).flatMap(t => Seq(asgCte(t), centCte(t)))).mkString(",\n")
+  }
+
+  /** Auto-blocked embedding near-dup: the learned k-means assignment
+    * (same KM CTEs as simIvfTopK) as the blocking key, same-list pairs
+    * only. */
   val dedupEmbeddingAuto: String =
     s"""WITH $QN,
-       |asg0 AS (SELECT v.vec_id, s.vec_id AS cl,
-       |  CAST(list_sum(list_transform(generate_series(1,64), i -> v.qv[i]*s.qv[i])) AS BIGINT)
-       |    / sqrt(CAST(v.nrm AS DOUBLE)) / sqrt(CAST(s.nrm AS DOUBLE)) AS scos
-       |  FROM n v JOIN n s ON s.vec_id BETWEEN 10 AND 19),
-       |asg AS (SELECT vec_id, cl FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
-       |  FROM asg0) t WHERE rn = 1),
-       |m AS (SELECT n.*, g.cl FROM n JOIN asg g USING (vec_id))
+       |$KM,
+       |m AS (SELECT n.*, g.cl FROM n JOIN a2 g USING (vec_id))
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cl AS cl,
        | ${cosine("a", "b")} AS cosine
        |FROM m a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id
@@ -176,33 +198,21 @@ object Oracles {
        |SELECT query_id, neighbor, cosine, rnk FROM lr WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** IVF-style probe: angular Voronoi assignment to seed vectors
-    * (vec_id 10..19), per-list integer-sum centroids (cosine is
-    * scale-invariant, so the unnormalized sum ranks like the mean),
-    * nprobe=3 nearest lists per query, exact cosine within them. */
+  /** IVF-style probe: k-means inverted lists (KM CTEs — learned
+    * centroids, truncated integer means), nprobe=3 max-cosine lists per
+    * query, exact cosine within them. */
   val simIvfTopK: String =
     s"""WITH $QN,
-       |asg0 AS (SELECT v.vec_id, s.vec_id AS cl,
-       |  CAST(list_sum(list_transform(generate_series(1,64), i -> v.qv[i]*s.qv[i])) AS BIGINT)
-       |    / sqrt(CAST(v.nrm AS DOUBLE)) / sqrt(CAST(s.nrm AS DOUBLE)) AS scos
-       |  FROM n v JOIN n s ON s.vec_id BETWEEN 10 AND 19),
-       |asg AS (SELECT vec_id, cl FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
-       |  FROM asg0) t WHERE rn = 1),
-       |cd AS (SELECT cl, i, CAST(sum(qv[i]) AS BIGINT) AS c
-       |  FROM asg JOIN n USING (vec_id), UNNEST(range(1, 65)) AS t(i) GROUP BY cl, i),
-       |cent AS (SELECT cl, list(c ORDER BY i) AS cv,
-       |  CAST(list_sum(list_transform(list(c ORDER BY i), x -> x*x)) AS BIGINT) AS cnrm
-       |  FROM cd GROUP BY cl),
-       |probe AS (SELECT a.vec_id AS query_id, c.cl AS probe_cl,
-       |  CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.cv[i])) AS BIGINT)
-       |    / sqrt(CAST(a.nrm AS DOUBLE)) / sqrt(CAST(c.cnrm AS DOUBLE)) AS pcos
-       |  FROM n a, cent c WHERE a.vec_id < 10),
+       |$KM,
+       |probe AS (SELECT a.vec_id AS query_id, k.cl AS probe_cl,
+       |  CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*k.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE)) / sqrt(CAST(k.cnrm AS DOUBLE)) AS pcos
+       |  FROM n a, k2 k WHERE a.vec_id < 10),
        |sel AS (SELECT query_id, probe_cl FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, probe_cl ASC) AS prnk
        |  FROM probe) t WHERE prnk <= 3),
        |pairs AS (SELECT s.query_id, b.vec_id AS neighbor, ${cosine("a", "b")} AS cosine
-       |  FROM sel s JOIN asg g ON g.cl = s.probe_cl
+       |  FROM sel s JOIN a2 g ON g.cl = s.probe_cl
        |  JOIN n b ON b.vec_id = g.vec_id AND b.vec_id <> s.query_id
        |  JOIN n a ON a.vec_id = s.query_id),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk

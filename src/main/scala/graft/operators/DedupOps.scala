@@ -336,33 +336,22 @@ object DedupOps {
 
   /** Embedding near-dup WITHOUT a pre-existing blocking label — the
     * clustering step [[embeddingNearDup]] assumes done. Coarse Voronoi
-    * blocking, exactly the IVF assignment: every vector joins the list
-    * of its max-cosine seed (deterministic seeds vec_id 10..19 here; in
-    * production, k-means centroids with nlist ∝ √n so list sizes stay
-    * bounded), and only same-list pairs pay the exact cosine. The
-    * blocking is nprobe=1, so cross-list near-dups are missed — the
-    * standard recall/cost trade, and the oracle replays the identical
-    * relation so the gate is exact. Shuffle shape: one broadcast
-    * assignment pass + one self-join co-shuffled on the list id. */
+    * blocking from a LEARNED quantizer: [[KMeans.fit]] trains
+    * deterministic fixed-iteration Lloyd's centroids (init: vectors
+    * 10..19; at scale nlist ∝ √n keeps list sizes bounded), every vector
+    * joins its max-cosine list, and only same-list pairs pay the exact
+    * cosine. The blocking is nprobe=1, so cross-list near-dups are
+    * missed — the standard recall/cost trade, and the oracle replays the
+    * identical training + assignment so the gate is exact. Shuffle
+    * shape: two broadcast-assign + co-shuffled-update rounds for the
+    * quantizer, then one self-join co-shuffled on the list id. */
   def embeddingNearDupAuto(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = flattened(spark, dir)
-    val seeds = q.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-    // cache the coarse assignment: `blocked` feeds both sides of the
-    // pair self-join, and without the cache the full-corpus seed scoring
-    // + per-vector window — the dominant subplan — would execute twice
-    // (the exact defect ivfTopK had before its r4 fix). 2 narrow
-    // columns, one row per vector: cheap to hold.
-    val asg = Caches.cached(q.as("v").crossJoin(broadcast(seeds).as("s"))
-      .select(col("v.vec_id").as("vid"), col("s.vec_id").as("cl"),
-        flatCosine("v", "s").as("scos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vid").orderBy(col("scos").desc, col("cl").asc)))
-      .filter(col("rn") === 1).select(col("vid"), col("cl")))
+    val (asg, _) = KMeans.fit(q)
     // the assignment is corpus-LENGTH (one row per vector) even though
     // it is narrow, so attaching it must co-shuffle on vec_id — Catalyst
     // would happily broadcast it at toy scale and OOM at real scale
-    val blocked = q.join(asg.hint("shuffle_hash"), col("vec_id") === col("vid")).drop("vid")
+    val blocked = q.join(asg.hint("shuffle_hash"), "vec_id")
     blockPairs(blocked, "cl")
   }
 

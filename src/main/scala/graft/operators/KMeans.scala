@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-iteration Lloyd's k-means over integer-quantized,
+  * dimension-flattened embeddings — the production coarse quantizer
+  * feeding the IVF family ([[SimilarityOps.ivfTopK]],
+  * [[DedupOps.embeddingNearDupAuto]]), replacing raw seed-vector
+  * blocking with learned centroids.
+  *
+  * Everything is exact integer math until the final cosine, so training
+  * is bit-deterministic across engines and partition orders, and the
+  * DuckDB oracle replays it as unrolled CTEs:
+  *  - init: the vectors with vec_id `firstSeed until firstSeed+nlist`
+  *    (content-addressed, no RNG seed to agree on);
+  *  - assign: max-cosine centroid, ties to the smaller centroid id;
+  *  - update: component-wise truncated integer MEAN (`sum div count` —
+  *    Spark `div` and DuckDB `//` both truncate toward zero). Means stay
+  *    bounded by the quantization scale, so centroid norms can never
+  *    overflow 64-bit — raw integer SUMS would blow past Long at
+  *    |list| ≈ 1e5 on real data;
+  *  - a list that empties, or whose mean truncates to the zero vector,
+  *    drops out of the centroid table (deterministic on both sides).
+  *
+  * Fixed iteration count, no convergence test — the oracle can only
+  * replay a known number of rounds. Per round the corpus is scanned
+  * twice (one broadcast-assign pass, one co-shuffled update aggregate);
+  * centroids are nlist rows and always broadcast.
+  */
+object KMeans {
+
+  /** Lloyd's for `iters` rounds; returns (assignment, centroids) =
+    * ((vec_id, cl), (cl, c0..c63, cnrm)) with the centroids being the
+    * integer means OF that final assignment. The assignment frame is
+    * registry-cached ([[graft.Caches]]) — consumers use it at least
+    * twice and it is the dominant subplan. */
+  def fit(flat: DataFrame, iters: Int = 2, nlist: Int = 10,
+          firstSeed: Int = 10): (DataFrame, DataFrame) = {
+    val dim = DedupOps.Dim
+    var cents = flat
+      .filter(col("vec_id") >= firstSeed && col("vec_id") < firstSeed + nlist)
+      .select(col("vec_id").as("cl") +: col("nrm").as("cnrm") +:
+        (0 until dim).map(i => col(s"q$i").as(s"c$i")): _*)
+    var asg: DataFrame = flat.select(col("vec_id"), col("vec_id").as("cl"))
+    for (_ <- 1 to iters) {
+      // cut lineage at every half-round: a round's plan otherwise embeds
+      // several copies of `flat` through the previous round's centroids
+      // and assignment, and the analyzer's self-join deduplication blows
+      // up on the nested tree (measured: an un-checkpointed round 2
+      // OOMs the driver before executing anything). Cost: centroids are
+      // nlist rows; the assignment is 2 narrow columns per vector —
+      // the same storage class as caching it, which consumers need
+      // anyway. Blocks are context-cleaned when the frames are GC'd.
+      asg = assign(flat, cents).localCheckpoint()
+      // the zero-centroid filter must sit ABOVE the checkpoint: below it,
+      // the predicate inlines to ~320 nodes of aliased arithmetic and
+      // Catalyst's constraint propagation explodes the driver heap; on
+      // the leaf, cnrm is a plain attribute and the constraint is tiny
+      cents = update(flat, asg).localCheckpoint().filter(col("cnrm") > 0)
+    }
+    (asg, cents)
+  }
+
+  /** (vec_id, cl): each vector's max-cosine centroid (ties: smaller cl). */
+  private def assign(flat: DataFrame, cents: DataFrame): DataFrame = {
+    val dim = DedupOps.Dim
+    val cos = (0 until dim).map(i => col(s"q$i") * col(s"c$i")).reduce(_ + _)
+      .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
+    flat.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cl"), cos.as("scos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("scos").desc, col("cl").asc)))
+      .filter(col("rn") === 1).select("vec_id", "cl")
+  }
+
+  /** (cl, c0..c63, cnrm): truncated integer means per list. The
+    * assignment attach is an explicit co-shuffle — it is corpus-length,
+    * so letting Catalyst broadcast it would OOM at real scale. */
+  private def update(flat: DataFrame, asg: DataFrame): DataFrame = {
+    val dim = DedupOps.Dim
+    val aggs = count(lit(1)).as("cnt") +:
+      (0 until dim).map(i => sum(col(s"q$i")).as(s"s$i"))
+    flat.join(asg.hint("shuffle_hash"), "vec_id")
+      .groupBy("cl").agg(aggs.head, aggs.tail: _*)
+      .select(col("cl") +: (0 until dim).map(i => expr(s"s$i div cnt").as(s"c$i")): _*)
+      .withColumn("cnrm", (0 until dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+  }
+}

@@ -127,43 +127,27 @@ object SimilarityOps {
   /** IVF-style approximate top-k — the other standard ANN scale path
     * beside LSH. Three phases, all deterministic and oracle-replicable:
     *
-    *  1. coarse assignment: `NLists` deterministic seed vectors
-    *     (vec_id 10..19 — in production, k-means centroids) induce an
-    *     angular Voronoi partition; every vector joins the inverted list
-    *     of its max-cosine seed (tiebreak: seed asc);
-    *  2. list centroids: component-wise INTEGER SUM of each list's
-    *     quantized vectors — cosine is scale-invariant, so ranking
-    *     against the sum is ranking against the mean with no division
-    *     and no floats until the final cosine;
-    *  3. probe: each query scores the `NProbe` nearest centroids and
-    *     pays exact cosine only inside those lists.
+    *  1. coarse quantizer: [[KMeans.fit]] — fixed-iteration Lloyd's
+    *     (deterministic init from vectors 10..19) yields the
+    *     inverted-list assignment and its truncated-integer-mean
+    *     centroids;
+    *  2. probe: each query scores the `NProbe` max-cosine centroids;
+    *  3. search: exact cosine only inside the probed lists.
     *
-    * Scale shape: seeds and centroids are broadcast (nlist rows of 64
-    * longs); assignment is one broadcast-join pass over the corpus; the
-    * candidate join prunes the corpus to ~nprobe/nlist of its rows,
-    * co-shuffled on the list id — the inverted-list read pattern. Term
-    * magnitude: q·c sums 64 products of ~1e6 × (|list|·1e6); safe in
-    * signed 64-bit to |list| ≈ 1e5, the regime a real nlist keeps you
-    * in anyway. Measured on this corpus: recall@5 ≈ 0.5 vs brute force
-    * at nprobe=3/10 — same ballpark as the 4×4 multi-table LSH path. */
+    * Scale shape: centroids are broadcast (nlist rows of 64 longs); each
+    * quantizer round is one broadcast-assign pass plus one co-shuffled
+    * update aggregate over the corpus; the candidate join prunes the
+    * corpus to ~nprobe/nlist of its rows, co-shuffled on the list id —
+    * the inverted-list read pattern. Truncated-mean centroids keep every
+    * dot-product term at ~1e6 × ~1e6 regardless of list size, so the
+    * arithmetic can never overflow 64-bit on a real corpus (raw sums
+    * would at |list| ≈ 1e5). Recall vs brute force is reported by the
+    * sim_lsh_recall twin methodology; see ARCHITECTURE.md. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.flattened(spark, dir))
-    val seeds = q.filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + NLists)
-    // cache the coarse assignment: `lists` is consumed twice (centroid
-    // aggregation + candidate join), and without the cache the full-corpus
-    // seed scoring + per-vector window — the dominant subplan — runs twice.
-    // 2 narrow columns, one row per vector: cheap to hold, spills if not.
-    val asg = q.as("v").crossJoin(broadcast(seeds).as("s"))
-      .select(col("v.vec_id").as("vec_id"), col("s.vec_id").as("cl"),
-        DedupOps.flatCosine("v", "s").as("scos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("scos").desc, col("cl").asc)))
-      .filter(col("rn") === 1).select("vec_id", "cl")
-      .transform(graft.Caches.cached(_))
-    val lists = q.join(asg, "vec_id")
-    val sums = (0 until DedupOps.Dim).map(i => sum(col(s"q$i")).as(s"c$i"))
-    val cents = lists.groupBy("cl").agg(sums.head, sums.tail: _*)
-      .withColumn("cnrm", (0 until DedupOps.Dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+    val (asg, cents) = KMeans.fit(q, nlist = NLists, firstSeed = NQueries)
+    // corpus-length assignment: co-shuffle, never broadcast
+    val lists = q.join(asg.hint("shuffle_hash"), "vec_id")
     val queries = q.filter(col("vec_id") < NQueries)
     val probeCos = (0 until DedupOps.Dim).map(i => col(s"q$i") * col(s"c$i")).reduce(_ + _)
       .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
