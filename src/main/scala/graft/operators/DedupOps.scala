@@ -371,7 +371,7 @@ object DedupOps {
     * re-evaluate it per column (the same quadratic trap as the shingle
     * path). Flat columns keep the dot product in whole-stage codegen —
     * higher-order array functions are not codegen'd. */
-  private[operators] def flattened(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def flattened(spark: SparkSession, dir: String): DataFrame = {
     val q = Caches.cached(quantized(spark, dir))
     q.select(Seq(col("vec_id"), col("label"), col("nrm")) ++
       (0 until Dim).map(i => element_at(col("qv"), i + 1).as(s"q$i")): _*)

@@ -71,6 +71,38 @@ class ExtensionOpsSpec extends SparkTestBase {
       TextOps.stratifiedSample(spark, sf).collect().toSeq)
   }
 
+  test("kmeans: assignment is total and centroids are the truncated integer means") {
+    val q = DedupOps.flattened(spark, sf)
+    val (asg, cents) = KMeans.fit(q)
+    val n = q.count()
+    // total, unique assignment into the seeded id range
+    val rows = asg.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).distinct.length.toLong === n)
+    assert(rows.forall { case (_, cl) => cl >= 10L && cl < 20L })
+    // independently recompute each centroid from the raw vectors: the
+    // component-wise sum-div-count (truncation toward zero, like Spark's
+    // `div`) of its assigned members, plus the squared norm
+    val dim = DedupOps.Dim
+    val vecs = q.select((col("vec_id") +: (0 until dim).map(i => col(s"q$i"))): _*)
+      .collect().map(r => r.getLong(0) -> (0 until dim).map(i => r.getLong(i + 1)).toArray).toMap
+    val byCl = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val got = cents.collect().map { r =>
+      r.getAs[Long]("cl") -> ((0 until dim).map(i => r.getAs[Long](s"c$i")).toArray, r.getAs[Long]("cnrm"))
+    }.toMap
+    assert(got.keySet === byCl.keySet.filter { cl =>
+      val m = byCl(cl).map(vecs)
+      (0 until dim).map(i => m.map(_(i)).sum / m.length).map(c => c * c).sum > 0
+    })
+    got.foreach { case (cl, (cv, cnrm)) =>
+      val members = byCl(cl).map(vecs)
+      val expect = (0 until dim).map(i => members.map(_(i)).sum / members.length)
+      assert(cv.toSeq === expect, s"centroid mismatch for list $cl")
+      assert(cnrm === expect.map(c => c * c).sum)
+    }
+    Caches.release()
+  }
+
   test("dedup: star contraction handles a long chain and matches propagation on the corpus") {
     import spark.implicits._
     // a 300-node chain needs ~300 propagation rounds (past nearDupClusters'
