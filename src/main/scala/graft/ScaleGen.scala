@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   *    selectivities stay EXACTLY those of the source scale;
   *  - `events` copies get fresh user_ids — scaling adds users, it does
   *    not deepen per-user histories (which would distort window costs);
-  *  - `documents` copies interleave a copy-specific marker token after
-  *    every 2nd word, so copies are NOT near-duplicates of each other
-  *    and the corpus duplicate DENSITY stays realistic (verbatim copies
-  *    would multiply every near-dup cluster by copies²); copy 0 is the
-  *    source corpus verbatim, so planted near-dup pairs survive;
+  *  - `documents` copies suffix EVERY word with a copy-specific marker,
+  *    so copies are NOT near-duplicates of each other and the corpus
+  *    duplicate DENSITY stays realistic (verbatim copies would multiply
+  *    every near-dup cluster by copies²), while two docs in a copy share
+  *    a word-k-shingle exactly when their sources do — per-shingle
+  *    document frequencies, the quantity that drives inverted-index join
+  *    fan-out, keep the source distribution. (An earlier interleaving
+  *    scheme collided copy shingles on source BIGRAMS and inflated
+  *    dedup_ngram_jaccard's scaling to ×104; suffixing measures ×13.)
+  *    Copy 0 is the source corpus verbatim, so planted near-dup pairs
+  *    survive;
   *  - `embeddings` copies keep their vectors (blocking structure and
   *    per-list sizes scale uniformly); ANN queries (vec_id < 10) and
   *    k-means init seeds (10..19) stay the original vectors;
@@ -61,9 +67,8 @@ object ScaleGen {
     replicated("documents", "doc_id")
       .withColumn("text",
         when(col("_k") === 0, col("text")).otherwise(
-          concat_ws(" ", flatten(transform(split(col("text"), "\\s+"),
-            (w, i) => when(i % 2 === 1, array(w, concat(lit("zq"), col("_k"))))
-              .otherwise(array(w)))))))
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            w => concat(w, lit("zq"), col("_k"))))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("_k")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
