@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Scale-point generator: synthesizes an N× copy of an existing testdata
@@ -26,9 +27,16 @@ import org.apache.spark.sql.functions._
   *    dedup_ngram_jaccard's scaling to ×104; suffixing measures ×13.)
   *    Copy 0 is the source corpus verbatim, so planted near-dup pairs
   *    survive;
-  *  - `embeddings` copies keep their vectors (blocking structure and
-  *    per-list sizes scale uniformly); ANN queries (vec_id < 10) and
-  *    k-means init seeds (10..19) stay the original vectors;
+  *  - `embeddings` copies get a per-copy ORTHOGONAL transform of their
+  *    vectors ([[perturbEmbedding]]: a signed coordinate permutation) and
+  *    per-copy labels, so copies are NOT near-duplicates of each other
+  *    (verbatim copies would put N exact duplicates of every vector in
+  *    one block and grow the block-local pair space — the exact quantity
+  *    the embedding dedup family is benched on — ∝ N² instead of ∝ N)
+  *    while within a copy every pairwise quantized dot product and norm
+  *    is EXACTLY the source's, so near-dup density and per-block pair
+  *    counts keep the source distribution. Copy 0 is verbatim, so ANN
+  *    queries (vec_id < 10) and k-means seeds stay the original vectors;
   *  - `region`/`nation` are genuine dimensions and stay fixed, as in
   *    TPC-H itself.
   *
@@ -37,6 +45,29 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   private val Stride = 10000000L
+
+  /** Per-copy orthogonal vector transform: e'_i = sign(i,k) · e_{(i+7k) mod 64}
+    * with sign(i,k) = 1 − 2·((k >> (i mod 4)) & 1) — a signed coordinate
+    * permutation, distinct for every copy k < 64 (gcd(7,64)=1 keeps the
+    * shifts distinct) and the identity for k = 0. Orthogonality means the
+    * transform preserves every within-copy inner product and norm; because
+    * the engine quantizes PER COMPONENT (round(x·10⁶), odd-symmetric:
+    * round(−x) = −round(x)), the quantized transformed vectors are exactly
+    * the signed permutation of the quantized sources, so within-copy
+    * integer dot products and norms — hence the near-dup relation and ANN
+    * ranking inside a copy — are bit-identical to the source corpus.
+    * Across copies the permutations differ, so a vector and its copies
+    * sit at random-level cosine (|E| ~ 1/√64) instead of exactly 1.0 —
+    * decorrelated, not near-duplicates (asserted by ScaleGenSpec). */
+  private[graft] def perturbEmbedding(emb: Column, k: Column): Column = {
+    val kInt = k.cast("int")
+    transform(sequence(lit(0), lit(63)), i => {
+      val src = element_at(emb, (pmod(i + lit(7) * kInt, lit(64)) + lit(1)).cast("int"))
+      val bit = call_function("shiftright", kInt, pmod(i, lit(4)).cast("int"))
+        .bitwiseAND(lit(1))
+      ((lit(1) - lit(2) * bit).cast("float") * src).cast("float")
+    })
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -59,11 +90,19 @@ object ScaleGen {
       "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
       "part" -> Seq("p_partkey"),
       "supplier" -> Seq("s_suppkey"),
-      "events" -> Seq("event_id", "user_id"),
-      "embeddings" -> Seq("vec_id")
+      "events" -> Seq("event_id", "user_id")
     ).foreach { case (n, ks) =>
       replicated(n, ks: _*).drop("_k").write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
+    require(copies <= 64, "embedding permutations are distinct only for copies <= 64")
+    replicated("embeddings", "vec_id")
+      .withColumn("embedding", perturbEmbedding(col("embedding"), col("_k")))
+      // fresh label universe per copy: a clustering of an N× corpus yields
+      // ~N× more blocks of the SOURCE size, not N× bigger blocks — same
+      // rationale as fresh user_ids on events
+      .withColumn("label", (col("label") + col("_k") * 100).cast("int"))
+      .drop("_k")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     replicated("documents", "doc_id")
       .withColumn("text",
         when(col("_k") === 0, col("text")).otherwise(
