@@ -127,8 +127,10 @@ object Oracles {
        |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
   /** Unrolled deterministic Lloyd's (2 rounds) over `n` (from QN) — the
-    * exact replay of operators.KMeans.fit(iters = 2): k0 = seed vectors
-    * 10..19 as centroids; per round t, a{t} = max-cosine assignment
+    * exact replay of operators.KMeans.fit(iters = 2, nlist = ⌊√count⌋):
+    * nl computes the √n list count (KMeans.autoNlist's twin — both are
+    * IEEE sqrt of an exact integer, truncated); k0 = seed vectors
+    * 10..10+nlist as centroids; per round t, a{t} = max-cosine assignment
     * against k{t-1} (ties to the smaller cl) and k{t} = component-wise
     * truncated integer means of a{t} (`//` and Spark's `div` both
     * truncate toward zero). Exposes a2 (final assignment) and k2 (its
@@ -149,7 +151,9 @@ object Oracles {
          |  CAST(list_sum(list_transform(list(c ORDER BY i), x -> x*x)) AS BIGINT) AS cnrm
          |  FROM g$t GROUP BY cl) WHERE cnrm > 0)""".stripMargin
     val init =
-      "k0 AS (SELECT vec_id AS cl, qv AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 10 AND 19)"
+      """nl AS (SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist FROM n),
+        |k0 AS (SELECT vec_id AS cl, qv AS cv, nrm AS cnrm FROM n
+        |  WHERE vec_id >= 10 AND vec_id < 10 + (SELECT nlist FROM nl))""".stripMargin
     (Seq(init) ++ (1 to 2).flatMap(t => Seq(asgCte(t), centCte(t)))).mkString(",\n")
   }
 
@@ -199,8 +203,9 @@ object Oracles {
        |ORDER BY query_id, rnk""".stripMargin
 
   /** IVF-style probe: k-means inverted lists (KM CTEs — learned
-    * centroids, truncated integer means), nprobe=3 max-cosine lists per
-    * query, exact cosine within them. */
+    * centroids, truncated integer means), nprobe = max(3, nlist // 8)
+    * max-cosine lists per query (SimilarityOps.autoNprobe's twin), exact
+    * cosine within them. */
   val simIvfTopK: String =
     s"""WITH $QN,
        |$KM,
@@ -210,7 +215,7 @@ object Oracles {
        |  FROM n a, k2 k WHERE a.vec_id < 10),
        |sel AS (SELECT query_id, probe_cl FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, probe_cl ASC) AS prnk
-       |  FROM probe) t WHERE prnk <= 3),
+       |  FROM probe) t WHERE prnk <= (SELECT GREATEST(3, nlist // 8) FROM nl)),
        |pairs AS (SELECT s.query_id, b.vec_id AS neighbor, ${cosine("a", "b")} AS cosine
        |  FROM sel s JOIN a2 g ON g.cl = s.probe_cl
        |  JOIN n b ON b.vec_id = g.vec_id AND b.vec_id <> s.query_id

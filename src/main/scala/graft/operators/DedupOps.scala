@@ -338,7 +338,8 @@ object DedupOps {
     * clustering step [[embeddingNearDup]] assumes done. Coarse Voronoi
     * blocking from a LEARNED quantizer: [[KMeans.fit]] trains
     * deterministic fixed-iteration Lloyd's centroids (init: vectors
-    * 10..19; at scale nlist ∝ √n keeps list sizes bounded), every vector
+    * 10..10+nlist with nlist = ⌊√n⌋, [[KMeans.autoNlist]] — ~√n lists of
+    * ~√n vectors bound the same-list pair space at n^1.5), every vector
     * joins its max-cosine list, and only same-list pairs pay the exact
     * cosine. The blocking is nprobe=1, so cross-list near-dups are
     * missed — the standard recall/cost trade, and the oracle replays the
@@ -347,7 +348,9 @@ object DedupOps {
     * quantizer, then one self-join co-shuffled on the list id. */
   def embeddingNearDupAuto(spark: SparkSession, dir: String): DataFrame = {
     val q = flattened(spark, dir)
-    val (asg, _) = KMeans.fit(q)
+    // corpus count for the √n list-count rule: parquet metadata, no scan
+    val nlist = KMeans.autoNlist(Tables.load(spark, dir, "embeddings").count())
+    val (asg, _) = KMeans.fit(q, nlist = nlist)
     // the assignment is corpus-LENGTH (one row per vector) even though
     // it is narrow, so attaching it must co-shuffle on vec_id — Catalyst
     // would happily broadcast it at toy scale and OOM at real scale

@@ -34,8 +34,13 @@ object KMeans {
   /** Lloyd's for `iters` rounds; returns (assignment, centroids) =
     * ((vec_id, cl), (cl, c0..c63, cnrm)) with the centroids being the
     * integer means OF that final assignment. The assignment frame is
-    * registry-cached ([[graft.Caches]]) — consumers use it at least
-    * twice and it is the dominant subplan. */
+    * eagerly `localCheckpoint()`ed — a lineage cut, which consumers (who
+    * all use it at least twice) also get to reuse as materialized blocks;
+    * see the in-loop comment for why a cache alone is not enough.
+    *
+    * The `nlist` default (10) exists for unit specs; production callers
+    * pass [[autoNlist]] so list count — and with it per-list size and the
+    * block-local pair space of every consumer — scales as √n. */
   def fit(flat: DataFrame, iters: Int = 2, nlist: Int = 10,
           firstSeed: Int = 10): (DataFrame, DataFrame) = {
     val dim = DedupOps.Dim
@@ -63,16 +68,33 @@ object KMeans {
     (asg, cents)
   }
 
-  /** (vec_id, cl): each vector's max-cosine centroid (ties: smaller cl). */
+  /** The scale rule for the list count: nlist = ⌊√n⌋ (min 1). With ~√n
+    * lists of ~√n vectors, a consumer's block-local pair space is
+    * nlist·(n/nlist)² = n^1.5 instead of the n²/nlist of a FIXED list
+    * count, and the per-round assign cost n·nlist stays n^1.5 too — the
+    * standard IVF sizing. Mirrors the oracle's
+    * `CAST(floor(sqrt(count(*))) AS BIGINT)` exactly: both compute
+    * IEEE-double sqrt of an exact integer, then truncate. */
+  def autoNlist(n: Long): Int =
+    math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
+
+  /** (vec_id, cl): each vector's max-cosine centroid (ties: smaller cl).
+    * Argmax as `max(struct(scos, -cl))` — a hash aggregate with map-side
+    * partial combine (each task reduces its n·nlist candidate rows to one
+    * per local vector before the exchange), where the equivalent
+    * row_number window would sort-shuffle ALL n·nlist rows. Struct
+    * ordering is lexicographic, so max scos wins and ties go to the
+    * smaller cl via the negated id — identical semantics to the oracle's
+    * `ORDER BY scos DESC, cl ASC ... rn = 1`. */
   private def assign(flat: DataFrame, cents: DataFrame): DataFrame = {
     val dim = DedupOps.Dim
     val cos = (0 until dim).map(i => col(s"q$i") * col(s"c$i")).reduce(_ + _)
       .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
     flat.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cl"), cos.as("scos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("scos").desc, col("cl").asc)))
-      .filter(col("rn") === 1).select("vec_id", "cl")
+      .groupBy("vec_id")
+      .agg(max(struct(col("scos"), (-col("cl")).as("ncl"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncl")).as("cl"))
   }
 
   /** (cl, c0..c63, cnrm): truncated integer means per list. The

@@ -121,31 +121,40 @@ object SimilarityOps {
     rank(pairs)
   }
 
-  private val NProbe = 3
-  private val NLists = 10
+  /** nprobe tracks the list count at 1/8 (floor 3): probing a fixed
+    * NUMBER of ever-smaller lists would send recall to zero as the corpus
+    * grows; probing a fixed fraction keeps the searched mass — and with
+    * it the recall/cost trade — roughly stable while searched ROWS still
+    * shrink relative to n (nprobe·n/nlist ≈ n/8 of one √n-sized pass). */
+  private[operators] def autoNprobe(nlist: Int): Int = math.max(3, nlist / 8)
 
   /** IVF-style approximate top-k — the other standard ANN scale path
     * beside LSH. Three phases, all deterministic and oracle-replicable:
     *
-    *  1. coarse quantizer: [[KMeans.fit]] — fixed-iteration Lloyd's
-    *     (deterministic init from vectors 10..19) yields the
-    *     inverted-list assignment and its truncated-integer-mean
+    *  1. coarse quantizer: [[KMeans.fit]] with nlist = ⌊√n⌋
+    *     ([[KMeans.autoNlist]]; deterministic init from vectors
+    *     10..10+nlist) yields the inverted-list assignment and its
+    *     truncated-integer-mean centroids;
+    *  2. probe: each query scores the [[autoNprobe]] max-cosine
     *     centroids;
-    *  2. probe: each query scores the `NProbe` max-cosine centroids;
     *  3. search: exact cosine only inside the probed lists.
     *
-    * Scale shape: centroids are broadcast (nlist rows of 64 longs); each
-    * quantizer round is one broadcast-assign pass plus one co-shuffled
-    * update aggregate over the corpus; the candidate join prunes the
-    * corpus to ~nprobe/nlist of its rows, co-shuffled on the list id —
-    * the inverted-list read pattern. Truncated-mean centroids keep every
-    * dot-product term at ~1e6 × ~1e6 regardless of list size, so the
-    * arithmetic can never overflow 64-bit on a real corpus (raw sums
-    * would at |list| ≈ 1e5). Recall vs brute force is reported by the
-    * sim_lsh_recall twin methodology; see ARCHITECTURE.md. */
+    * Scale shape: centroids are broadcast (nlist = √n rows of 64 longs —
+    * a 100 TB corpus of 1e9 vectors puts ~3e4 centroid rows ≈ 16 MB on
+    * the wire, still broadcast-sized); each quantizer round is one
+    * broadcast-assign pass plus one co-shuffled update aggregate over
+    * the corpus; the candidate join prunes the corpus to ~nprobe/nlist
+    * of its rows, co-shuffled on the list id — the inverted-list read
+    * pattern. Truncated-mean centroids keep every dot-product term at
+    * ~1e6 × ~1e6 regardless of list size, so the arithmetic can never
+    * overflow 64-bit on a real corpus (raw sums would at |list| ≈ 1e5).
+    * Recall vs brute force is reported by the sim_lsh_recall twin
+    * methodology; see ARCHITECTURE.md. The corpus count driving nlist is
+    * a parquet metadata read, not a scan. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.flattened(spark, dir))
-    val (asg, cents) = KMeans.fit(q, nlist = NLists, firstSeed = NQueries)
+    val nlist = KMeans.autoNlist(graft.Tables.load(spark, dir, "embeddings").count())
+    val (asg, cents) = KMeans.fit(q, nlist = nlist, firstSeed = NQueries)
     // corpus-length assignment: co-shuffle, never broadcast
     val lists = q.join(asg.hint("shuffle_hash"), "vec_id")
     val queries = q.filter(col("vec_id") < NQueries)
@@ -156,7 +165,7 @@ object SimilarityOps {
         probeCos.as("pcos"))
       .withColumn("prnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("pcos").desc, col("probe_cl").asc)))
-      .filter(col("prnk") <= NProbe)
+      .filter(col("prnk") <= autoNprobe(nlist))
       .select("query_id", "probe_cl")
     val pairs = broadcast(probes.join(queries.as("a"), col("query_id") === col("a.vec_id")))
       .join(lists.as("b"),
