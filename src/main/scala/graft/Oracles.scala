@@ -203,7 +203,7 @@ object Oracles {
        |ORDER BY query_id, rnk""".stripMargin
 
   /** IVF-style probe: k-means inverted lists (KM CTEs — learned
-    * centroids, truncated integer means), nprobe = max(3, nlist // 8)
+    * centroids, truncated integer means), nprobe = max(3, ⌈√nlist⌉)
     * max-cosine lists per query (SimilarityOps.autoNprobe's twin), exact
     * cosine within them. */
   val simIvfTopK: String =
@@ -215,7 +215,7 @@ object Oracles {
        |  FROM n a, k2 k WHERE a.vec_id < 10),
        |sel AS (SELECT query_id, probe_cl FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, probe_cl ASC) AS prnk
-       |  FROM probe) t WHERE prnk <= (SELECT GREATEST(3, nlist // 8) FROM nl)),
+       |  FROM probe) t WHERE prnk <= (SELECT GREATEST(3, CAST(ceil(sqrt(nlist)) AS BIGINT)) FROM nl)),
        |pairs AS (SELECT s.query_id, b.vec_id AS neighbor, ${cosine("a", "b")} AS cosine
        |  FROM sel s JOIN a2 g ON g.cl = s.probe_cl
        |  JOIN n b ON b.vec_id = g.vec_id AND b.vec_id <> s.query_id

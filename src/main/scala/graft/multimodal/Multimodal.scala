@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * metadata struct, processed by per-partition batch operators.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shapes, deterministic feature extraction; ONLY the codec call
-  * itself is stubbed (the decode step would bind to an image/audio
-  * library that is not in this container): [[StubCodec.decode]] produces
-  * a deterministic fake raster from the payload bytes, clearly marked.
-  * Swapping in a real codec changes one function, not the pipeline.
+  * batch shapes, deterministic feature extraction. The IMAGE codec is
+  * real too: [[ImageCodec]] decodes PNG/BMP/GIF/JPEG payloads through
+  * `javax.imageio` (JDK-built-in, headless) into genuine grayscale
+  * rasters, with resize rendered by `Graphics2D`. Payloads no reader
+  * claims — including the synthetic fixture corpus, whose payloads are
+  * UTF-8 text — fall back to [[StubCodec.decode]]'s deterministic fake
+  * raster, so a crawl's truncated/mislabeled bytes degrade instead of
+  * killing the stage. Audio/video decode remains stubbed (the JDK ships
+  * no such codec); swapping one in changes one function, not the
+  * pipeline.
   *
   * Batch shape: operators run `mapPartitions`-style over Datasets so a
   * real codec amortizes per-batch initialization (the JVM analogue of a
@@ -27,9 +32,10 @@ object Multimodal {
                                 pixels: Array[Byte])
   final case class MediaFeature(media_id: Long, modality: String, feature: Array[Float])
 
-  /** STUB codec — deterministic fake decode.
-    * A real build replaces this object with JNI/javax.imageio/ffmpeg
-    * bindings; everything downstream is codec-agnostic. */
+  /** STUB codec — deterministic fake decode, the fallback when
+    * [[ImageCodec]] cannot claim the payload and the stand-in for
+    * audio/video (a real build binds ffmpeg there; everything downstream
+    * is codec-agnostic). */
   object StubCodec {
     /** ??? in spirit: produces a w×h "raster" whose bytes are a
       * deterministic function of the payload, so tests are stable. */
@@ -66,18 +72,27 @@ object Multimodal {
       }
   }
 
-  /** Decode (stubbed) each payload into frames; videos sample every
-    * `frameStep`-th frame, images yield frame 0. Runs per-partition so a
-    * real codec would init once per partition, not per row. */
+  /** Decode each payload into frames; videos sample every `frameStep`-th
+    * frame, images yield frame 0. Image payloads decode for REAL through
+    * [[ImageCodec]] (dimensions come from the actual raster, not the
+    * metadata struct — crawl metadata lies); undecodable payloads and the
+    * audio/video modalities take the stub path. Runs per-partition so
+    * codec state amortizes per batch, not per row. */
   def decodeFrames(media: Dataset[MediaRow], frameStep: Int = 10): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val nFrames = if (m.modality == "image") 1
-          else ((m.meta.durationMs / 1000).toInt.max(1).min(30))
-        (0 until nFrames by (if (m.modality == "video") frameStep else 1)).iterator.map { f =>
-          DecodedFrame(m.media_id, f, m.meta.width, m.meta.height,
-            StubCodec.decode(m.payload, m.meta))
+        val real = if (m.modality == "image") ImageCodec.decode(m.payload) else None
+        real match {
+          case Some((w, h, px)) =>
+            Iterator.single(DecodedFrame(m.media_id, 0, w, h, px))
+          case None =>
+            val nFrames = if (m.modality == "image") 1
+              else ((m.meta.durationMs / 1000).toInt.max(1).min(30))
+            (0 until nFrames by (if (m.modality == "video") frameStep else 1)).iterator.map { f =>
+              DecodedFrame(m.media_id, f, m.meta.width, m.meta.height,
+                StubCodec.decode(m.payload, m.meta))
+            }
         }
       }
     }
