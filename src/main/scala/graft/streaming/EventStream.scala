@@ -98,6 +98,95 @@ object EventStream {
       }
   }
 
+  final case class RetentionDelta(cohort: Long, k: Long, delta: Long)
+  /** Per-user retention state: the user's current cohort week and the
+    * distinct in-horizon weeks (cohort ≤ wk ≤ cohort+3) already emitted. At
+    * most 4 longs per user — O(users) state with constant-size records. */
+  final case class RetentionState(cohort: Long, weeks: List[Long])
+
+  val WeekMs: Long = 7 * 24 * 3600 * 1000L
+
+  /** Streaming weekly-retention twin of
+    * [[graft.operators.EventOps.retentionFrom]], as a CHANGELOG: emits
+    * (cohort, k, ±1) increments whose running sum per (cohort, k) equals the
+    * batch `n_retained`. A changelog is the only append-mode shape that can
+    * be exact under out-of-order data, because retention's cohort is
+    * min(week) over a user's whole history — a late event can retroactively
+    * move a user's cohort EARLIER, invalidating every previously emitted
+    * contribution for that user. When that happens the operator retracts
+    * them (delta −1 under the old cohort key) and re-emits under the new
+    * cohort, so consumers that sum deltas converge to the batch answer for
+    * any arrival order the watermark admits ([[retentionRollup]] is that
+    * consumer). State is evicted by event-time timeout 8 weeks past the
+    * cohort — beyond the k ≤ 3 horizon, so eviction never loses output; a
+    * user returning after eviction would start a spurious new cohort, the
+    * standard bounded-state trade (at 100 TB: O(users) × 4 longs, far
+    * smaller than the event stream). */
+  def retentionDeltas(events: Dataset[Event]): Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "4 weeks")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[Event], state: GroupState[RetentionState]) =>
+          if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var out = List.empty[RetentionDelta]
+            // floorDiv, matching the batch operator's FLOOR-division week
+            val wks = it.map(e => Math.floorDiv(e.event_time.getTime, WeekMs))
+              .toSeq.distinct.sorted
+            var st = state.getOption
+            wks.foreach { w =>
+              st match {
+                case None =>
+                  st = Some(RetentionState(w, List(w)))
+                  out ::= RetentionDelta(w, 0L, 1L)
+                case Some(RetentionState(c, seen)) if w >= c =>
+                  if (w - c <= 3 && !seen.contains(w)) {
+                    st = Some(RetentionState(c, w :: seen))
+                    out ::= RetentionDelta(c, w - c, 1L)
+                  } // beyond the horizon (k never shrinks: cohorts only move
+                    // earlier) or a duplicate week: contributes nothing
+                case Some(RetentionState(c, seen)) =>
+                  // late event with w < c: retract everything emitted under
+                  // cohort c, re-key the still-in-horizon weeks to cohort w
+                  out = seen.map(v => RetentionDelta(c, v - c, -1L)) ::: out
+                  val kept = seen.filter(v => v - w <= 3)
+                  out = kept.map(v => RetentionDelta(w, v - w, 1L)) ::: out
+                  out ::= RetentionDelta(w, 0L, 1L)
+                  st = Some(RetentionState(w, w :: kept))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.cohort + 8) * WeekMs)
+            }
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** Materialize a retention-delta changelog into the batch operator's
+    * output shape (cohort, k, n_cohort, n_retained, retention). Batch
+    * aggregation over the collected stream — the "read side" of the
+    * changelog pattern; at scale this is the delta-compaction query a sink
+    * table would run. */
+  def retentionRollup(deltas: DataFrame): DataFrame = {
+    // cohort size = the k=0 count, pulled across the cohort's rows with a
+    // window rather than a self-join (one shuffle, and no conflicting-
+    // reference hazard on a memory-sink view)
+    val byCohort = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    deltas.groupBy("cohort", "k")
+      .agg(sum(col("delta")).as("n_retained"))
+      .filter(col("n_retained") > 0)
+      .withColumn("n_cohort",
+        max(when(col("k") === 0, col("n_retained"))).over(byCohort))
+      .select(col("cohort"), col("k"), col("n_cohort"), col("n_retained"),
+        (col("n_retained").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort", "k")
+  }
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by
