@@ -70,11 +70,19 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("target/sf1")
-    val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Tables.session("scale-gen")
+    run(spark,
+      args.lift(0).getOrElse("/root/testdata/sf0.1"),
+      args.lift(1).getOrElse("target/sf1"),
+      args.lift(2).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
 
+  /** Write a `copies`× scale point of `src` to `out` (see object doc for
+    * the replication scheme). Separate from [[main]] so specs can run it
+    * on the shared test session. */
+  def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
+          copies: Int): Unit = {
     def replicated(name: String, keys: String*) = {
       val df = Tables.load(spark, src, name)
         .withColumn("_k", explode(sequence(lit(0L), lit(copies - 1L))))
@@ -112,6 +120,5 @@ object ScaleGen {
       .drop("_k")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scale-gen] wrote ${copies}x of $src to $out")
-    spark.stop()
   }
 }

@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
   * metadata struct, processed by per-partition batch operators.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shapes, deterministic feature extraction. The IMAGE codec is
-  * real too: [[ImageCodec]] decodes PNG/BMP/GIF/JPEG payloads through
-  * `javax.imageio` (JDK-built-in, headless) into genuine grayscale
-  * rasters, with resize rendered by `Graphics2D`. Payloads no reader
-  * claims — including the synthetic fixture corpus, whose payloads are
-  * UTF-8 text — fall back to [[StubCodec.decode]]'s deterministic fake
-  * raster, so a crawl's truncated/mislabeled bytes degrade instead of
-  * killing the stage. Audio/video decode remains stubbed (the JDK ships
-  * no such codec); swapping one in changes one function, not the
-  * pipeline.
+  * batch shapes, deterministic feature extraction. The IMAGE and AUDIO
+  * codecs are real too: [[ImageCodec]] decodes PNG/BMP/GIF/JPEG payloads
+  * through `javax.imageio` (JDK-built-in, headless) into genuine
+  * grayscale rasters, with resize rendered by `Graphics2D`, and
+  * [[AudioCodec]] decodes WAV/AIFF/AU payloads through
+  * `javax.sound.sampled` into genuine 16-bit mono PCM. Payloads no
+  * reader claims — including the synthetic fixture corpus, whose
+  * payloads are UTF-8 text — fall back to [[StubCodec.decode]]'s
+  * deterministic fake raster, so a crawl's truncated/mislabeled bytes
+  * degrade instead of killing the stage. Only VIDEO decode remains
+  * stubbed (the JDK ships no video codec); swapping one in changes one
+  * function, not the pipeline.
   *
   * Batch shape: operators run `mapPartitions`-style over Datasets so a
   * real codec amortizes per-batch initialization (the JVM analogue of a
@@ -33,9 +35,9 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, modality: String, feature: Array[Float])
 
   /** STUB codec — deterministic fake decode, the fallback when
-    * [[ImageCodec]] cannot claim the payload and the stand-in for
-    * audio/video (a real build binds ffmpeg there; everything downstream
-    * is codec-agnostic). */
+    * [[ImageCodec]]/[[AudioCodec]] cannot claim the payload and the
+    * stand-in for video (a real build binds ffmpeg there; everything
+    * downstream is codec-agnostic). */
   object StubCodec {
     /** ??? in spirit: produces a w×h "raster" whose bytes are a
       * deterministic function of the payload, so tests are stable. */
@@ -73,19 +75,38 @@ object Multimodal {
   }
 
   /** Decode each payload into frames; videos sample every `frameStep`-th
-    * frame, images yield frame 0. Image payloads decode for REAL through
-    * [[ImageCodec]] (dimensions come from the actual raster, not the
-    * metadata struct — crawl metadata lies); undecodable payloads and the
-    * audio/video modalities take the stub path. Runs per-partition so
-    * codec state amortizes per batch, not per row. */
+    * frame, images yield frame 0, audio yields one frame per second of
+    * samples. Image payloads decode for REAL through [[ImageCodec]] and
+    * audio through [[AudioCodec]] (dimensions/sample counts come from the
+    * actual raster/PCM, not the metadata struct — crawl metadata lies);
+    * undecodable payloads and the video modality take the stub path. Runs
+    * per-partition so codec state amortizes per batch, not per row. */
   def decodeFrames(media: Dataset[MediaRow], frameStep: Int = 10): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val real = if (m.modality == "image") ImageCodec.decode(m.payload) else None
-        real match {
-          case Some((w, h, px)) =>
+        val real: Option[Iterator[DecodedFrame]] = m.modality match {
+          case "image" => ImageCodec.decode(m.payload).map { case (w, h, px) =>
             Iterator.single(DecodedFrame(m.media_id, 0, w, h, px))
+          }
+          case "audio" => AudioCodec.decode(m.payload).map { case (rate, mono) =>
+            // one frame per second: width = samples in the window, height
+            // = 1, bytes = the window's 16-bit little-endian PCM
+            mono.grouped(rate).zipWithIndex.map { case (chunk, idx) =>
+              val px = new Array[Byte](chunk.length * 2)
+              var i = 0
+              while (i < chunk.length) {
+                px(2 * i) = (chunk(i) & 0xFF).toByte
+                px(2 * i + 1) = ((chunk(i) >> 8) & 0xFF).toByte
+                i += 1
+              }
+              DecodedFrame(m.media_id, idx, chunk.length, 1, px)
+            }
+          }
+          case _ => None
+        }
+        real match {
+          case Some(frames) => frames
           case None =>
             val nFrames = if (m.modality == "image") 1
               else ((m.meta.durationMs / 1000).toInt.max(1).min(30))

@@ -69,4 +69,20 @@ class ScaleGenSpec extends SparkTestBase {
       s"max cross-copy |cosine| ${cosines.map(math.abs).max}")
     assert(cosines.map(math.abs).sum / cosines.size < 0.2)
   }
+
+  test("a 2x scale point multiplies dedup output rows by exactly 2") {
+    // the end-to-end form of the decorrelation property: near-dup DENSITY
+    // is preserved, so the measured relation grows linearly in the copy
+    // count — verbatim replication would grow the embedding pairs ~4x
+    val out = java.nio.file.Files.createTempDirectory("sf2x").toString
+    ScaleGen.run(spark, sf, out, 2)
+    Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_minhash_lsh").foreach { q =>
+      val src = SparkEntry.queries(q)(spark, sf).count()
+      Caches.release(); spark.catalog.clearCache()
+      val scaled = SparkEntry.queries(q)(spark, out).count()
+      Caches.release(); spark.catalog.clearCache()
+      assert(scaled === 2 * src, s"$q: $src rows at 1x, $scaled at 2x")
+    }
+  }
 }
