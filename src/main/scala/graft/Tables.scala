@@ -30,6 +30,7 @@ object Tables {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

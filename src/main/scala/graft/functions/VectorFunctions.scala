@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Column-API surface for graft's native expressions. */
+object VectorFunctions {
+
+  /** Codegen'd integer dot product of two `Array[Long]` columns
+    * ([[LongArrayDot]]). */
+  def dotLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      LongArrayDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** SQL registration for graft's native expressions, the
+  * `SparkSessionExtensions` route: sessions built with
+  * `.withExtensions(new GraftExtensions)` (Tables.session does) can call
+  * `graft_dot(a, b)` from `spark.sql` / `expr` strings. The Column API
+  * ([[VectorFunctions]]) works on ANY session — including one the
+  * harness built without extensions — so operators use that; this hook
+  * exists for SQL-string users of the library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotLong)
+}
+
+object GraftExtensions {
+  val dotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => LongArrayDot(children.head, children(1)))
+}

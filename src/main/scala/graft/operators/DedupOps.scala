@@ -306,7 +306,7 @@ object DedupOps {
     * Block-local pairing bounds the pair space to Σ|block|² — at scale
     * blocks come from a clustering step, keeping blocks ~constant-sized. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    blockPairs(flattened(spark, dir), "label")
+    blockPairs(Caches.cached(quantized(spark, dir)), "label")
 
   /** Block-local pair scoring shared by the embedding near-dup family:
     * emit every same-block pair (vec_a < vec_b) with exact quantized
@@ -329,7 +329,7 @@ object DedupOps {
         col("a." + key) === col("b." + key) && col("a._salt") === col("b._salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a." + key).as(key), flatCosine("a", "b").as("cosine"))
+        col("a." + key).as(key), dotCosine("a", "b").as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
@@ -347,7 +347,7 @@ object DedupOps {
     * shape: two broadcast-assign + co-shuffled-update rounds for the
     * quantizer, then one self-join co-shuffled on the list id. */
   def embeddingNearDupAuto(spark: SparkSession, dir: String): DataFrame = {
-    val q = flattened(spark, dir)
+    val q = Caches.cached(quantized(spark, dir))
     // corpus count for the √n list-count rule: parquet metadata, no scan
     val nlist = KMeans.autoNlist(Tables.load(spark, dir, "embeddings").count())
     val (asg, _) = KMeans.fit(q, nlist = nlist)
@@ -359,7 +359,7 @@ object DedupOps {
   }
 
   /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity. */
-  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings").select(
       col("vec_id"), col("label"),
       transform(col("embedding"),
@@ -368,22 +368,18 @@ object DedupOps {
 
   val Dim = 64
 
-  /** Quantized vectors flattened to one column per dimension. The cache
-    * is a required barrier: without it, projection collapse would inline
-    * the quantizing `transform` into each of the 64 `element_at`s and
-    * re-evaluate it per column (the same quadratic trap as the shingle
-    * path). Flat columns keep the dot product in whole-stage codegen —
-    * higher-order array functions are not codegen'd. */
-  private[graft] def flattened(spark: SparkSession, dir: String): DataFrame = {
-    val q = Caches.cached(quantized(spark, dir))
-    q.select(Seq(col("vec_id"), col("label"), col("nrm")) ++
-      (0 until Dim).map(i => element_at(col("qv"), i + 1).as(s"q$i")): _*)
-  }
-
-  /** Exact cosine of two flattened vectors (codegen-friendly 64-term
-    * integer dot). */
-  private[operators] def flatCosine(a: String, b: String) = {
-    val dot = (0 until Dim).map(i => col(s"$a.q$i") * col(s"$b.q$i")).reduce(_ + _)
+  /** Exact cosine of two quantized vectors from their natural
+    * `Array[Long]` columns, via the native codegen'd
+    * [[graft.functions.LongArrayDot]] expression. History: rounds 1-6
+    * flattened vectors to one column per dimension because Spark's
+    * higher-order array functions are interpreted — measured 2.2-2.7×
+    * SLOWER than this native loop on the sf1 pair workloads (and 64×
+    * the column width through every shuffle/cache); the flattening
+    * workaround is gone. Callers must feed frames whose `qv` descends
+    * from a cache/checkpoint barrier so the quantizing `transform`
+    * isn't re-inlined per consumer. */
+  private[operators] def dotCosine(a: String, b: String) = {
+    val dot = graft.functions.VectorFunctions.dotLong(col(s"$a.qv"), col(s"$b.qv"))
     dot.cast("double") / sqrt(col(s"$a.nrm").cast("double")) / sqrt(col(s"$b.nrm").cast("double"))
   }
 

@@ -1,12 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Deterministic fixed-iteration Lloyd's k-means over integer-quantized,
-  * dimension-flattened embeddings — the production coarse quantizer
-  * feeding the IVF family ([[SimilarityOps.ivfTopK]],
+import graft.functions.VectorFunctions
+
+/** Deterministic fixed-iteration Lloyd's k-means over integer-quantized
+  * embedding vectors (`qv: Array[Long]`) — the production coarse
+  * quantizer feeding the IVF family ([[SimilarityOps.ivfTopK]],
   * [[DedupOps.embeddingNearDupAuto]]), replacing raw seed-vector
   * blocking with learned centroids.
   *
@@ -27,43 +28,45 @@ import org.apache.spark.sql.functions._
   * Fixed iteration count, no convergence test — the oracle can only
   * replay a known number of rounds. Per round the corpus is scanned
   * twice (one broadcast-assign pass, one co-shuffled update aggregate);
-  * centroids are nlist rows and always broadcast.
+  * centroids are nlist rows and always broadcast. Dot products run in
+  * the native codegen'd [[graft.functions.LongArrayDot]] loop; only the
+  * update's per-dimension sums project scalar components (a hash
+  * aggregate needs scalar aggregation buffers), and they re-assemble
+  * into the centroid's `cv` array immediately after the aggregate.
   */
 object KMeans {
 
   /** Lloyd's for `iters` rounds; returns (assignment, centroids) =
-    * ((vec_id, cl), (cl, c0..c63, cnrm)) with the centroids being the
-    * integer means OF that final assignment. The assignment frame is
-    * eagerly `localCheckpoint()`ed — a lineage cut, which consumers (who
-    * all use it at least twice) also get to reuse as materialized blocks;
-    * see the in-loop comment for why a cache alone is not enough.
+    * ((vec_id, cl), (cl, cv, cnrm)) with the centroids being the integer
+    * means OF that final assignment. The assignment frame is eagerly
+    * `localCheckpoint()`ed — a lineage cut, which consumers (who all use
+    * it at least twice) also get to reuse as materialized blocks; see
+    * the in-loop comment for why a cache alone is not enough.
     *
     * The `nlist` default (10) exists for unit specs; production callers
     * pass [[autoNlist]] so list count — and with it per-list size and the
     * block-local pair space of every consumer — scales as √n. */
-  def fit(flat: DataFrame, iters: Int = 2, nlist: Int = 10,
+  def fit(q: DataFrame, iters: Int = 2, nlist: Int = 10,
           firstSeed: Int = 10): (DataFrame, DataFrame) = {
-    val dim = DedupOps.Dim
-    var cents = flat
+    var cents = q
       .filter(col("vec_id") >= firstSeed && col("vec_id") < firstSeed + nlist)
-      .select(col("vec_id").as("cl") +: col("nrm").as("cnrm") +:
-        (0 until dim).map(i => col(s"q$i").as(s"c$i")): _*)
-    var asg: DataFrame = flat.select(col("vec_id"), col("vec_id").as("cl"))
+      .select(col("vec_id").as("cl"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    var asg: DataFrame = q.select(col("vec_id"), col("vec_id").as("cl"))
     for (_ <- 1 to iters) {
       // cut lineage at every half-round: a round's plan otherwise embeds
-      // several copies of `flat` through the previous round's centroids
+      // several copies of `q` through the previous round's centroids
       // and assignment, and the analyzer's self-join deduplication blows
       // up on the nested tree (measured: an un-checkpointed round 2
       // OOMs the driver before executing anything). Cost: centroids are
       // nlist rows; the assignment is 2 narrow columns per vector —
       // the same storage class as caching it, which consumers need
       // anyway. Blocks are context-cleaned when the frames are GC'd.
-      asg = assign(flat, cents).localCheckpoint()
+      asg = assign(q, cents).localCheckpoint()
       // the zero-centroid filter must sit ABOVE the checkpoint: below it,
-      // the predicate inlines to ~320 nodes of aliased arithmetic and
+      // the predicate inlines into the aggregate's aliased arithmetic and
       // Catalyst's constraint propagation explodes the driver heap; on
       // the leaf, cnrm is a plain attribute and the constraint is tiny
-      cents = update(flat, asg).localCheckpoint().filter(col("cnrm") > 0)
+      cents = update(q, asg).localCheckpoint().filter(col("cnrm") > 0)
     }
     (asg, cents)
   }
@@ -86,27 +89,26 @@ object KMeans {
     * ordering is lexicographic, so max scos wins and ties go to the
     * smaller cl via the negated id — identical semantics to the oracle's
     * `ORDER BY scos DESC, cl ASC ... rn = 1`. */
-  private def assign(flat: DataFrame, cents: DataFrame): DataFrame = {
-    val dim = DedupOps.Dim
-    val cos = (0 until dim).map(i => col(s"q$i") * col(s"c$i")).reduce(_ + _)
+  private def assign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val cos = VectorFunctions.dotLong(col("qv"), col("cv"))
       .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
-    flat.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cl"), cos.as("scos"))
       .groupBy("vec_id")
       .agg(max(struct(col("scos"), (-col("cl")).as("ncl"))).as("m"))
       .select(col("vec_id"), (-col("m.ncl")).as("cl"))
   }
 
-  /** (cl, c0..c63, cnrm): truncated integer means per list. The
-    * assignment attach is an explicit co-shuffle — it is corpus-length,
-    * so letting Catalyst broadcast it would OOM at real scale. */
-  private def update(flat: DataFrame, asg: DataFrame): DataFrame = {
+  /** (cl, cv, cnrm): truncated integer means per list. The assignment
+    * attach is an explicit co-shuffle — it is corpus-length, so letting
+    * Catalyst broadcast it would OOM at real scale. */
+  private def update(q: DataFrame, asg: DataFrame): DataFrame = {
     val dim = DedupOps.Dim
     val aggs = count(lit(1)).as("cnt") +:
-      (0 until dim).map(i => sum(col(s"q$i")).as(s"s$i"))
-    flat.join(asg.hint("shuffle_hash"), "vec_id")
+      (0 until dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    q.join(asg.hint("shuffle_hash"), "vec_id")
       .groupBy("cl").agg(aggs.head, aggs.tail: _*)
-      .select(col("cl") +: (0 until dim).map(i => expr(s"s$i div cnt").as(s"c$i")): _*)
-      .withColumn("cnrm", (0 until dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+      .select(col("cl"), array((0 until dim).map(i => expr(s"s$i div cnt")): _*).as("cv"))
+      .withColumn("cnrm", VectorFunctions.dotLong(col("cv"), col("cv")))
   }
 }

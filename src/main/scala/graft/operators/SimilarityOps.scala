@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *    bucketing; only same-bucket candidates are scored. The bucket id is
   *    computed per-row (no shuffle), candidates co-shuffle on bucket.
   *
-  * All arithmetic is integer-quantized and runs over dimension-flattened
-  * columns (DedupOps.flattened) so the 64-term dot products stay inside
-  * whole-stage codegen, and results are bit-deterministic and
-  * oracle-comparable.
+  * All arithmetic is integer-quantized over the vectors' natural
+  * `Array[Long]` columns; dot products run in the native codegen'd
+  * [[graft.functions.LongArrayDot]] loop (measured 2.2-2.7× faster than
+  * the 64-flat-column workaround it replaced, see ARCHITECTURE.md), and
+  * results are bit-deterministic and oracle-comparable.
   */
 object SimilarityOps {
 
@@ -30,14 +31,14 @@ object SimilarityOps {
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < 10). */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
-    bruteForceTopKFrom(DedupOps.flattened(spark, dir))
+    bruteForceTopKFrom(graft.Caches.cached(DedupOps.quantized(spark, dir)))
 
   private def bruteForceTopKFrom(q: DataFrame): DataFrame = {
     val queries = q.filter(col("vec_id") < NQueries)
     val pairs = broadcast(queries).as("a").join(q.as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"),
-        DedupOps.flatCosine("a", "b").as("cosine"))
+        DedupOps.dotCosine("a", "b").as("cosine"))
     rank(pairs)
   }
 
@@ -57,7 +58,7 @@ object SimilarityOps {
   /** (vec_id, t, bucket) per hash table — multi-table random-hyperplane
     * LSH (single-table recall was measured at ~8% on this corpus by
     * [[lshRecall]]; independent tables union their candidates, the
-    * standard recall lever). Ids only: the flattened vectors are NOT
+    * standard recall lever). Ids only: the quantized vectors are NOT
     * carried through the explode, so the candidate join below moves
     * 3-column rows.
     *
@@ -65,17 +66,18 @@ object SimilarityOps {
     * so the weight vector depends only on `c = (2h + 3t) % 7` — the 16
     * (table, plane) pairs share just 7 distinct hyperplanes. Computing
     * the 7 dot products once per row and assembling the 16 sign bits
-    * from them is algebraically identical to the naive 16-dot form but
-    * generates 448 instead of 1024 multiply-adds — keeping the projection
-    * comfortably inside whole-stage codegen limits (the naive form's
-    * generated method was the dominant compile+run cost at sf0.1). */
-  private[operators] def bucketIds(flat: DataFrame): DataFrame = {
+    * from them is algebraically identical to the naive 16-dot form at
+    * 7/16 the arithmetic; each hyperplane product is one native
+    * [[graft.functions.LongArrayDot]] loop against a constant weight
+    * array (rounds 1-6 unrolled 448 multiply-add terms here to stay
+    * inside codegen method-size limits — the loop form doesn't need
+    * the workaround). */
+  private[operators] def bucketIds(q: DataFrame): DataFrame = {
     val dots = (0 until 7).map { c =>
       // representative (t, h) for class c: t = 0, h = 4c mod 7
       // (4 = 2⁻¹ mod 7), so the weights come from planeWeight itself
-      (0 until DedupOps.Dim)
-        .map(i => col(s"q$i") * lit(planeWeight(0, (4 * c) % 7, i + 1))).reduce(_ + _)
-        .as(s"dot$c")
+      val w = (0 until DedupOps.Dim).map(i => planeWeight(0, (4 * c) % 7, i + 1).toLong)
+      graft.functions.VectorFunctions.dotLong(col("qv"), typedlit(w)).as(s"dot$c")
     }
     val tables = (0 until NTables).map { t =>
       val bucketCol = (0 until NPlanes).map { h =>
@@ -83,7 +85,7 @@ object SimilarityOps {
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucketCol.as("bucket"))
     }
-    flat.select(col("vec_id") +: dots: _*)
+    q.select(col("vec_id") +: dots: _*)
       .withColumn("tb", explode(array(tables: _*)))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
@@ -102,22 +104,22 @@ object SimilarityOps {
     * of (pairs, corpus) on vec_id, both sides bounded, no O(corpus)
     * driver collect. Same output schema as brute force. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    lshTopKFrom(graft.Caches.cached(DedupOps.flattened(spark, dir)))
+    lshTopKFrom(graft.Caches.cached(DedupOps.quantized(spark, dir)))
 
-  private def lshTopKFrom(flat: DataFrame): DataFrame = {
-    val b = bucketIds(flat)
+  private def lshTopKFrom(q: DataFrame): DataFrame = {
+    val b = bucketIds(q)
     val qb = b.filter(col("vec_id") < NQueries)
     val cand = broadcast(qb).as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor"))
       .distinct()
-    val queries = flat.filter(col("vec_id") < NQueries)
+    val queries = q.filter(col("vec_id") < NQueries)
     val pairs = cand
       .join(broadcast(queries.as("a")), col("query_id") === col("a.vec_id"))
-      .join(flat.as("b"), col("neighbor") === col("b.vec_id"))
+      .join(q.as("b"), col("neighbor") === col("b.vec_id"))
       .select(col("query_id"), col("neighbor"),
-        DedupOps.flatCosine("a", "b").as("cosine"))
+        DedupOps.dotCosine("a", "b").as("cosine"))
     rank(pairs)
   }
 
@@ -157,13 +159,13 @@ object SimilarityOps {
     * methodology; see ARCHITECTURE.md. The corpus count driving nlist is
     * a parquet metadata read, not a scan. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.Caches.cached(DedupOps.flattened(spark, dir))
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val nlist = KMeans.autoNlist(graft.Tables.load(spark, dir, "embeddings").count())
     val (asg, cents) = KMeans.fit(q, nlist = nlist, firstSeed = NQueries)
     // corpus-length assignment: co-shuffle, never broadcast
     val lists = q.join(asg.hint("shuffle_hash"), "vec_id")
     val queries = q.filter(col("vec_id") < NQueries)
-    val probeCos = (0 until DedupOps.Dim).map(i => col(s"q$i") * col(s"c$i")).reduce(_ + _)
+    val probeCos = graft.functions.VectorFunctions.dotLong(col("a.qv"), col("c.cv"))
       .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
     val probes = broadcast(queries).as("a").crossJoin(broadcast(cents).as("c"))
       .select(col("a.vec_id").as("query_id"), col("c.cl").as("probe_cl"),
@@ -176,7 +178,7 @@ object SimilarityOps {
       .join(lists.as("b"),
         col("probe_cl") === col("b.cl") && col("query_id") =!= col("b.vec_id"))
       .select(col("query_id"), col("b.vec_id").as("neighbor"),
-        DedupOps.flatCosine("a", "b").as("cosine"))
+        DedupOps.dotCosine("a", "b").as("cosine"))
     rank(pairs)
   }
 
@@ -184,11 +186,11 @@ object SimilarityOps {
     * the exact brute-force top-k — the metric that tunes plane count /
     * bucket granularity before a production rollout. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    // one cached flattened projection shared by both arms — the brute
+    // one cached quantized projection shared by both arms — the brute
     // and LSH paths otherwise each materialize their own copy
-    val flat = graft.Caches.cached(DedupOps.flattened(spark, dir))
-    val brute = bruteForceTopKFrom(flat).select(col("query_id"), col("neighbor"))
-    val lsh = lshTopKFrom(flat)
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val brute = bruteForceTopKFrom(q).select(col("query_id"), col("neighbor"))
+    val lsh = lshTopKFrom(q)
       .select(col("query_id").as("q2"), col("neighbor").as("n2"))
     brute.join(lsh,
         col("query_id") === col("q2") && col("neighbor") === col("n2"), "left")

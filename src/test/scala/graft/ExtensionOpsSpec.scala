@@ -72,7 +72,7 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("kmeans: assignment is total and centroids are the truncated integer means") {
-    val q = DedupOps.flattened(spark, sf)
+    val q = Caches.cached(DedupOps.quantized(spark, sf))
     val (asg, cents) = KMeans.fit(q)
     val n = q.count()
     // total, unique assignment into the seeded id range
@@ -84,11 +84,11 @@ class ExtensionOpsSpec extends SparkTestBase {
     // component-wise sum-div-count (truncation toward zero, like Spark's
     // `div`) of its assigned members, plus the squared norm
     val dim = DedupOps.Dim
-    val vecs = q.select((col("vec_id") +: (0 until dim).map(i => col(s"q$i"))): _*)
-      .collect().map(r => r.getLong(0) -> (0 until dim).map(i => r.getLong(i + 1)).toArray).toMap
+    val vecs = q.select(col("vec_id"), col("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     val byCl = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val got = cents.collect().map { r =>
-      r.getAs[Long]("cl") -> ((0 until dim).map(i => r.getAs[Long](s"c$i")).toArray, r.getAs[Long]("cnrm"))
+      r.getAs[Long]("cl") -> (r.getSeq[Long](r.fieldIndex("cv")).toArray, r.getAs[Long]("cnrm"))
     }.toMap
     assert(got.keySet === byCl.keySet.filter { cl =>
       val m = byCl(cl).map(vecs)
