@@ -337,6 +337,40 @@ object Oracles {
       | SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val FROM customer
       |) t ORDER BY c_custkey, attr""".stripMargin
 
+  /** As-of join — the DuckDB twin of EventOps.asofJoin. Same tagged
+    * union + running last_value(IGNORE NULLS) program; the tie-break
+    * column is non-null only on the order side, so the engines'
+    * differing null orderings cannot change the carried value. */
+  val evtAsofJoin: String =
+    """WITH u AS (
+      | SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side, event_id,
+      |  CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice
+      | FROM events
+      | UNION ALL
+      | SELECT o_custkey, epoch_ms(o_orderdate), 0, NULL, o_orderkey, o_totalprice
+      | FROM orders),
+      |w AS (SELECT *,
+      |  last_value(CASE WHEN side = 0 THEN o_orderkey END IGNORE NULLS) OVER win AS lk,
+      |  last_value(CASE WHEN side = 0 THEN o_totalprice END IGNORE NULLS) OVER win AS lp
+      | FROM u WINDOW win AS (PARTITION BY k ORDER BY t, side, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, k AS user_id, t AS ms, lk AS o_orderkey, lp AS o_totalprice
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+
+  /** Point-in-interval range join — the DuckDB twin of
+    * EventOps.rangeJoin. DuckDB runs the inequality join directly (its
+    * IEJoin handles sf0.01); the Spark side bucketizes — same rows. */
+  val evtRangeJoin: String =
+    """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      | count(*) AS n_hits,
+      | CAST(CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM e p JOIN e c ON c.user_id = p.user_id
+      | AND c.event_type IN ('click', 'view')
+      | AND c.ms >= p.ms - 3600000 AND c.ms < p.ms
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Weekly retention cohorts — the DuckDB twin of EventOps.retention. */
   val evtRetention: String =
     """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),

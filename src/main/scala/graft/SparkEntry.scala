@@ -64,6 +64,8 @@ object SparkEntry {
     "evt_running_total" -> (EventOps.runningTotal _),
     "evt_props_profile" -> (EventOps.propsProfile _),
     "evt_retention" -> (EventOps.retention _),
+    "evt_asof_join" -> (EventOps.asofJoin _),
+    "evt_range_join" -> (EventOps.rangeJoin _),
     "text_corpus_filter" -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
   )
 
@@ -174,6 +176,8 @@ object SparkEntry {
     "evt_running_total" -> Oracles.evtRunningTotal,
     "evt_props_profile" -> Oracles.evtPropsProfile,
     "evt_retention" -> Oracles.evtRetention,
+    "evt_asof_join" -> Oracles.evtAsofJoin,
+    "evt_range_join" -> Oracles.evtRangeJoin,
     "text_corpus_filter" -> Oracles.textCorpusFilter,
   )
 }

@@ -116,6 +116,79 @@ object EventOps {
       .orderBy("cohort", "k")
   }
 
+  /** As-of join: each event picks the MOST RECENT order of the same
+    * customer (order time ≤ event time; ties on time broken by the
+    * larger o_orderkey). This is the operator SQL engines special-case
+    * as `ASOF JOIN`; the Spark-native shape is a tagged union — both
+    * sides union on (key, time) and a running `last(ignoreNulls)` window
+    * carries the latest order forward onto each event. ONE shuffle on
+    * the join key, no per-event probe join, no inequality-join
+    * explosion: at 100 TB the union shuffles each side once on a
+    * well-distributed key (user) and the window is a single ordered pass
+    * per key — the same cost class as sessionization, where the naive
+    * `max(time) WHERE time <= t` correlated form is quadratic per key.
+    * Orders sort before events at the same millisecond (side 0 < 1), so
+    * an order landing exactly on the event time IS visible to it. The
+    * tie-break column is non-null exactly on the order side, so engines'
+    * differing null orderings cannot reorder anything observable. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("k"), msCol.as("t"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+    val o = Tables.load(spark, dir, "orders")
+      // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned to
+      // UTC, so the cast matches DuckDB's epoch_ms reading exactly
+      .select(col("o_custkey").as("k"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("side").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_o", last(when(col("side") === 0,
+        struct(col("o_orderkey"), col("o_totalprice"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ms"),
+        col("last_o.o_orderkey").as("o_orderkey"),
+        col("last_o.o_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Point-in-interval range join: every `purchase` event opens a 1-hour
+    * attribution window `[ts-1h, ts)`; count and value-sum the same
+    * user's `click`/`view` events inside it. The naive form is an
+    * inequality join — quadratic in per-user history and a
+    * nested-loop plan. The scale shape BUCKETIZES time at the window
+    * length: an interval of length H overlaps at most 2 buckets of size
+    * H, so intervals explode into ≤2 bucket rows and the join becomes an
+    * EQUI-join on (user, bucket) with the exact range check left as a
+    * residual filter. Pair space is bounded by per-bucket event density
+    * — constant in corpus age — instead of per-user history length, and
+    * the plan is a plain shuffled equi-join AQE can size. The
+    * `array_distinct` guards the aligned case (window start exactly on a
+    * bucket boundary) from double-joining its rows. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val points = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ms").as("pms"), col("value"),
+        expr(s"ms div $H").as("bucket"))
+    val ivs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("ims"))
+      .withColumn("bucket", explode(array_distinct(array(
+        expr(s"(ims - $H) div $H"), expr(s"ims div $H")))))
+    points.as("p").join(ivs.as("i"),
+        col("p.user_id") === col("i.user_id") && col("p.bucket") === col("i.bucket") &&
+          col("p.pms") >= col("i.ims") - H && col("p.pms") < col("i.ims"))
+      .groupBy(col("i.purchase_id"), col("i.user_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(dec(col("p.value"))).as("d_value"))
+      .select(col("purchase_id"), col("user_id"), col("n_hits"),
+        col("d_value").cast("double").as("sum_value"))
+      .orderBy("purchase_id")
+  }
+
   /** Semi-structured extraction from the JSON-ish `props` column (the
     * reference's GFF3 attribute-split P14/S11 analogue,
     * ccmm/mgd/ref_genome_dataset.py:159-168): regex-extract a typed field,

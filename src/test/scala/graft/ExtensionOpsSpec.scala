@@ -29,6 +29,44 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("evt: as-of join matches a brute-force latest-order-per-event recomputation") {
+    val out = EventOps.asofJoin(spark, sf).collect()
+    val events = Tables.load(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "ts div 1000000 as ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "unix_millis(cast(o_orderdate as timestamp)) as ms", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.length === events.length, "one output row per event")
+    val got = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    events.foreach { case (eid, uid, ems) =>
+      // expected: max (ms, orderkey) among the user's orders at or before ems
+      val expect = orders.getOrElse(uid, Array.empty[(Long, Long, Long)])
+        .filter(_._2 <= ems).sortBy(o => (o._2, o._3)).lastOption.map(_._3)
+      assert(got(eid) === expect, s"event $eid")
+    }
+  }
+
+  test("evt: bucketized range join matches brute force and stays an equi-join") {
+    val df = EventOps.rangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucketization must keep the range join an equi-join")
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "ts div 1000000 as ms", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val points = ev.filter(e => e._4 == "click" || e._4 == "view").groupBy(_._2)
+    val expect = ev.filter(_._4 == "purchase").flatMap { case (pid, uid, pms, _) =>
+      val n = points.getOrElse(uid, Array.empty[(Long, Long, Long, String)])
+        .count(c => c._3 >= pms - 3600000L && c._3 < pms)
+      if (n > 0) Some(pid -> n.toLong) else None
+    }.toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
   test("evt: retention cohorts — week 0 is 100%, later weeks never exceed it") {
     val rows = EventOps.retention(spark, sf).collect()
     assert(rows.nonEmpty)
