@@ -37,6 +37,20 @@ object Oracles {
        | CAST(count(DISTINCT tok) AS DOUBLE)/count(*) AS type_token_ratio
        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Linear-idf distinctive terms — the DuckDB twin of
+    * TextOps.distinctiveTerms (exact-integer score, no float log). */
+  val textDistinctiveTerms: String =
+    s"""WITH $W,
+       |tok AS (SELECT doc_id, t.tok FROM w, UNNEST(ws) AS t(tok)),
+       |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |r AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score,
+       |  row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY (tf * 1000000) // df DESC, term ASC) AS rnk
+       |  FROM tf JOIN df USING (term))
+       |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val textQuality: String =
     s"""WITH $W,
        |tok AS (SELECT doc_id, lang, t.tok FROM w, UNNEST(ws) AS t(tok)),

@@ -36,6 +36,7 @@ object SparkEntry {
     "rel_customer_deciles" -> (Projections.customerDeciles _),
     "rel_customer_unpivot" -> (Projections.customerUnpivot _),
     "text_token_stats" -> (TextOps.tokenStats _),
+    "text_distinctive_terms" -> (TextOps.distinctiveTerms _),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprint _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "rel_customer_deciles" -> Oracles.relCustomerDeciles,
     "rel_customer_unpivot" -> Oracles.relCustomerUnpivot,
     "text_token_stats" -> Oracles.textTokenStats,
+    "text_distinctive_terms" -> Oracles.textDistinctiveTerms,
     "text_quality" -> Oracles.textQuality,
     "text_lang_id" -> Oracles.textLangId,
     "text_fingerprint" -> Oracles.textFingerprint,

@@ -55,6 +55,36 @@ object TextOps {
 
   /** Per-document token statistics (token counting — north-star op;
     * whitespace tokenizer per the reference's string-keyed row model). */
+  /** Top-3 distinctive terms per document — TF-IDF with a LINEAR inverse
+    * document frequency: score = (tf · 10⁶) div df, descending, ties to
+    * the lexicographically smaller term. The textbook log-idf is
+    * deliberately replaced by the tf/df ratio because the ranking must be
+    * engine-replayable bit-for-bit and libm's `log` differs in final ulps
+    * across engines; the ratio keeps everything in exact integers while
+    * preserving the "frequent here, rare elsewhere" ordering intent.
+    *
+    * Shuffle shape at scale: tf = one (doc, term)-keyed aggregate; df =
+    * one term-keyed aggregate OVER the tf frame (already deduped per
+    * doc, so the df aggregate moves ≤ one row per (doc, term), not one
+    * per occurrence); the tf⋈df attach co-shuffles on term — df is
+    * vocabulary-sized and unbounded, so it is hinted shuffle_hash rather
+    * than trusted to a broadcast that OOMs on a 100 TB vocabulary; the
+    * final top-k is a per-doc window over ≤ |doc vocabulary| rows. */
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(Texty.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.Caches.cached(_)) // read twice: df aggregate + attach join
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df.hint("shuffle_hash"), "term")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

@@ -29,6 +29,27 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("text: distinctive terms match a brute-force linear-idf recomputation") {
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty)).toMap
+    val tf = docs.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (t, g) => (id, t, g.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = tf.groupBy(_._1).flatMap { case (id, terms) =>
+      terms.map { case (_, t, f) => (t, f, f * 1000000L / df(t)) }
+        .sortBy { case (t, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((t, f, s), i) => (id, i + 1L) -> ((t, f, df(t), s)) }
+    }
+    val got = TextOps.distinctiveTerms(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got === expect)
+    Caches.release()
+  }
+
   test("evt: as-of join matches a brute-force latest-order-per-event recomputation") {
     val out = EventOps.asofJoin(spark, sf).collect()
     val events = Tables.load(spark, sf, "events")
