@@ -28,3 +28,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// One forked JVM per suite, several at once: the suites are mutually
+// independent (each JVM gets its own SparkSession, temp dirs, and Caches
+// registry — the cross-suite Caches.release() races a shared-JVM parallel
+// run would hit cannot occur), so ~16 sequential suite-minutes collapse
+// to the longest few. Heaviest suites are scheduled first so they don't
+// straggle at the tail. 8 groups × local[4] sessions = the 32 cores.
+Test / testGrouping := {
+  // each group's JVM sees 4 processors: without the cap every forked JVM
+  // sizes its GC and thread pools for all 32 cores, and 8 concurrent
+  // JVMs × 32-thread pools thrash each other (measured ~6× per-suite
+  // inflation); the test sessions are local[4] anyway
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector
+    ++ Seq("-XX:ActiveProcessorCount=4"))
+  val heavy = Seq("ExtensionOpsSpec", "TopmedPipelineSpec", "SinksSpec",
+    "StreamingRetentionSpec", "StreamingAsofSpec", "ScaleGenSpec",
+    "StreamingMultimodalSpec").zipWithIndex.toMap
+  (Test / definedTests).value
+    .sortBy(t => heavy.collectFirst { case (n, i) if t.name.endsWith(n) => i }
+      .getOrElse(99))
+    .map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(opts)))
+}
+// REPLACE the default restrictions: sbt ships Tags.limit(ForkedTestGroup, 1)
+// by default, and appending a larger limit would not loosen it (the most
+// restrictive tag rule wins)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 8),
+  Tags.limitAll(12))

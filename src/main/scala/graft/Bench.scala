@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JSON-escape a string for the hand-built result lines. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,8 +46,24 @@ object Bench {
     // proved too noisy to attribute regressions (see ARCHITECTURE.md);
     // the min is the least-interference estimate of the plan's cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val partialPath = java.nio.file.Paths.get(outPath.toString + "l") // .jsonl
+    java.nio.file.Files.deleteIfExists(partialPath)
+
+    def resultLine(done: Seq[(String, Double, Option[String])], partial: Boolean): String = {
+      val qs = done.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      val errs = done.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      val errField =
+        if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+      val partialField = if (partial) s""","partial":true""" else ""
+      val total = done.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$partialField,"sf":"$sfDir"}"""
+    }
+
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Option[String])]
+    selected.foreach { case (name, fn) =>
+      def once(): Either[String, Double] = {
         // clear caches so each query is timed standalone (operators that
         // cache internally would otherwise borrow earlier queries' work);
         // release() additionally drains the registry so unpersist isn't
@@ -42,21 +71,32 @@ object Bench {
         Caches.release()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(300)}")
+        }
       }
-      name -> times.min
+      once() // untimed warm-up rep: first-position JIT/codegen cost otherwise
+             // contaminates whichever query happens to run first (r7 verdict:
+             // 12.0 s first-position vs 0.82 s isolated for the same plan)
+      val runs = (1 to reps).map(_ => once())
+      val times = runs.collect { case Right(s) => s }
+      val err = runs.collectFirst { case Left(e) => e }
+      // a failed query reports -1 (never a plausible duration) plus err —
+      // the old harness timed the exception and filed it as a fast run
+      val secs = if (times.nonEmpty) times.min else -1.0
+      done += ((name, secs, err))
+      // persist incrementally: one JSONL row per query as it completes, and
+      // the full result line rewritten each time — a crash mid-suite (the
+      // r7 artifact loss) now costs at most the in-flight query
+      java.nio.file.Files.writeString(partialPath,
+        s"""{"name":${jstr(name)},"secs":$secs,"err":${err.map(jstr).getOrElse("null")}}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      java.nio.file.Files.writeString(outPath,
+        resultLine(done.toSeq, partial = done.size < selected.size) + "\n")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the result line: the stdout route is lossy (log
-    // interleaving has left round artifacts with parsed=null), and a
-    // file keeps the per-query numbers machine-readable regardless
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    // the stdout route stays: the driver parses the ONE printed JSON line
+    println(resultLine(done.toSeq, partial = false))
     spark.stop()
   }
 }

@@ -14,7 +14,9 @@ object PlanAudit {
       "rel_pricing_summary", "rel_revenue_by_nation",
       "dedup_minhash_lsh", "sim_brute_topk",
       "text_stratified_sample", "text_pack_sequences",
-      "dedup_embedding_cosine", "dedup_embedding_auto").map { name =>
+      "dedup_embedding_cosine", "dedup_embedding_auto",
+      "evt_asof_join",
+      "text_distinctive_terms", "text_lang_id").map { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.explain("formatted")
@@ -55,6 +57,47 @@ object PlanAudit {
       "embedding auto near-dup pair join must be a shuffled hash join")
     assert(!autoPlan.contains("BroadcastHashJoin"),
       "embedding auto near-dup must not broadcast-join the corpus")
+    // the as-of join is JOIN-FREE by construction (tagged union + running
+    // window): exactly one hash exchange (the window's partitioning on the
+    // join key) and no join operator of any kind — in particular never the
+    // BroadcastNestedLoopJoin an inequality-join formulation degenerates to
+    val asofPlan = frames("evt_asof_join").queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"),
+      "as-of join must compile to a window pass, not a join operator")
+    val nHashEx = "Exchange hashpartitioning".r.findAllIn(asofPlan).length
+    assert(nHashEx == 1,
+      s"as-of join must shuffle exactly once on the join key, found $nHashEx hash exchanges")
+    // the range join is bucketized: a plain shuffled EQUI-join on
+    // (user, bucket) with the exact range check as a residual predicate —
+    // never a nested-loop / cartesian plan, whose pair space is per-user
+    // history length instead of per-bucket density. At sf0.001 the build
+    // side is KB-sized and the planner would (legitimately) broadcast it;
+    // the audit pins the AT-SCALE shape — where neither side fits an
+    // executor — by planning this one frame with auto-broadcast off.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rangeDf = SparkEntry.queries("evt_range_join")(spark, dir)
+    println("\n===== evt_range_join (auto-broadcast off) =====")
+    rangeDf.explain("formatted")
+    val rangePlan = rangeDf.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(rangePlan.contains("SortMergeJoin") || rangePlan.contains("ShuffledHashJoin"),
+      "range join must be a shuffled equi-join on (user, bucket)")
+    assert(!rangePlan.contains("NestedLoop") && !rangePlan.contains("Cartesian"),
+      "range join must not degenerate to a nested-loop/cartesian plan")
+    // both tf⋈df attaches are vocabulary-sized joins: co-shuffled on the
+    // term/token key, never a broadcast (corpus vocabulary is unbounded at
+    // 100 TB — a broadcast build side is an executor OOM)
+    val dtPlan = frames("text_distinctive_terms").queryExecution.executedPlan.toString
+    assert(dtPlan.contains("ShuffledHashJoin"),
+      "distinctive terms df attach must be a shuffled hash join")
+    assert(!dtPlan.contains("BroadcastExchange"),
+      "distinctive terms must not broadcast the vocabulary")
+    val lidPlan = frames("text_lang_id").queryExecution.executedPlan.toString
+    assert(lidPlan.contains("ShuffledHashJoin"),
+      "lang-id profile attach must be a shuffled hash join")
+    assert(!lidPlan.contains("BroadcastExchange"),
+      "lang-id must not broadcast the corpus-vocabulary profile")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

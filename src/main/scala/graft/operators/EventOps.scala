@@ -131,12 +131,18 @@ object EventOps {
     * an order landing exactly on the event time IS visible to it. The
     * tie-break column is non-null exactly on the order side, so engines'
     * differing null orderings cannot reorder anything observable. */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "events")
-      .select(col("user_id").as("k"), msCol.as("t"), lit(1).as("side"),
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinFrom(
+      Tables.load(spark, dir, "events").withColumn("ms", msCol),
+      Tables.load(spark, dir, "orders"))
+
+  /** [[asofJoin]] over explicit (event_id, user_id, ms) / orders frames. */
+  def asofJoinFrom(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id").as("k"), col("ms").as("t"), lit(1).as("side"),
         col("event_id"), lit(null).cast("long").as("o_orderkey"),
         lit(null).cast("double").as("o_totalprice"))
-    val o = Tables.load(spark, dir, "orders")
+    val o = orders
       // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned to
       // UTC, so the cast matches DuckDB's epoch_ms reading exactly
       .select(col("o_custkey").as("k"),

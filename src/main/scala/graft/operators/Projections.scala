@@ -84,6 +84,9 @@ object Projections {
       .withColumn("lrn", row_number().over(
         Window.partitionBy("pid").orderBy(sortCols: _*)).cast("long"))
       .transform(graft.Caches.cached(_))
+    // these two partition-less windows run over the nParts-row (≤32)
+    // offsets frame only — WindowExec's "No Partition Defined" warning on
+    // them is benign; the data-sized frame never sees such a window
     val wPrev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

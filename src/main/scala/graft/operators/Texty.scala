@@ -128,9 +128,14 @@ object TextOps {
     * (north-star op). Trains per-(lang, token) occurrence counts from the
     * corpus itself, scores each document against every language profile in
     * exact integer arithmetic, picks argmax with a lexicographic tiebreak.
-    * Two shuffles: token-frequency build (keys: lang × 31-word vocab —
-    * tiny) and the doc×lang score aggregation keyed by doc_id. The profile
-    * table is broadcast — at 100 TB the profile stays KB-sized. */
+    * Two shuffles: token-frequency build and the doc×lang score
+    * aggregation keyed by doc_id. The profile attach CO-SHUFFLES on token
+    * (same discipline as [[distinctiveTerms]]): the profile is
+    * (lang × corpus vocabulary) counts, and a 100 TB corpus's vocabulary
+    * is unbounded — broadcasting it is an executor OOM, so it is hinted
+    * shuffle_hash and PlanAudit machine-asserts no BroadcastExchange.
+    * Per-key build rows are ≤ n_languages, so the shuffled join's build
+    * side stays tiny even on stopword-class hot tokens. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val tok = docs
@@ -140,7 +145,7 @@ object TextOps {
     val docTok = tok.groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("d_cnt"))
     val scored = docTok
-      .join(broadcast(profile), col("tok") === col("p_tok"))
+      .join(profile.hint("shuffle_hash"), col("tok") === col("p_tok"))
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
       .agg(sum(col("d_cnt") * col("p_cnt")).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)

@@ -215,6 +215,10 @@ object Readers {
                          accessions: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // the scrape blob is a hand-pasted KB-scale literal (S14) — the
+    // coalesce(1) and the partition-less line-number windows below are
+    // deliberately single-task over that bounded frame (they trip
+    // WindowExec's "No Partition Defined" warning; it is benign here)
     val raw = spark.read.text(path).coalesce(1)
       .withColumn("lnum0", monotonically_increasing_id())
     // split-before-Versions preprocessing: a glued line becomes two

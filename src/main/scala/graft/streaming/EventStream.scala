@@ -187,6 +187,137 @@ object EventStream {
       .orderBy("cohort", "k")
   }
 
+  /** Tagged-union input row for the streaming as-of join: side 0 = order,
+    * side 1 = event (the same tagging as the batch operator's union;
+    * EventOps.asofJoinFrom). `event_time` carries ms for the watermark. */
+  final case class AsofInput(user_id: Long, side: Int, event_id: Long, ms: Long,
+                             o_orderkey: Long, o_totalprice: Double,
+                             event_time: java.sql.Timestamp)
+  /** Changelog row: ±1 increments of the enrichment relation. Summing
+    * deltas per event converges to the batch as-of answer. */
+  final case class AsofDelta(event_id: Long, user_id: Long, ms: Long,
+                             o_orderkey: Option[Long], o_totalprice: Option[Double],
+                             delta: Long)
+  /** Per-key as-of state: orders seen (compacted below the watermark) and
+    * the events already emitted with their current match — the match keeps
+    * its (time, orderkey, price) triple so a late order can be compared
+    * against it. */
+  final case class AsofState(orders: List[(Long, Long, Double)],
+                             events: List[(Long, Long, Option[(Long, Long, Double)])])
+
+  /** Streaming twin of [[graft.operators.EventOps.asofJoin]], as a
+    * CHANGELOG (same shape as [[retentionDeltas]]): each event is enriched
+    * with the most recent same-key order at or before its time — ties on
+    * time to the larger o_orderkey — and emitted as a +1 delta. A changelog
+    * is the only append-mode form that can be exact under out-of-order
+    * arrival: an order arriving LATE (but inside the watermark) can be the
+    * true as-of match of an event already emitted, so the operator retracts
+    * the stale enrichment (−1 under the old match) and re-emits under the
+    * new one; consumers that sum deltas converge to the batch join for any
+    * admissible arrival order ([[asofRollup]] is that consumer).
+    *
+    * State per key is watermark-bounded on both sides: events below the
+    * watermark are evicted (no admissible future order can out-date their
+    * match — late rows beyond the watermark are dropped before the
+    * operator); orders below the watermark compact to the single best
+    * (time, orderkey) entry, which is all any future event can match below
+    * that point. At 100 TB this is the same cost class as the batch twin:
+    * one shuffle of each side on the join key, state O(in-horizon rows per
+    * key). */
+  def asofDeltas(tagged: Dataset[AsofInput]): Dataset[AsofDelta] = {
+    import tagged.sparkSession.implicits._
+    // match preference: lexicographic (time, orderkey) max among orders
+    // with time <= the event's time — exactly the batch window's
+    // last-row-wins under (t asc, side asc, o_orderkey asc)
+    def better(a: (Long, Long, Double), b: (Long, Long, Double)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+    tagged
+      .withWatermark("event_time", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[AsofInput], state: GroupState[AsofState]) =>
+          if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+            var out = List.empty[AsofDelta]
+            def delta(eid: Long, ems: Long, m: Option[(Long, Long, Double)], d: Long) =
+              AsofDelta(eid, userId, ems, m.map(_._2), m.map(_._3), d)
+            // orders before events at the same ms (side 0 < 1), as in batch
+            val rows = it.toSeq.sortBy(r => (r.ms, r.side, r.o_orderkey))
+            rows.foreach { r =>
+              if (r.side == 0) {
+                val o = (r.ms, r.o_orderkey, r.o_totalprice)
+                st = st.copy(orders = o :: st.orders)
+                // retroactive repair: retract + re-emit every retained
+                // event whose true as-of match this order now is
+                st = st.copy(events = st.events.map { case (eid, ems, cur) =>
+                  if (o._1 <= ems && cur.forall(better(o, _))) {
+                    out ::= delta(eid, ems, cur, -1L)
+                    out ::= delta(eid, ems, Some(o), 1L)
+                    (eid, ems, Some(o))
+                  } else (eid, ems, cur)
+                })
+              } else {
+                val m = st.orders.filter(_._1 <= r.ms)
+                  .reduceOption((a, b) => if (better(a, b)) a else b)
+                out ::= delta(r.event_id, r.ms, m, 1L)
+                st = st.copy(events = (r.event_id, r.ms, m) :: st.events)
+              }
+            }
+            // watermark-bounded eviction: events below the watermark can
+            // never be repaired again (later-arriving orders are at or
+            // above it); orders below it compact to the single best entry
+            val wm = state.getCurrentWatermarkMs()
+            if (wm > 0) {
+              val (oldO, newO) = st.orders.partition(_._1 < wm)
+              val floor = oldO.reduceOption((a, b) => if (better(a, b)) a else b)
+              st = AsofState(
+                newO ++ floor.toList,
+                st.events.filter(_._2 >= wm))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              (rows.map(_.ms).max + 4 * 3600 * 1000L).max(wm + 1))
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** Materialize an as-of changelog into the batch join's output shape —
+    * the delta-compaction query of the [[asofDeltas]] changelog: rows whose
+    * summed delta is +1 are the current enrichment. */
+  def asofRollup(deltas: DataFrame): DataFrame =
+    deltas.groupBy("event_id", "user_id", "ms", "o_orderkey", "o_totalprice")
+      .agg(sum(col("delta")).as("d"))
+      .filter(col("d") > 0)
+      .select(col("event_id"), col("user_id"), col("ms"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("event_id")
+
+  /** Bounded tagged-union source for [[asofDeltas]]: the events and orders
+    * parquet files of a testdata dir as one tagged file-stream (the
+    * streaming face of EventOps.asofJoinFrom's union). */
+  def readTaggedAsof(spark: SparkSession, dir: String): Dataset[AsofInput] = {
+    import spark.implicits._
+    val eSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val oSchema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val e = spark.readStream.schema(eSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), lit(1).as("side"), col("event_id"),
+        expr("ts div 1000000").as("ms"),
+        lit(-1L).as("o_orderkey"), lit(0.0).as("o_totalprice"))
+    val o = spark.readStream.schema(oSchema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .select(col("o_custkey").as("user_id"), lit(0).as("side"),
+        lit(-1L).as("event_id"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderkey"), col("o_totalprice"))
+    e.unionByName(o)
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .as[AsofInput]
+  }
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by

@@ -9,6 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.shared
   val sf: String = "/root/testdata/sf0.001"
+  private val suiteT0 = System.nanoTime()
+  override def afterAll(): Unit = {
+    // wall-time attribution for the parallel forked groups (the sbt
+    // summary aggregates; this is the per-suite number)
+    println(f"[suite-time] ${getClass.getSimpleName} ${(System.nanoTime() - suiteT0) / 1e9}%.1f s")
+    super.afterAll()
+  }
 }
 
 object SparkTestBase {
