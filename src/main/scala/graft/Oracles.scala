@@ -254,6 +254,43 @@ object Oracles {
        |FROM bt LEFT JOIN lt ON bt.query_id = lt.query_id AND bt.neighbor = lt.neighbor
        |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 
+  /** Mutual k-NN graph (k=3) over LSH-bucketed candidates — the DuckDB
+    * twin of SimilarityOps.knnGraph (same buckets as LSH_PIPE, minus the
+    * query filter; undirected candidates; both-directions top-k). */
+  val simKnnGraph: String =
+    s"""WITH $QN,
+       |lb AS (SELECT vec_id, qv, nrm, t,
+       |  CAST(list_sum(list_transform(generate_series(0,3), h ->
+       |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64),
+       |        d -> qv[d] * (((d*131 + h*37 + t*59) % 7) - 3))) AS BIGINT) >= 0
+       |      THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM n, UNNEST([0,1,2,3]) AS tt(t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
+       |  FROM lb a JOIN lb b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       |    AND a.vec_id < b2.vec_id),
+       |sc AS (SELECT ida, idb, ${cosine("x", "y")} AS cosine
+       |  FROM cand JOIN n x ON ida = x.vec_id JOIN n y ON idb = y.vec_id),
+       |d AS (SELECT ida AS src, idb AS dst, cosine FROM sc
+       |  UNION ALL SELECT idb, ida, cosine FROM sc),
+       |tk AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rnk
+       |  FROM d)
+       |SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
+       | f.rnk AS rnk_a, r.rnk AS rnk_b
+       |FROM tk f JOIN tk r ON f.src = r.dst AND f.dst = r.src
+       |WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst
+       |ORDER BY ida, idb""".stripMargin
+
+  /** DAU / trailing-7-day WAU / stickiness — the DuckDB twin of
+    * EventOps.stickiness (same ×7 window-end explode). */
+  val evtStickiness: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      |w AS (SELECT t.wday, ud.user_id FROM ud, UNNEST(range(ud.day, ud.day + 7)) AS t(wday)),
+      |wau AS (SELECT wday, count(DISTINCT user_id) AS wau FROM w GROUP BY 1)
+      |SELECT d.day, d.dau, u.wau, CAST(d.dau AS DOUBLE)/u.wau AS stickiness
+      |FROM dau d JOIN wau u ON d.day = u.wday ORDER BY d.day""".stripMargin
+
   val evtSessionize: String =
     """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events),
       |s AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
@@ -455,6 +492,61 @@ object Oracles {
        |WHERE ${graft.operators.Texty.baseHash60Sql("CAST(doc_id AS VARCHAR)")} % 1000000
        |  < (CASE WHEN lang = 'en' THEN 0.4 ELSE 1.0 END) * 1000000
        |ORDER BY doc_id""".stripMargin
+
+  /** Eval-set decontamination — the DuckDB twin of TextOps.decontaminate
+    * (hold-out doc_id % 20 = 0; same 60-bit shingle hashes). */
+  val textDecontaminate: String =
+    s"""WITH $W,
+       |$SH,
+       |h AS (SELECT doc_id, ${graft.operators.Texty.baseHash60Sql("sh")} AS h FROM sh),
+       |ev AS (SELECT doc_id AS eval_doc_id, h FROM h WHERE doc_id % 20 = 0),
+       |corp AS (SELECT doc_id, h FROM h WHERE doc_id % 20 <> 0)
+       |SELECT corp.doc_id,
+       | count(DISTINCT corp.h) AS n_shingles,
+       | count(DISTINCT CASE WHEN eval_doc_id IS NOT NULL THEN corp.h END) AS n_hit_shingles,
+       | count(DISTINCT eval_doc_id) AS n_eval_docs,
+       | (count(DISTINCT CASE WHEN eval_doc_id IS NOT NULL THEN corp.h END) * 1000000)
+       |   // count(DISTINCT corp.h) AS contamination_ppm,
+       | CAST(CASE WHEN count(DISTINCT CASE WHEN eval_doc_id IS NOT NULL THEN corp.h END) > 0
+       |   THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM corp LEFT JOIN ev USING (h)
+       |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin
+
+  /** Gopher-style repetition signals — the DuckDB twin of
+    * TextOps.repetition (n ∈ {2,3}, non-distinct grams, ppm integer
+    * shares). */
+  val textRepetition: String =
+    s"""WITH $W,
+       |g AS (
+       | SELECT doc_id, 2 AS n, ws[i] || ' ' || ws[i+1] AS gram
+       |  FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+       | UNION ALL
+       | SELECT doc_id, 3, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |a AS (SELECT doc_id, n, CAST(sum(cnt) AS BIGINT) AS n_grams, max(cnt) AS top_cnt,
+       |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+       |  FROM c GROUP BY 1, 2)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n, n_grams,
+       | (top_cnt * 1000000) // n_grams AS top_ppm,
+       | (dup_cnt * 1000000) // n_grams AS dup_ppm
+       |FROM a ORDER BY doc_id, n""".stripMargin
+
+  /** Ordered view→click→purchase funnel — the DuckDB twin of
+    * EventOps.funnel (first view, first click after it, first purchase
+    * after that). */
+  val evtFunnel: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, min(ms) AS view_ms FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ms) AS click_ms FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ms > v.view_ms GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ms) AS purchase_ms FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ms > c.click_ms GROUP BY 1)
+      |SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+      | CAST(1 + CASE WHEN c.click_ms IS NULL THEN 0 ELSE 1 END
+      |        + CASE WHEN p.purchase_ms IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY v.user_id""".stripMargin
 
   /** Connected components over the exact-Jaccard pair relation via a
     * recursive CTE: reach(node) accumulates every label reachable over

@@ -98,6 +98,47 @@ object PlanAudit {
       "lang-id profile attach must be a shuffled hash join")
     assert(!lidPlan.contains("BroadcastExchange"),
       "lang-id must not broadcast the corpus-vocabulary profile")
+    // decontamination is the DELIBERATE broadcast: the eval index is
+    // fixed-size by construction (a benchmark suite does not grow with the
+    // corpus), so the right 100 TB shape is a map-side broadcast join —
+    // the corpus-sized shingle frame must never shuffle on shingle hash
+    // (its only shuffle is the doc_id-keyed aggregate)
+    println("\n===== text_decontaminate =====")
+    val deconDf = SparkEntry.queries("text_decontaminate")(spark, dir)
+    deconDf.explain("formatted")
+    val deconPlan = deconDf.queryExecution.executedPlan.toString
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      "decontamination must broadcast the bounded eval index")
+    assert(!deconPlan.contains("SortMergeJoin") && !deconPlan.contains("ShuffledHashJoin"),
+      "decontamination must never shuffle the corpus on shingle hash")
+    // the funnel's three stages all key on user_id: with auto-broadcast
+    // off (at scale every stage frame is user-count-sized — none fits an
+    // executor) every hash exchange must partition on user_id and every
+    // join must be a shuffled equi-join, so Catalyst can reuse one
+    // partitioning across the whole cascade
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val funnelDf = SparkEntry.queries("evt_funnel")(spark, dir)
+    println("\n===== evt_funnel (auto-broadcast off) =====")
+    funnelDf.explain("formatted")
+    val funnelPlan = funnelDf.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    val funnelKeys = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(funnelPlan).map(_.group(1)).toSet
+    assert(funnelKeys == Set("user_id"),
+      s"funnel must shuffle only on user_id, found keys: $funnelKeys")
+    assert(!funnelPlan.contains("NestedLoop") && !funnelPlan.contains("Cartesian"),
+      "funnel must not degenerate to a nested-loop/cartesian plan")
+    // the knn graph's joins are corpus-sized on BOTH sides at every stage
+    // (bucket self-join, two vector fetches, mutuality self-join) — all
+    // hinted shuffle_hash; a broadcast anywhere is an OOM at cluster scale
+    println("\n===== sim_knn_graph =====")
+    val knnDf = SparkEntry.queries("sim_knn_graph")(spark, dir)
+    knnDf.explain("formatted")
+    val knnPlan = knnDf.queryExecution.executedPlan.toString
+    assert(knnPlan.contains("ShuffledHashJoin"),
+      "knn graph joins must co-shuffle")
+    assert(!knnPlan.contains("BroadcastExchange"),
+      "knn graph must never broadcast a corpus-sized frame")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

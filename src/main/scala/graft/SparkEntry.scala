@@ -68,6 +68,11 @@ object SparkEntry {
     "evt_asof_join" -> (EventOps.asofJoin _),
     "evt_range_join" -> (EventOps.rangeJoin _),
     "text_corpus_filter" -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
+    "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
+    "text_repetition" -> (TextOps.repetition _),
+    "evt_funnel" -> (EventOps.funnel _),
+    "evt_stickiness" -> (EventOps.stickiness _),
+    "sim_knn_graph" -> (SimilarityOps.knnGraph _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,5 +186,10 @@ object SparkEntry {
     "evt_asof_join" -> Oracles.evtAsofJoin,
     "evt_range_join" -> Oracles.evtRangeJoin,
     "text_corpus_filter" -> Oracles.textCorpusFilter,
+    "text_decontaminate" -> Oracles.textDecontaminate,
+    "text_repetition" -> Oracles.textRepetition,
+    "evt_funnel" -> Oracles.evtFunnel,
+    "evt_stickiness" -> Oracles.evtStickiness,
+    "sim_knn_graph" -> Oracles.simKnnGraph,
   )
 }

@@ -195,6 +195,78 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** Daily active users, trailing-7-day active users, and the DAU/WAU
+    * "stickiness" ratio per day — the engagement dashboard query. The
+    * trailing window is computed WITHOUT a range self-join: each distinct
+    * (user, day) claims the 7 window-end days it contributes to via a
+    * bounded explode (×7), then one day-keyed countDistinct — at 100 TB
+    * that is two aggregations and one constant-factor explode, versus a
+    * day×day range join whose pair space grows with history length.
+    * Window-end days with no same-day activity are dropped by the inner
+    * join with DAU (a day nobody was active has no DAU row — and no
+    * dashboard row).
+    *
+    * The exact countDistinct is the oracle-comparable form; at real
+    * scale the drop-in sketch is `approx_count_distinct` (HLL) on the
+    * same plan — the spec asserts the sketch lands within 5% of exact
+    * on this corpus, the swap a 100 TB deployment would make. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame =
+    stickinessFrom(Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day")))
+
+  def stickinessFrom(userDays0: DataFrame): DataFrame = {
+    val userDays = userDays0.distinct()
+      .transform(graft.Caches.cached(_)) // read twice: DAU + window explode
+    val dau = userDays.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = userDays
+      .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .groupBy("wday").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Ordered conversion funnel view → click → purchase: for each user,
+    * the first view, the first click strictly after that view, and the
+    * first purchase strictly after that click — the sequential-pattern
+    * query product analytics runs constantly (and the one naïve SQL gets
+    * wrong by ignoring event ORDER). `depth` is the furthest stage
+    * reached.
+    *
+    * Scale shape: three aggregations and two joins, every one keyed on
+    * user_id — a single logical partitioning, so Catalyst reuses the
+    * exchange instead of re-shuffling per stage; each stage's input also
+    * shrinks monotonically (only users who reached the previous stage
+    * survive the inner join). Per-user history depth is bounded by
+    * design (scaling adds users, not history — ScaleGen.scala:17), so
+    * no per-user state grows with corpus size. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), msCol.as("ms")))
+
+  /** [[funnel]] over a prepared (user_id, event_type, ms) frame — the seam
+    * the streaming twin's batch-equivalence spec compares against. */
+  def funnelFrom(events: DataFrame): DataFrame = {
+    val ev = events
+      .transform(graft.Caches.cached(_)) // scanned once per funnel stage
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("view_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ms") > col("view_ms"))
+      .groupBy("user_id").agg(min(col("ms")).as("click_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ms") > col("click_ms"))
+      .groupBy("user_id").agg(min(col("ms")).as("purchase_ms"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ms"), col("click_ms"), col("purchase_ms"),
+        (lit(1L) + when(col("click_ms").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_ms").isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy("user_id")
+  }
+
   /** Semi-structured extraction from the JSON-ish `props` column (the
     * reference's GFF3 attribute-split P14/S11 analogue,
     * ccmm/mgd/ref_genome_dataset.py:159-168): regex-extract a typed field,

@@ -202,6 +202,52 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  private val KGraph = 3
+
+  /** Mutual k-NN graph over the WHOLE corpus (k = 3) — the
+    * neighborhood-graph construction that seeds clustering /
+    * visualization / graph-based dedup pipelines. Candidate edges come
+    * from the same multi-table LSH bucketing as [[lshTopK]] (so the pair
+    * space is bucket-local, never all-pairs); each endpoint ranks its
+    * candidates by exact cosine and an edge survives only if BOTH
+    * endpoints rank it in their top k — the mutuality filter that prunes
+    * hub vertices.
+    *
+    * Scale shape: every join is corpus-sized on both sides and therefore
+    * hinted shuffle_hash (PlanAudit asserts no broadcast anywhere): the
+    * bucket self-join co-shuffles id-only rows on (t, bucket); the two
+    * vector fetches co-shuffle on vec_id; the mutuality filter self-joins
+    * the k·n-row top-k relation on the reversed pair key. Undirected
+    * pairs are scored ONCE (ida < idb) and mirrored, so each candidate
+    * edge pays exactly one 64-term native dot product. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val b = bucketIds(q)
+    val cand = b.as("a").join(b.as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    val scored = cand
+      .join(q.as("x").hint("shuffle_hash"), col("ida") === col("x.vec_id"))
+      .join(q.as("y").hint("shuffle_hash"), col("idb") === col("y.vec_id"))
+      .select(col("ida"), col("idb"), DedupOps.dotCosine("x", "y").as("cosine"))
+    val directed = scored
+      .select(col("ida").as("src"), col("idb").as("dst"), col("cosine"))
+      .unionByName(scored
+        .select(col("idb").as("src"), col("ida").as("dst"), col("cosine")))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    val topk = directed.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KGraph)
+    topk.as("f").join(topk.as("r").hint("shuffle_hash"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .filter(col("f.src") < col("f.dst"))
+      .select(col("f.src").as("ida"), col("f.dst").as("idb"),
+        col("f.cosine").as("cosine"),
+        col("f.rnk").as("rnk_a"), col("r.rnk").as("rnk_b"))
+      .orderBy("ida", "idb")
+  }
+
   private def rank(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor").asc)

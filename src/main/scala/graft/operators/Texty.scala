@@ -277,6 +277,85 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Eval-set decontamination (north-star op): the overlap check a
+    * training pipeline runs before anything ships — flag every corpus
+    * document that shares a word-3-shingle with a held-out evaluation
+    * document, so benchmark answers can't leak into training data. The
+    * eval set here is the deterministic hold-out `doc_id % evalMod == 0`;
+    * in production it is the benchmark suite itself.
+    *
+    * Scale shape: the eval index is BROADCAST — deliberately the opposite
+    * call from [[langId]]'s profile. A language profile grows with corpus
+    * vocabulary (unbounded at 100 TB), but an eval benchmark is fixed-size
+    * BY CONSTRUCTION — its shingle index is a few hundred MB however big
+    * the training corpus gets, so broadcasting it turns decontamination
+    * into a map-side pass over the corpus: the only shuffle is the final
+    * doc_id-keyed aggregate (the table's natural partitioning), and the
+    * corpus-sized shingle frame never shuffles on shingle hash at all. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    evalMod: Long = 20L): DataFrame =
+    decontaminateFrom(Tables.load(spark, dir, "documents"), evalMod)
+
+  def decontaminateFrom(docs: DataFrame, evalMod: Long = 20L): DataFrame = {
+    // shingles() is per-doc distinct, so (doc_id, h) is unique pre-join
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), Texty.baseHash60(col("sh")).as("h"))
+      .transform(graft.Caches.cached(_)) // read twice: eval index + corpus side
+    val evalIdx = sh.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("h"), col("doc_id").as("eval_doc_id"))
+    val corpus = sh.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    corpus.join(broadcast(evalIdx), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_shingles"),
+        countDistinct(when(col("eval_doc_id").isNotNull, col("h"))).as("n_hit_shingles"),
+        countDistinct(col("eval_doc_id")).as("n_eval_docs"))
+      .withColumn("contamination_ppm", expr("n_hit_shingles * 1000000 div n_shingles"))
+      .withColumn("contaminated", (col("n_hit_shingles") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition scoring (north-star op): the Gopher-style repetition
+    * signals a quality filter thresholds on — per document and n-gram
+    * order n ∈ {2, 3}: total n-grams, the most frequent n-gram's share,
+    * and the share of n-gram occurrences that are repeats (count > 1).
+    * Shares are exact-integer parts-per-million (`· 10⁶ div total`), the
+    * same engine-replayable discipline as [[distinctiveTerms]] — boiler-
+    * plate-heavy spam pages score high and a threshold drops them.
+    *
+    * Both orders ride ONE explode (structs tagged with n), then two
+    * aggregations keyed (doc_id, n, gram) → (doc_id, n) — doc-keyed
+    * like the rest of the family, no skew (a gram key exists only
+    * within its document). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrom(Tables.load(spark, dir, "documents"))
+
+  def repetitionFrom(docs: DataFrame): DataFrame = {
+    // NON-distinct n-grams: repetition is exactly what array_distinct erases
+    def grams(toks: Column, k: Int): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val toks = tokens(col("text"))
+    val tagged = docs.select(col("doc_id"),
+        explode(concat(
+          transform(grams(toks, 2), g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(grams(toks, 3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    tagged.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"))
+      .select(col("doc_id"), col("n").cast("long").as("n"), col("n_grams"),
+        expr("top_cnt * 1000000 div n_grams").as("top_ppm"),
+        expr("dup_cnt * 1000000 div n_grams").as("dup_ppm"))
+      .orderBy("doc_id", "n")
+  }
+
   /** Deterministic per-language stratified sampling (north-star op): a
     * training-data pipeline downsamples over-represented strata (e.g.
     * keep 40% of English, all of everything else). The keep decision is

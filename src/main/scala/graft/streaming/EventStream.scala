@@ -318,6 +318,120 @@ object EventStream {
       .as[AsofInput]
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ms: Long,
+                               event_time: java.sql.Timestamp)
+  /** Changelog row: ±1 increments of the per-user funnel relation.
+    * Summing deltas per user converges to the batch funnel answer. */
+  final case class FunnelDelta(user_id: Long, view_ms: Long,
+                               click_ms: Option[Long], purchase_ms: Option[Long],
+                               depth: Long, delta: Long)
+  /** Per-user funnel state: the running min view time, the retained
+    * click/purchase candidates (compacted below the watermark, see
+    * [[funnelDeltas]]), and the currently-emitted row for retraction. */
+  final case class FunnelState(viewMs: Long, clicks: List[Long],
+                               purchases: List[Long],
+                               emitted: Option[(Long, Option[Long], Option[Long])])
+
+  /** Streaming twin of [[graft.operators.EventOps.funnelFrom]], as a
+    * CHANGELOG (the fourth twin pair, same shape as [[retentionDeltas]] /
+    * [[asofDeltas]]): per user, the first view, first click strictly after
+    * it, first purchase strictly after that. Append mode cannot be exact
+    * here without retraction because every stage anchor is a MIN over the
+    * user's history: a late view (inside the watermark) can move `view_ms`
+    * earlier, which can make an already-seen click admissible and cascade
+    * through the whole funnel — so the operator retracts the stale row
+    * (−1) and re-emits (+1); consumers summing deltas converge to the
+    * batch funnel for any admissible arrival order ([[funnelRollup]]).
+    *
+    * State is compacted with a monotonicity argument: `view_ms` only
+    * decreases, so each stage's admissible candidate set only GROWS and
+    * its min only decreases — an admissible candidate above the current
+    * stage anchor can never become the anchor and is dropped; an
+    * inadmissible candidate can only activate via a future late event,
+    * which the watermark bounds below by `wm`, so inadmissible candidates
+    * at or below the watermark are dropped too. What survives per user:
+    * one long per stage anchor plus the in-horizon inadmissible
+    * candidates — O(users) state with watermark-bounded records (the
+    * same trade as [[retentionDeltas]]: a user evicted by the idle
+    * timeout and returning later starts a fresh funnel row). */
+  def funnelDeltas(events: Dataset[FunnelEvent]): Dataset[FunnelDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, Nil, Nil, None))
+            var maxMs = Long.MinValue
+            it.foreach { e =>
+              maxMs = maxMs.max(e.ms)
+              e.event_type match {
+                case "view" => if (e.ms < st.viewMs) st = st.copy(viewMs = e.ms)
+                case "click" => st = st.copy(clicks = e.ms :: st.clicks)
+                case "purchase" => st = st.copy(purchases = e.ms :: st.purchases)
+                case _ => () // other event types don't participate
+              }
+            }
+            val v = if (st.viewMs == Long.MaxValue) None else Some(st.viewMs)
+            val c = v.flatMap(vm => st.clicks.filter(_ > vm).minOption)
+            val p = c.flatMap(cm => st.purchases.filter(_ > cm).minOption)
+            val cur = v.map(vm => (vm, c, p))
+            var out = List.empty[FunnelDelta]
+            if (cur != st.emitted) {
+              st.emitted.foreach { case (ov, oc, op) =>
+                out ::= FunnelDelta(userId, ov, oc, op, 1L + oc.size + op.size, -1L)
+              }
+              cur.foreach { case (nv, nc, np) =>
+                out ::= FunnelDelta(userId, nv, nc, np, 1L + nc.size + np.size, 1L)
+              }
+              st = st.copy(emitted = cur)
+            }
+            // compaction (see Scaladoc): keep each stage's current anchor
+            // plus in-horizon inadmissible candidates only
+            val wm = state.getCurrentWatermarkMs()
+            st = st.copy(
+              clicks = st.clicks.distinct.filter(x =>
+                c.contains(x) || (v.forall(x <= _) && x > wm)),
+              purchases = st.purchases.distinct.filter(x =>
+                p.contains(x) || (c.forall(x <= _) && x > wm)))
+            state.update(st)
+            // idle eviction 4 weeks past the batch's newest event — the
+            // bounded-state trade documented above (maxMs guard: an
+            // empty non-timeout invocation must not underflow)
+            val anchor = if (maxMs == Long.MinValue) wm else maxMs
+            state.setTimeoutTimestamp((anchor + 4 * WeekMs).max(wm + 1))
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** Materialize a funnel changelog into the batch operator's output
+    * shape — rows whose summed delta is +1 are the current funnel. */
+  def funnelRollup(deltas: DataFrame): DataFrame =
+    deltas.groupBy("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
+      .agg(sum(col("delta")).as("d"))
+      .filter(col("d") > 0)
+      .select(col("user_id"), col("view_ms"), col("click_ms"),
+        col("purchase_ms"), col("depth"))
+      .orderBy("user_id")
+
+  /** Bounded funnel-event source: the events parquet of a testdata dir as
+    * a typed file stream for [[funnelDeltas]]. */
+  def readFunnelEvents(spark: SparkSession, dir: String): Dataset[FunnelEvent] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ms"))
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .as[FunnelEvent]
+  }
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by

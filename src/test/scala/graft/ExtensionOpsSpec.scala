@@ -308,4 +308,128 @@ class ExtensionOpsSpec extends SparkTestBase {
     val total = EventOps.hourlyRollup(spark, sf).agg(sum("n_events")).head.getLong(0)
     assert(total === Tables.load(spark, sf, "events").count())
   }
+
+  test("text: decontaminate flags a planted eval leak and nothing else") {
+    import spark.implicits._
+    // doc 20 is the eval doc; doc 1 contains its text verbatim (full
+    // contamination), doc 2 shares one 3-shingle ("c d e"), doc 3 is clean
+    val docs = Seq(
+      (20L, "a b c d e f"),
+      (1L, "a b c d e f"),
+      (2L, "x y c d e z"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = TextOps.decontaminateFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // eval doc itself excluded
+    assert(out(1L).getLong(out(1L).fieldIndex("contamination_ppm")) === 1000000L)
+    assert(out(1L).getLong(out(1L).fieldIndex("n_eval_docs")) === 1L)
+    assert(out(2L).getLong(out(2L).fieldIndex("n_hit_shingles")) === 1L)
+    assert(out(2L).getLong(out(2L).fieldIndex("contaminated")) === 1L)
+    assert(out(3L).getLong(out(3L).fieldIndex("contaminated")) === 0L)
+    assert(out(3L).getLong(out(3L).fieldIndex("n_eval_docs")) === 0L)
+  }
+
+  test("text: decontaminate invariants hold corpus-wide") {
+    val rows = TextOps.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 20 !== 0L) // hold-out never appears in output
+      val nSh = r.getLong(r.fieldIndex("n_shingles"))
+      val nHit = r.getLong(r.fieldIndex("n_hit_shingles"))
+      assert(nHit <= nSh)
+      assert((nHit > 0) === (r.getLong(r.fieldIndex("contaminated")) == 1L))
+      assert((nHit > 0) === (r.getLong(r.fieldIndex("n_eval_docs")) > 0L))
+      assert(r.getLong(r.fieldIndex("contamination_ppm")) === nHit * 1000000L / nSh)
+    }
+  }
+
+  test("text: repetition scores a planted spam doc at full duplicate mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now"), // bigrams: all repeats, top = "buy now" 3/5
+      (2L, "one two three four")).toDF("doc_id", "text") // all unique
+    val out = TextOps.repetitionFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val spam2 = out((1L, 2L))
+    assert(spam2.getLong(spam2.fieldIndex("n_grams")) === 5L)
+    assert(spam2.getLong(spam2.fieldIndex("top_ppm")) === 3L * 1000000L / 5L)
+    assert(spam2.getLong(spam2.fieldIndex("dup_ppm")) === 1000000L) // every bigram repeats
+    val clean2 = out((2L, 2L))
+    assert(clean2.getLong(clean2.fieldIndex("dup_ppm")) === 0L)
+    assert(clean2.getLong(clean2.fieldIndex("top_ppm")) === 1000000L / 3L)
+  }
+
+  test("text: repetition ppm invariants hold corpus-wide") {
+    val rows = TextOps.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ng = r.getLong(r.fieldIndex("n_grams"))
+      val top = r.getLong(r.fieldIndex("top_ppm"))
+      val dup = r.getLong(r.fieldIndex("dup_ppm"))
+      assert(ng > 0 && top >= 1000000L / ng && top <= 1000000L)
+      assert(dup >= 0L && dup <= 1000000L)
+      if (dup == 0) assert(top === 1000000L / ng) // all unique ⇒ top share = 1/n
+      else assert(top >= 2000000L / ng) // any repeat ⇒ top gram occurs ≥ 2×
+    }
+  }
+
+  test("events: stickiness is exact, and the HLL sketch swap lands within 5%") {
+    import spark.implicits._
+    val rows = EventOps.stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dau = r.getLong(r.fieldIndex("dau"))
+      val wau = r.getLong(r.fieldIndex("wau"))
+      assert(dau >= 1L && wau >= dau) // the trailing window contains the day
+      assert(r.getDouble(r.fieldIndex("stickiness")) === dau.toDouble / wau)
+    }
+    // the 100 TB swap: approx_count_distinct on the same plan stays close
+    val ud = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts div 1000000 div 86400000 as day").distinct()
+    val approx = ud.groupBy("day")
+      .agg(approx_count_distinct(col("user_id")).as("adau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("dau"))
+      val a = approx(r.getLong(r.fieldIndex("day")))
+      assert(math.abs(a - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"HLL estimate $a too far from exact $exact")
+    }
+  }
+
+  test("sim: knn graph edges are mutual and within each endpoint's top k") {
+    val edges = SimilarityOps.knnGraph(spark, sf).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(r.getLong(r.fieldIndex("ida")) < r.getLong(r.fieldIndex("idb")))
+      assert(r.getLong(r.fieldIndex("rnk_a")) <= 3L)
+      assert(r.getLong(r.fieldIndex("rnk_b")) <= 3L)
+      val c = r.getDouble(r.fieldIndex("cosine"))
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    // mutuality prunes: the undirected edge set is no larger than k·n/2
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(edges.length <= 3 * n / 2)
+  }
+
+  test("events: funnel matches an independent per-user fold") {
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000000 as ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
+      es.collect { case (_, "view", m) => m }.minOption.map { vm =>
+        val c = es.collect { case (_, "click", m) if m > vm => m }.minOption
+        val p = c.flatMap(cm =>
+          es.collect { case (_, "purchase", m) if m > cm => m }.minOption)
+        (u, vm, c, p, 1L + c.size + p.size)
+      }
+    }.toSet
+    val got = EventOps.funnel(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))
+    }.toSet
+    assert(got === expected)
+  }
 }
