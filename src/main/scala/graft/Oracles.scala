@@ -254,32 +254,62 @@ object Oracles {
        |FROM bt LEFT JOIN lt ON bt.query_id = lt.query_id AND bt.neighbor = lt.neighbor
        |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 
-  /** Mutual k-NN graph (k=3) over LSH-bucketed candidates — the DuckDB
-    * twin of SimilarityOps.knnGraph (same buckets as LSH_PIPE, minus the
-    * query filter; undirected candidates; both-directions top-k). */
-  val simKnnGraph: String =
-    s"""WITH $QN,
-       |lb AS (SELECT vec_id, qv, nrm, t,
-       |  CAST(list_sum(list_transform(generate_series(0,3), h ->
-       |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64),
-       |        d -> qv[d] * (((d*131 + h*37 + t*59) % 7) - 3))) AS BIGINT) >= 0
-       |      THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-       |  FROM n, UNNEST([0,1,2,3]) AS tt(t)),
-       |cand AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
-       |  FROM lb a JOIN lb b2 ON a.t = b2.t AND a.bucket = b2.bucket
-       |    AND a.vec_id < b2.vec_id),
-       |sc AS (SELECT ida, idb, ${cosine("x", "y")} AS cosine
-       |  FROM cand JOIN n x ON ida = x.vec_id JOIN n y ON idb = y.vec_id),
+  /** Mutual k-NN graph pipe (k=3) over learned-Voronoi-list candidates —
+    * shared by the knn-graph and knn-components oracles (same KM
+    * training replay as dedupEmbeddingAuto; same-list undirected
+    * candidates; both-directions top-k; `mk` = the mutual edge
+    * relation). */
+  private val KNN_PIPE: String =
+    s"""$KM,
+       |m AS (SELECT n.*, g.cl FROM n JOIN a2 g USING (vec_id)),
+       |sc AS (SELECT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
+       |  FROM m x JOIN m y ON x.cl = y.cl AND x.vec_id < y.vec_id),
        |d AS (SELECT ida AS src, idb AS dst, cosine FROM sc
        |  UNION ALL SELECT idb, ida, cosine FROM sc),
        |tk AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
        |    ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rnk
-       |  FROM d)
-       |SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
-       | f.rnk AS rnk_a, r.rnk AS rnk_b
-       |FROM tk f JOIN tk r ON f.src = r.dst AND f.dst = r.src
-       |WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst
+       |  FROM d),
+       |mk AS (SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
+       |  f.rnk AS rnk_a, r.rnk AS rnk_b
+       |  FROM tk f JOIN tk r ON f.src = r.dst AND f.dst = r.src
+       |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
+
+  /** Mutual k-NN graph — the DuckDB twin of SimilarityOps.knnGraph. */
+  val simKnnGraph: String =
+    s"""WITH $QN,
+       |$KNN_PIPE
+       |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mk
        |ORDER BY ida, idb""".stripMargin
+
+  /** Connected components over the mutual-kNN edges — the DuckDB twin of
+    * SimilarityOps.knnComponents (same reach CTE as dedupClusters). */
+  val simKnnComponents: String =
+    s"""WITH RECURSIVE $QN,
+       |$KNN_PIPE,
+       |e AS (SELECT ida AS src, idb AS dst FROM mk
+       |  UNION ALL SELECT idb, ida FROM mk),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+       |SELECT node AS vec_id, min(label) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
+  /** Hourly volume anomalies per event type — the DuckDB twin of
+    * EventOps.anomaly (integer numerator/radicand, one float division +
+    * sqrt; integer-inequality flag). */
+  val evtAnomaly: String =
+    """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+      |  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS s2
+      |  FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hour, h.n,
+      | CASE WHEN a.nh*a.s2 - a.s*a.s = 0 THEN 0.0
+      |  ELSE CAST(h.n*a.nh - a.s AS DOUBLE) / sqrt(CAST(a.nh*a.s2 - a.s*a.s AS DOUBLE)) END AS z,
+      | CAST(CASE WHEN (h.n*a.nh - a.s)*(h.n*a.nh - a.s) > 9*(a.nh*a.s2 - a.s*a.s)
+      |  THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM h JOIN a USING (event_type) ORDER BY h.event_type, h.hour""".stripMargin
 
   /** DAU / trailing-7-day WAU / stickiness — the DuckDB twin of
     * EventOps.stickiness (same ×7 window-end explode). */

@@ -72,7 +72,9 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "evt_funnel" -> (EventOps.funnel _),
     "evt_stickiness" -> (EventOps.stickiness _),
+    "evt_anomaly" -> (EventOps.anomaly _),
     "sim_knn_graph" -> (SimilarityOps.knnGraph _),
+    "sim_knn_components" -> (SimilarityOps.knnComponents _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,6 +192,8 @@ object SparkEntry {
     "text_repetition" -> Oracles.textRepetition,
     "evt_funnel" -> Oracles.evtFunnel,
     "evt_stickiness" -> Oracles.evtStickiness,
+    "evt_anomaly" -> Oracles.evtAnomaly,
     "sim_knn_graph" -> Oracles.simKnnGraph,
+    "sim_knn_components" -> Oracles.simKnnComponents,
   )
 }

@@ -321,7 +321,16 @@ object DedupOps {
     * caps the per-task pair quadrat. Build side is hinted shuffle_hash:
     * per (block, salt) key it holds 1/Salt of the block, so the hash map
     * stays small and neither side is sorted. */
-  private def blockPairs(flat: DataFrame, key: String): DataFrame = {
+  private def blockPairs(flat: DataFrame, key: String): DataFrame =
+    saltedBlockCosines(flat, key)
+      .filter(col("cosine") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+
+  /** All block-local scored pairs (vec_a < vec_b), salted and unsorted —
+    * the shared pair engine of [[blockPairs]] (which thresholds for the
+    * near-dup relation) and [[SimilarityOps.knnGraph]] (which ranks, so
+    * it must see every same-block pair). */
+  private[operators] def saltedBlockCosines(flat: DataFrame, key: String): DataFrame = {
     val salt = 8
     val build = flat.withColumn("_salt", pmod(col("vec_id"), lit(salt)))
     val probe = flat.withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
@@ -330,8 +339,6 @@ object DedupOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a." + key).as(key), dotCosine("a", "b").as("cosine"))
-      .filter(col("cosine") >= 0.35)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Embedding near-dup WITHOUT a pre-existing blocking label — the

@@ -228,6 +228,35 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Per-(event_type, hour) volume anomalies: z-score of each hour's
+    * event count against that type's all-hours mean/stddev, flagging
+    * |z| > 3 — the monitoring query an ingest pipeline alarms on.
+    *
+    * Determinism discipline: z = (n·H − S) / √(H·S2 − S²) with
+    * H = hours, S = Σn, S2 = Σn² — numerator and radicand are exact
+    * integers, so the only float ops are one division and one sqrt on
+    * identical operands in any engine; the flag is decided on the exact
+    * integer inequality (n·H − S)² > 9·(H·S2 − S²), no float threshold.
+    * One shuffle (the hourly aggregate) + one event_type-partitioned
+    * window over O(hours) rows. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 1000000 div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    val num = col("n") * col("nh") - col("s")
+    val rad = col("nh") * col("s2") - col("s") * col("s")
+    hourly
+      .withColumn("nh", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"), col("hour"), col("n"),
+        when(rad === 0, lit(0.0))
+          .otherwise(num.cast("double") / sqrt(rad.cast("double"))).as("z"),
+        when(num * num > lit(9) * rad, 1L).otherwise(0L).as("flagged"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Ordered conversion funnel view → click → purchase: for each user,
     * the first view, the first click strictly after that view, and the
     * first purchase strictly after that click — the sequential-pattern

@@ -206,32 +206,36 @@ object SimilarityOps {
 
   /** Mutual k-NN graph over the WHOLE corpus (k = 3) — the
     * neighborhood-graph construction that seeds clustering /
-    * visualization / graph-based dedup pipelines. Candidate edges come
-    * from the same multi-table LSH bucketing as [[lshTopK]] (so the pair
-    * space is bucket-local, never all-pairs); each endpoint ranks its
-    * candidates by exact cosine and an edge survives only if BOTH
-    * endpoints rank it in their top k — the mutuality filter that prunes
-    * hub vertices.
+    * visualization / graph-based dedup pipelines. Candidate edges are
+    * SAME-VORONOI-LIST pairs under the learned ⌊√n⌋-list quantizer (the
+    * [[graft.operators.KMeans]] blocking `dedup_embedding_auto` already
+    * proves out) — ~√n lists of ~√n vectors bound the pair space at
+    * n^1.5. The first cut of this operator blocked on the FIXED
+    * 16-bucket hyperplane LSH instead: bucket population grows linearly
+    * with the corpus there, so the pair space grows QUADRATICALLY —
+    * measured 2.9 s at sf0.1 but 13+ min at sf1, the exact blowup the
+    * √n rule exists to prevent. Cross-list neighbors are missed
+    * (nprobe=1 — the standard recall/cost trade, identical to the
+    * blocked dedup family; the oracle replays the same training so the
+    * gate is exact). Each endpoint ranks its candidates by exact cosine
+    * and an edge survives only if BOTH endpoints rank it top-k — the
+    * mutuality filter that prunes hub vertices.
     *
-    * Scale shape: every join is corpus-sized on both sides and therefore
-    * hinted shuffle_hash (PlanAudit asserts no broadcast anywhere): the
-    * bucket self-join co-shuffles id-only rows on (t, bucket); the two
-    * vector fetches co-shuffle on vec_id; the mutuality filter self-joins
-    * the k·n-row top-k relation on the reversed pair key. Undirected
-    * pairs are scored ONCE (ida < idb) and mirrored, so each candidate
+    * Scale shape: quantizer training is two broadcast-assign +
+    * co-shuffled-update rounds; the corpus-length assignment attach and
+    * the salted block self-join co-shuffle (hinted shuffle_hash —
+    * PlanAudit asserts no broadcast in the final plan); the mutuality
+    * filter self-joins the ≤ k·n-row top-k relation on the reversed pair
+    * key. Undirected pairs are scored ONCE (ida < idb) via
+    * [[DedupOps.saltedBlockCosines]] and mirrored, so each candidate
     * edge pays exactly one 64-term native dot product. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
-    val b = bucketIds(q)
-    val cand = b.as("a").join(b.as("b").hint("shuffle_hash"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
-      .distinct()
-    val scored = cand
-      .join(q.as("x").hint("shuffle_hash"), col("ida") === col("x.vec_id"))
-      .join(q.as("y").hint("shuffle_hash"), col("idb") === col("y.vec_id"))
-      .select(col("ida"), col("idb"), DedupOps.dotCosine("x", "y").as("cosine"))
+    val nlist = KMeans.autoNlist(graft.Tables.load(spark, dir, "embeddings").count())
+    val (asg, _) = KMeans.fit(q, nlist = nlist)
+    val blocked = q.join(asg.hint("shuffle_hash"), "vec_id")
+    val scored = DedupOps.saltedBlockCosines(blocked, "cl")
+      .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
     val directed = scored
       .select(col("ida").as("src"), col("idb").as("dst"), col("cosine"))
       .unionByName(scored
@@ -247,6 +251,19 @@ object SimilarityOps {
         col("f.rnk").as("rnk_a"), col("r.rnk").as("rnk_b"))
       .orderBy("ida", "idb")
   }
+
+  /** Connected components over the mutual-kNN edge relation — semantic
+    * clusters without any pre-existing label: [[knnGraph]]'s edges fed to
+    * the same Kiveris star-contraction fixpoint the near-dup cluster
+    * family runs ([[DedupOps.starComponents]] — O(log n) rounds, exact
+    * convergence, driver reads only aggregates). Composition, not new
+    * machinery: the graph op and the component op are both corpus-scale
+    * proven on their own. */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.starComponents(
+      knnGraph(spark, dir).select(col("ida").as("doc_a"), col("idb").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
 
   private def rank(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")

@@ -297,9 +297,15 @@ object TextOps {
     decontaminateFrom(Tables.load(spark, dir, "documents"), evalMod)
 
   def decontaminateFrom(docs: DataFrame, evalMod: Long = 20L): DataFrame = {
+    // cache the tokenized column BEFORE the shingle lambda: the barrier
+    // stops projection collapse from inlining the split into the
+    // per-element transform (which re-tokenizes per shingle — O(len²)
+    // per doc; same trap as winnowFingerprint / DedupOps.shingleTable)
+    val toks = graft.Caches.cached(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     // shingles() is per-doc distinct, so (doc_id, h) is unique pre-join
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+    val sh = toks
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
       .select(col("doc_id"), Texty.baseHash60(col("sh")).as("h"))
       .transform(graft.Caches.cached(_)) // read twice: eval index + corpus side
     val evalIdx = sh.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
@@ -338,11 +344,14 @@ object TextOps {
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
         .otherwise(array().cast("array<string>"))
-    val toks = tokens(col("text"))
-    val tagged = docs.select(col("doc_id"),
+    // cache the tokenized column BEFORE the gram lambdas (projection-
+    // collapse barrier — see decontaminateFrom)
+    val toks = graft.Caches.cached(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
+    val tagged = toks.select(col("doc_id"),
         explode(concat(
-          transform(grams(toks, 2), g => struct(lit(2).as("n"), g.as("gram"))),
-          transform(grams(toks, 3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+          transform(grams(col("toks"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(grams(col("toks"), 3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
       .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
     tagged.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "n")

@@ -412,6 +412,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(edges.length <= 3 * n / 2)
   }
 
+  test("sim: knn components cover exactly the graph's vertices, labels are component minima") {
+    val edges = SparkEntry.queries("sim_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comps = SparkEntry.queries("sim_knn_components")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    // both endpoints of every edge share a label
+    edges.foreach { case (a, b) => assert(comps(a) === comps(b)) }
+    // every label is the minimum of its member set
+    comps.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+
+  test("events: anomaly z-scores are centered and the flag matches |z| > 3") {
+    val rows = EventOps.anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // z-scores of a full partition sum to ~0 (exact integer numerators
+      // cancel; float division leaves rounding dust)
+      assert(math.abs(rs.map(_.getDouble(3)).sum) < 1e-9 * rs.length)
+      rs.foreach { r =>
+        val z = r.getDouble(3)
+        val flagged = r.getLong(4) == 1L
+        assert(flagged === (math.abs(z) > 3.0), s"flag/z mismatch: z=$z")
+      }
+    }
+  }
+
   test("events: funnel matches an independent per-user fold") {
     val ev = Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_type", "ts div 1000000 as ms")
