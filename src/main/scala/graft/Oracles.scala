@@ -321,6 +321,20 @@ object Oracles {
       |SELECT d.day, d.dau, u.wau, CAST(d.dau AS DOUBLE)/u.wau AS stickiness
       |FROM dau d JOIN wau u ON d.day = u.wday ORDER BY d.day""".stripMargin
 
+  /** Event-type transition matrix — the DuckDB twin of
+    * EventOps.transitionMatrix (same (ms, event_id) lag ordering). */
+  val evtTransitionMatrix: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+      |t AS (SELECT event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_type
+      |  FROM e),
+      |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n, r.row_total,
+      | CAST(c.n AS DOUBLE) / r.row_total AS p
+      |FROM c JOIN r USING (prev_type) ORDER BY c.prev_type, c.next_type""".stripMargin
+
   val evtSessionize: String =
     """WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events),
       |s AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),

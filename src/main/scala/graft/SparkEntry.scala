@@ -73,6 +73,7 @@ object SparkEntry {
     "evt_funnel" -> (EventOps.funnel _),
     "evt_stickiness" -> (EventOps.stickiness _),
     "evt_anomaly" -> (EventOps.anomaly _),
+    "evt_transition_matrix" -> (EventOps.transitionMatrix _),
     "sim_knn_graph" -> (SimilarityOps.knnGraph _),
     "sim_knn_components" -> (SimilarityOps.knnComponents _),
   )
@@ -193,6 +194,7 @@ object SparkEntry {
     "evt_funnel" -> Oracles.evtFunnel,
     "evt_stickiness" -> Oracles.evtStickiness,
     "evt_anomaly" -> Oracles.evtAnomaly,
+    "evt_transition_matrix" -> Oracles.evtTransitionMatrix,
     "sim_knn_graph" -> Oracles.simKnnGraph,
     "sim_knn_components" -> Oracles.simKnnComponents,
   )

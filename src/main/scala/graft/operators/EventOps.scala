@@ -228,6 +228,29 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Event-type transition matrix: counts and row-normalized
+    * probabilities of consecutive (prev → next) event types within each
+    * user's timeline — the first-order Markov profile sequence models
+    * and session-flow analyses start from. One user-keyed window (lag)
+    * feeds a types×types aggregate; the output is vocabulary-sized
+    * (|types|²), so the row-normalizing window runs over a bounded
+    * frame. Ties at the same ms order by event_id, matching the
+    * engine's deterministic-ordering discipline. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val t = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), msCol.as("ms"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = t.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Per-(event_type, hour) volume anomalies: z-score of each hour's
     * event count against that type's all-hours mean/stddev, flagging
     * |z| > 3 — the monitoring query an ingest pipeline alarms on.

@@ -432,6 +432,95 @@ object EventStream {
       .as[FunnelEvent]
   }
 
+  final case class DayEvent(user_id: Long, day: Long,
+                            event_time: java.sql.Timestamp)
+  /** Changelog row: +1 increments of the per-day active-user counters.
+    * kind 0 = DAU (the user's first event that day), kind 1 = WAU (the
+    * day newly enters the user's trailing-7-day coverage). */
+  final case class ActiveDelta(kind: Int, day: Long, delta: Long)
+  /** Per-user state: the in-horizon distinct active days (compaction in
+    * [[activeDeltas]]) and the window-end days already credited to WAU. */
+  final case class ActiveState(days: List[Long], covered: List[Long])
+
+  /** Streaming twin of [[graft.operators.EventOps.stickinessFrom]]'s
+    * inputs, as a CHANGELOG (the fifth twin pair): per-day DAU and
+    * trailing-7-day WAU as +1 increments. Unlike the funnel/retention/
+    * as-of changelogs this one needs NO retractions: both counters are
+    * distinct-set SIZES and the underlying sets only GROW — a late event
+    * (inside the watermark) can only add a (user, day) or extend a
+    * user's window coverage, never invalidate an emitted contribution.
+    * The per-user dedup state is what a distinct count costs in
+    * streaming form; it is watermark-compacted: an active day below
+    * wm − 6 can no longer overlap any admissible new day's 7-day window,
+    * so only days ≥ wm − 6 are retained (covered window-ends likewise
+    * ≥ wm) — O(users) state with ≤ 7-long, horizon-bounded lists.
+    * [[activeRollup]] sums the deltas into the batch operator's
+    * (day, dau, wau, stickiness) shape. */
+  def activeDeltas(events: Dataset[DayEvent]): Dataset[ActiveDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActiveState, ActiveDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[DayEvent], state: GroupState[ActiveState]) =>
+          if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(ActiveState(Nil, Nil))
+            var out = List.empty[ActiveDelta]
+            var maxMs = Long.MinValue
+            it.foreach { e =>
+              maxMs = maxMs.max(e.event_time.getTime)
+              if (!st.days.contains(e.day)) {
+                st = st.copy(days = e.day :: st.days)
+                out ::= ActiveDelta(0, e.day, 1L)
+                val fresh = (e.day to e.day + 6).filterNot(st.covered.contains)
+                out = fresh.toList.map(w => ActiveDelta(1, w, 1L)) ::: out
+                st = st.copy(covered = fresh.toList ::: st.covered)
+              }
+            }
+            // watermark compaction: only days whose 7-day window can still
+            // overlap an admissible future day matter for dedup
+            val wm = state.getCurrentWatermarkMs()
+            val wmDay = Math.floorDiv(wm, 86400000L)
+            st = ActiveState(
+              st.days.filter(_ >= wmDay - 6),
+              st.covered.filter(_ >= wmDay))
+            state.update(st)
+            val anchor = if (maxMs == Long.MinValue) wm else maxMs
+            state.setTimeoutTimestamp((anchor + 4 * WeekMs).max(wm + 1))
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** Materialize an active-user changelog into the batch stickiness
+    * shape: days with both a DAU and a WAU row (a day nobody was active
+    * on has no DAU row — and no dashboard row, as in batch). */
+  def activeRollup(deltas: DataFrame): DataFrame = {
+    val dau = deltas.filter(col("kind") === 0)
+      .groupBy("day").agg(sum(col("delta")).as("dau"))
+    val wau = deltas.filter(col("kind") === 1)
+      .groupBy(col("day").as("wday")).agg(sum(col("delta")).as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Bounded day-event source for [[activeDeltas]]: the events parquet
+    * of a testdata dir as a typed file stream. */
+  def readDayEvents(spark: SparkSession, dir: String): Dataset[DayEvent] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"),
+        expr("ts div 1000000 div 86400000").as("day"),
+        timestamp_millis(expr("ts div 1000000")).as("event_time"))
+      .as[DayEvent]
+  }
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by

@@ -441,6 +441,21 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("events: transition matrix rows normalize and transitions count events minus users") {
+    val rows = EventOps.transitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each prev_type's probabilities sum to 1 (up to float dust)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+      val total = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum === total)
+    }
+    // a user with k events contributes k-1 transitions
+    val ev = Tables.load(spark, sf, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
   test("events: funnel matches an independent per-user fold") {
     val ev = Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_type", "ts div 1000000 as ms")
