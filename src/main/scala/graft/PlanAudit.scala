@@ -128,6 +128,28 @@ object PlanAudit {
       s"funnel must shuffle only on user_id, found keys: $funnelKeys")
     assert(!funnelPlan.contains("NestedLoop") && !funnelPlan.contains("Cartesian"),
       "funnel must not degenerate to a nested-loop/cartesian plan")
+    // stickiness computes the trailing window via a bounded ×7 explode —
+    // the plan must contain no join at all (a day×day range join is the
+    // shape this operator exists to avoid), and the events scan must
+    // prune to (user_id, ts)
+    println("\n===== evt_stickiness =====")
+    val stickDf = SparkEntry.queries("evt_stickiness")(spark, dir)
+    stickDf.explain("formatted")
+    val stickPlan = stickDf.queryExecution.executedPlan.toString
+    assert(!stickPlan.contains("NestedLoop") && !stickPlan.contains("Cartesian"),
+      "stickiness must not plan a range join")
+    val stickRead = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(stickPlan).map(_.group(1)).getOrElse("")
+    assert(stickRead.split(",").map(_.split(":")(0).trim).toSet == Set("user_id", "ts"),
+      s"stickiness must prune the events scan to user_id+ts, read: $stickRead")
+    // the transition matrix's only data-sized shuffle is the user_id lag
+    // window; the row-normalizing window runs over the |types|²-row frame
+    val tmPlan = SparkEntry.queries("evt_transition_matrix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(tmPlan.contains("hashpartitioning(user_id"),
+      "transition matrix's lag window must partition on user_id")
+    assert(!tmPlan.contains("NestedLoop") && !tmPlan.contains("Cartesian"),
+      "transition matrix must stay join-free")
     // the knn graph's joins are corpus-sized on BOTH sides at every stage
     // (bucket self-join, two vector fetches, mutuality self-join) — all
     // hinted shuffle_hash; a broadcast anywhere is an OOM at cluster scale

@@ -521,6 +521,105 @@ object EventStream {
       .as[DayEvent]
   }
 
+  final case class TypedEvent(user_id: Long, event_id: Long, event_type: String,
+                              ms: Long, event_time: java.sql.Timestamp)
+  /** Changelog row: ±1 increments of the (prev → next) transition counts. */
+  final case class TransitionDelta(prev_type: String, next_type: String, delta: Long)
+  /** Per-user timeline state: the in-horizon events ascending by
+    * (ms, event_id), plus the last below-watermark event (`floor`) — the
+    * one compacted link a first in-horizon event still chains from. */
+  final case class TransitionState(events: List[(Long, Long, String)],
+                                   floor: Option[(Long, Long, String)])
+
+  /** Streaming twin of [[graft.operators.EventOps.transitionMatrix]], as
+    * a CHANGELOG (the sixth twin pair): ±1 increments of the per-user
+    * consecutive (prev → next) event-type counts. The out-of-order
+    * hazard here is unique in the family: a late event INSERTS INTO THE
+    * MIDDLE of a user's timeline — an admitted event x landing between
+    * already-seen neighbors a and b SPLITS the transition (a→b) into
+    * (a→x) and (x→b), so the operator retracts the split edge and emits
+    * the two new ones; consumers summing deltas converge to the batch
+    * matrix for any admissible arrival order ([[transitionRollup]]).
+    * Sequence order is (ms, event_id), identical to the batch lag
+    * window.
+    *
+    * State is watermark-compacted: a late arrival carries
+    * event_time ≥ wm, so no future event can insert strictly below the
+    * watermark — every below-wm event except the LAST (the boundary
+    * link the first in-horizon event chains from) is dropped. What
+    * survives per user: the in-horizon timeline plus one floor entry —
+    * O(users) state with horizon-bounded records, the same trade as the
+    * other five twins. */
+  def transitionDeltas(events: Dataset[TypedEvent]): Dataset[TransitionDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, TransitionDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[TypedEvent], state: GroupState[TransitionState]) =>
+          if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(TransitionState(Nil, None))
+            var out = List.empty[TransitionDelta]
+            var maxMs = Long.MinValue
+            def leq(a: (Long, Long, String), b: (Long, Long, String)): Boolean =
+              a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+            it.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+              maxMs = maxMs.max(e.ms)
+              val x = (e.ms, e.event_id, e.event_type)
+              // insertion point: after every entry with key ≤ x's
+              val (before, after) = st.events.span(a => leq(a, x))
+              val left = before.lastOption.orElse(st.floor)
+              val right = after.headOption
+              (left, right) match {
+                case (Some(a), Some(b)) => // mid-sequence insert: split a→b
+                  out ::= TransitionDelta(a._3, b._3, -1L)
+                  out ::= TransitionDelta(a._3, x._3, 1L)
+                  out ::= TransitionDelta(x._3, b._3, 1L)
+                case (Some(a), None) => out ::= TransitionDelta(a._3, x._3, 1L)
+                case (None, Some(b)) => out ::= TransitionDelta(x._3, b._3, 1L)
+                case (None, None) => ()
+              }
+              st = st.copy(events = before ::: x :: after)
+            }
+            // watermark compaction: keep in-horizon events + one floor link
+            val wm = state.getCurrentWatermarkMs()
+            val (below, inHorizon) = st.events.partition(_._1 < wm)
+            st = TransitionState(inHorizon, below.lastOption.orElse(st.floor))
+            state.update(st)
+            val anchor = if (maxMs == Long.MinValue) wm else maxMs
+            state.setTimeoutTimestamp((anchor + 4 * WeekMs).max(wm + 1))
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** Materialize a transition changelog into the batch matrix shape
+    * (prev_type, next_type, n, row_total, p). */
+  def transitionRollup(deltas: DataFrame): DataFrame = {
+    val byPrev = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    deltas.groupBy("prev_type", "next_type")
+      .agg(sum(col("delta")).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("row_total", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Bounded typed-event source for [[transitionDeltas]]. */
+  def readTypedEvents(spark: SparkSession, dir: String): Dataset[TypedEvent] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000").as("ms"))
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .as[TypedEvent]
+  }
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by
