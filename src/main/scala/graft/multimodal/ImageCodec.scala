@@ -72,6 +72,26 @@ object ImageCodec {
     (w, h, out)
   }
 
+  /** JPEG-encode a grayscale pattern — the MJPEG frame fixture for
+    * [[VideoCodec]] specs (lossy, so asserts compare dimensions and
+    * determinism, not exact bytes). */
+  def encodeJpeg(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** PNG-encode a grayscale pattern — the fixture generator for specs and
     * synthetic media (PNG is lossless, so decode(encode(p)) == p). */
   def encodePng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {

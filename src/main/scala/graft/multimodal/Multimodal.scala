@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * through `javax.imageio` (JDK-built-in, headless) into genuine
   * grayscale rasters, with resize rendered by `Graphics2D`, and
   * [[AudioCodec]] decodes WAV/AIFF/AU payloads through
-  * `javax.sound.sampled` into genuine 16-bit mono PCM. Payloads no
-  * reader claims — including the synthetic fixture corpus, whose
-  * payloads are UTF-8 text — fall back to [[StubCodec.decode]]'s
-  * deterministic fake raster, so a crawl's truncated/mislabeled bytes
-  * degrade instead of killing the stage. Only VIDEO decode remains
-  * stubbed (the JDK ships no video codec); swapping one in changes one
-  * function, not the pipeline.
+  * `javax.sound.sampled` into genuine 16-bit mono PCM. VIDEO decode is
+  * real for MJPEG-in-AVI ([[VideoCodec]]: a defensive RIFF chunk walker
+  * + per-frame JPEG decode — the one mainstream video class decodable
+  * with the bare JDK). Payloads no reader claims — including the
+  * synthetic fixture corpus, whose payloads are UTF-8 text, and video
+  * codecs the JDK cannot entropy-decode (H.264 etc.) — fall back to
+  * [[StubCodec.decode]]'s deterministic fake raster, so a crawl's
+  * truncated/mislabeled bytes degrade instead of killing the stage.
   *
   * Batch shape: operators run `mapPartitions`-style over Datasets so a
   * real codec amortizes per-batch initialization (the JVM analogue of a
@@ -35,9 +36,9 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, modality: String, feature: Array[Float])
 
   /** STUB codec — deterministic fake decode, the fallback when
-    * [[ImageCodec]]/[[AudioCodec]] cannot claim the payload and the
-    * stand-in for video (a real build binds ffmpeg there; everything
-    * downstream is codec-agnostic). */
+    * [[ImageCodec]]/[[AudioCodec]]/[[VideoCodec]] cannot claim the
+    * payload (non-MJPEG video needs an external binary like ffmpeg;
+    * everything downstream is codec-agnostic). */
   object StubCodec {
     /** ??? in spirit: produces a w×h "raster" whose bytes are a
       * deterministic function of the payload, so tests are stable. */
@@ -76,11 +77,12 @@ object Multimodal {
 
   /** Decode each payload into frames; videos sample every `frameStep`-th
     * frame, images yield frame 0, audio yields one frame per second of
-    * samples. Image payloads decode for REAL through [[ImageCodec]] and
-    * audio through [[AudioCodec]] (dimensions/sample counts come from the
-    * actual raster/PCM, not the metadata struct — crawl metadata lies);
-    * undecodable payloads and the video modality take the stub path. Runs
-    * per-partition so codec state amortizes per batch, not per row. */
+    * samples. Image payloads decode for REAL through [[ImageCodec]],
+    * audio through [[AudioCodec]], and MJPEG-AVI video through
+    * [[VideoCodec]] (dimensions/sample counts come from the actual
+    * raster/PCM, not the metadata struct — crawl metadata lies);
+    * undecodable payloads take the stub path. Runs per-partition so
+    * codec state amortizes per batch, not per row. */
   def decodeFrames(media: Dataset[MediaRow], frameStep: Int = 10): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -102,6 +104,13 @@ object Multimodal {
               }
               DecodedFrame(m.media_id, idx, chunk.length, 1, px)
             }
+          }
+          case "video" => VideoCodec.decode(m.payload).map { frames =>
+            // sample every frameStep-th container frame, keeping the
+            // ORIGINAL frame index so downstream time alignment holds
+            frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % frameStep == 0 }
+              .map { case ((w, h, px), i) => DecodedFrame(m.media_id, i, w, h, px) }
           }
           case _ => None
         }

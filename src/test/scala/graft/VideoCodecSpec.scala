@@ -1,0 +1,54 @@
+package graft
+
+import graft.multimodal.{ImageCodec, Multimodal, VideoCodec}
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+
+/** The MJPEG-in-AVI video codec: RIFF walking, per-frame JPEG decode,
+  * defensive truncation handling, and the real-vs-stub contract inside
+  * the distributed decode path. */
+class VideoCodecSpec extends SparkTestBase {
+
+  private def frameJpeg(seed: Int): Array[Byte] =
+    ImageCodec.encodeJpeg(32, 24, (x, y) => (x * 5 + y * 11 + seed * 37) % 256)
+
+  test("mjpeg avi round-trip yields every frame at the real dimensions, deterministically") {
+    val avi = VideoCodec.encodeMjpegAvi((0 until 3).map(frameJpeg))
+    val frames = VideoCodec.decode(avi).get
+    assert(frames.length === 3)
+    frames.foreach { case (w, h, px) =>
+      assert(w === 32 && h === 24)
+      assert(px.length === 32 * 24)
+    }
+    // frames are distinct content (JPEG is lossy but the patterns differ)
+    assert(frames.map(_._3.toSeq).distinct.length === 3)
+    assert(VideoCodec.decode(avi).get.map(_._3.toSeq) === frames.map(_._3.toSeq))
+  }
+
+  test("non-avi and truncated payloads degrade to None / fewer frames, never throw") {
+    assert(VideoCodec.decode("not a video".getBytes("UTF-8")) === None)
+    assert(VideoCodec.decode(Array.empty[Byte]) === None)
+    val avi = VideoCodec.encodeMjpegAvi((0 until 3).map(frameJpeg))
+    // cut mid-way through the last frame: the walker returns what fits
+    val cut = VideoCodec.decode(avi.take(avi.length - 50))
+    assert(cut.forall(_.length <= 3))
+    // cut inside the RIFF header: no container, None
+    assert(VideoCodec.decode(avi.take(10)) === None)
+  }
+
+  test("decodeFrames samples every frameStep-th real frame, stub only for undecodable video") {
+    import spark.implicits._
+    val avi = VideoCodec.encodeMjpegAvi((0 until 5).map(frameJpeg))
+    // metadata deliberately lies: real decode must report the raster's
+    // 32x24; the undecodable payload falls back to the stub at meta dims
+    val rows = Seq(
+      MediaRow(1L, "video", avi, MediaMeta("avi", 99, 77, 5000L)),
+      MediaRow(2L, "video", "h264 bytes".getBytes("UTF-8"), MediaMeta("mp4", 16, 16, 5000L)))
+    val frames = Multimodal.decodeFrames(rows.toDS(), frameStep = 2).collect()
+    val real = frames.filter(_.media_id == 1L).sortBy(_.frame_index)
+    assert(real.map(_.frame_index).toSeq === Seq(0, 2, 4)) // container indices kept
+    real.foreach(f => assert(f.width === 32 && f.height === 24))
+    val stub = frames.filter(_.media_id == 2L)
+    assert(stub.nonEmpty)
+    stub.foreach(f => assert(f.width === 16 && f.height === 16))
+  }
+}
