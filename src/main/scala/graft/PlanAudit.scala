@@ -129,9 +129,10 @@ object PlanAudit {
     assert(!funnelPlan.contains("NestedLoop") && !funnelPlan.contains("Cartesian"),
       "funnel must not degenerate to a nested-loop/cartesian plan")
     // stickiness computes the trailing window via a bounded ×7 explode —
-    // the plan must contain no join at all (a day×day range join is the
-    // shape this operator exists to avoid), and the events scan must
-    // prune to (user_id, ts)
+    // the plan must never contain a nested-loop/cartesian (the day×day
+    // RANGE join this operator exists to avoid; the one equi-join it
+    // does contain attaches the days-sized DAU and WAU aggregates), and
+    // the events scan must prune to (user_id, ts)
     println("\n===== evt_stickiness =====")
     val stickDf = SparkEntry.queries("evt_stickiness")(spark, dir)
     stickDf.explain("formatted")

@@ -41,23 +41,43 @@ object VideoCodec {
       }
     }.toOption.flatten
 
+  /** Iterative chunk walk with an explicit range stack — recursion would
+    * let a crafted payload of deeply nested LISTs throw
+    * StackOverflowError, which is FATAL (Try does not catch it) and
+    * would escape [[decode]] and kill the Spark task. All offset
+    * arithmetic is in Long: a declared chunk size near 2^32 must clamp
+    * to the range end, not wrap an Int negative (which would abort the
+    * walk and silently discard the frames already decoded). */
   private def walk(p: Array[Byte], from: Int, end: Int,
                    out: ListBuffer[(Int, Int, Array[Byte])]): Unit = {
-    var off = from
-    while (off + 8 <= end) {
-      val size = u32(p, off + 4)
-      val dataStart = off + 8
-      val dataEnd = math.min(end.toLong, dataStart.toLong + size).toInt
-      if (fourccAt(p, off, "LIST")) {
-        if (dataStart + 4 <= dataEnd) walk(p, dataStart + 4, dataEnd, out)
-      } else if (isVideoData(p, off) && dataEnd > dataStart) {
-        val jpeg = java.util.Arrays.copyOfRange(p, dataStart, dataEnd)
-        ImageCodec.decode(jpeg).foreach(out += _)
+    // explicit continuation stack preserving depth-first container order:
+    // descending into a LIST pushes the resume-point of the current range
+    var off = from.toLong
+    var rEnd = end.toLong
+    var resume = List.empty[(Long, Long)]
+    while (off + 8 <= rEnd || resume.nonEmpty) {
+      if (off + 8 > rEnd) {
+        off = resume.head._1; rEnd = resume.head._2; resume = resume.tail
+      } else {
+        val size = u32(p, off.toInt + 4)
+        val dataStart = off + 8
+        val dataEnd = math.min(rEnd, dataStart + size)
+        // chunks are word-aligned: odd sizes carry one pad byte; a
+        // size-0 chunk still advances 8 header bytes, so the walk always
+        // terminates
+        val next = dataStart + size + (size & 1L)
+        if (fourccAt(p, off.toInt, "LIST") && dataStart + 4 <= dataEnd) {
+          resume ::= (next, rEnd) // come back to the sibling after the LIST
+          off = dataStart + 4
+          rEnd = dataEnd
+        } else {
+          if (isVideoData(p, off.toInt) && dataEnd > dataStart) {
+            val jpeg = java.util.Arrays.copyOfRange(p, dataStart.toInt, dataEnd.toInt)
+            ImageCodec.decode(jpeg).foreach(out += _)
+          }
+          off = next
+        }
       }
-      // chunks are word-aligned: odd sizes carry one pad byte; a
-      // size-0 chunk still advances 8 header bytes, so the walk always
-      // terminates
-      off = dataStart + math.min(size + (size & 1L), Int.MaxValue.toLong).toInt
     }
   }
 

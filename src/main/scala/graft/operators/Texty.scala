@@ -280,18 +280,26 @@ object TextOps {
   /** Eval-set decontamination (north-star op): the overlap check a
     * training pipeline runs before anything ships — flag every corpus
     * document that shares a word-3-shingle with a held-out evaluation
-    * document, so benchmark answers can't leak into training data. The
-    * eval set here is the deterministic hold-out `doc_id % evalMod == 0`;
-    * in production it is the benchmark suite itself.
+    * document, so benchmark answers can't leak into training data.
     *
     * Scale shape: the eval index is BROADCAST — deliberately the opposite
     * call from [[langId]]'s profile. A language profile grows with corpus
-    * vocabulary (unbounded at 100 TB), but an eval benchmark is fixed-size
-    * BY CONSTRUCTION — its shingle index is a few hundred MB however big
-    * the training corpus gets, so broadcasting it turns decontamination
-    * into a map-side pass over the corpus: the only shuffle is the final
-    * doc_id-keyed aggregate (the table's natural partitioning), and the
-    * corpus-sized shingle frame never shuffles on shingle hash at all. */
+    * vocabulary (unbounded at 100 TB), but a production eval set is a
+    * FIXED benchmark suite — its shingle index is a few hundred MB
+    * however big the training corpus gets, so broadcasting it turns
+    * decontamination into a map-side pass over the corpus: the only
+    * shuffle is the final doc_id-keyed aggregate (the table's natural
+    * partitioning), and the corpus-sized shingle frame never shuffles on
+    * shingle hash at all.
+    *
+    * HONESTY CAVEAT on the fixture: the `doc_id % evalMod == 0` hold-out
+    * used here (so the DuckDB oracle can replay the split) is 1/evalMod
+    * of the CORPUS — it grows with corpus size, so the broadcast bound
+    * above does NOT hold for this stand-in eval set at 100 TB. The
+    * production deployment swaps the modular filter for the real
+    * benchmark table (bounded by construction); if the eval side ever
+    * were corpus-proportional, the right plan flips to the langId
+    * co-shuffle shape instead. */
   def decontaminate(spark: SparkSession, dir: String,
                     evalMod: Long = 20L): DataFrame =
     decontaminateFrom(Tables.load(spark, dir, "documents"), evalMod)

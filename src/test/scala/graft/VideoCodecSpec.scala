@@ -35,6 +35,44 @@ class VideoCodecSpec extends SparkTestBase {
     assert(VideoCodec.decode(avi.take(10)) === None)
   }
 
+  test("deeply nested LISTs walk iteratively — no stack overflow escapes decode") {
+    // ~200k nested LIST chunks: a recursive walker would throw
+    // StackOverflowError (fatal — Try does not catch it) out of decode
+    val depth = 200000
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val body = 4 + depth * 12 // "AVI " + nested LIST headers
+    for (shift <- Seq(0, 8, 16, 24)) out.write((body >> shift) & 0xFF)
+    out.write("AVI ".getBytes("US-ASCII"))
+    var remaining = depth * 12
+    while (remaining > 0) {
+      out.write("LIST".getBytes("US-ASCII"))
+      val inner = remaining - 8
+      for (shift <- Seq(0, 8, 16, 24)) out.write((inner >> shift) & 0xFF)
+      out.write("mov ".getBytes("US-ASCII"))
+      remaining -= 12
+    }
+    assert(VideoCodec.decode(out.toByteArray) === None) // no frames, no throw
+  }
+
+  test("a chunk with a huge declared size clamps instead of wrapping negative") {
+    // frame 1 is valid; the next chunk declares size 0xFFFFFFF0 — Int
+    // arithmetic would wrap the offset negative, throw inside Try, and
+    // silently discard the already-decoded frame
+    val good = VideoCodec.encodeMjpegAvi(Seq(frameJpeg(0)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, good.length)
+    out.write("00dc".getBytes("US-ASCII"))
+    for (b <- Seq(0xF0, 0xFF, 0xFF, 0xFF)) out.write(b)
+    val avi = out.toByteArray
+    // patch the RIFF size so the trailing chunk is inside the container
+    val riffBody = avi.length - 8
+    for ((shift, i) <- Seq(0, 8, 16, 24).zipWithIndex)
+      avi(4 + i) = ((riffBody >> shift) & 0xFF).toByte
+    val frames = VideoCodec.decode(avi)
+    assert(frames.map(_.length) === Some(1)) // the good frame survives
+  }
+
   test("decodeFrames samples every frameStep-th real frame, stub only for undecodable video") {
     import spark.implicits._
     val avi = VideoCodec.encodeMjpegAvi((0 until 5).map(frameJpeg))
