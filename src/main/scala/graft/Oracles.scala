@@ -216,28 +216,53 @@ object Oracles {
        |SELECT query_id, neighbor, cosine, rnk FROM lr WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** IVF-style probe: k-means inverted lists (KM CTEs — learned
-    * centroids, truncated integer means), nprobe = max(3, ⌈√nlist⌉)
-    * max-cosine lists per query (SimilarityOps.autoNprobe's twin), exact
-    * cosine within them. */
-  val simIvfTopK: String =
-    s"""WITH $QN,
-       |$KM,
-       |probe AS (SELECT a.vec_id AS query_id, k.cl AS probe_cl,
+  /** IVF probe pipe (expects the KM CTEs upstream): nprobe =
+    * max(3, ⌈√nlist⌉) max-cosine lists per query
+    * (SimilarityOps.autoNprobe's twin), exact cosine within them,
+    * ranked in `ir`. Shared by simIvfTopK and simIvfRecall — the
+    * recall arm must score the SAME index it searches. */
+  private val IVF_PIPE: String =
+    s"""probe AS (SELECT a.vec_id AS query_id, k.cl AS probe_cl,
        |  CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*k.cv[i])) AS BIGINT)
        |    / sqrt(CAST(a.nrm AS DOUBLE)) / sqrt(CAST(k.cnrm AS DOUBLE)) AS pcos
        |  FROM n a, k2 k WHERE a.vec_id < 10),
        |sel AS (SELECT query_id, probe_cl FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, probe_cl ASC) AS prnk
        |  FROM probe) t WHERE prnk <= (SELECT GREATEST(3, CAST(ceil(sqrt(nlist)) AS BIGINT)) FROM nl)),
-       |pairs AS (SELECT s.query_id, b.vec_id AS neighbor, ${cosine("a", "b")} AS cosine
+       |ipairs AS (SELECT s.query_id, b.vec_id AS neighbor, ${cosine("a", "b")} AS cosine
        |  FROM sel s JOIN a2 g ON g.cl = s.probe_cl
        |  JOIN n b ON b.vec_id = g.vec_id AND b.vec_id <> s.query_id
        |  JOIN n a ON a.vec_id = s.query_id),
-       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
-       |  FROM pairs)
-       |SELECT query_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5
+       |ir AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rnk
+       |  FROM ipairs)""".stripMargin
+
+  /** IVF-style probe: k-means inverted lists (KM CTEs — learned
+    * centroids, truncated integer means) + the shared probe pipe. */
+  val simIvfTopK: String =
+    s"""WITH $QN,
+       |$KM,
+       |$IVF_PIPE
+       |SELECT query_id, neighbor, cosine, rnk FROM ir WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF recall vs exact brute force — the DuckDB twin of
+    * SimilarityOps.ivfRecall (same KM training replay, same probe
+    * pipe, same brute-force ground truth as simLshRecall). */
+  val simIvfRecall: String =
+    s"""WITH $QN,
+       |$KM,
+       |$IVF_PIPE,
+       |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+       |  ${cosine("a", "b")} AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS rnk FROM bp),
+       |bt AS (SELECT query_id, neighbor FROM br WHERE rnk <= 5),
+       |it AS (SELECT query_id, neighbor FROM ir WHERE rnk <= 5)
+       |SELECT bt.query_id, count(*) AS k,
+       | CAST(sum(CASE WHEN it.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       | CAST(sum(CASE WHEN it.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS recall
+       |FROM bt LEFT JOIN it ON bt.query_id = it.query_id AND bt.neighbor = it.neighbor
+       |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 
   val simLshRecall: String =
     s"""WITH $QN,
@@ -555,6 +580,23 @@ object Oracles {
        |   THEN 1 ELSE 0 END AS BIGINT) AS contaminated
        |FROM corp LEFT JOIN ev USING (h)
        |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin
+
+  /** Cross-source contamination matrix — the DuckDB twin of
+    * TextOps.crossSourceOverlap (word-8-shingles, same 60-bit hashes,
+    * same df ≤ 64 posting-list truncation). */
+  val textCrossSourceOverlap: String =
+    s"""WITH w8 AS (SELECT doc_id, source,
+       |  string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |s8 AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+7], ' ') AS sh
+       |  FROM w8, UNNEST(range(1, len(ws)-6)) AS t(i) WHERE len(ws) >= 8),
+       |h8 AS (SELECT doc_id, source, ${graft.operators.Texty.baseHash60Sql("sh")} AS h FROM s8),
+       |p AS (SELECT doc_id, source, h FROM
+       |  (SELECT *, count(*) OVER (PARTITION BY h) AS df FROM h8) WHERE df <= 64)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       | count(DISTINCT (a.doc_id, b.doc_id)) AS n_doc_pairs,
+       | count(DISTINCT a.h) AS n_shared_shingles
+       |FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Gopher-style repetition signals — the DuckDB twin of
     * TextOps.repetition (n ∈ {2,3}, non-distinct grams, ppm integer

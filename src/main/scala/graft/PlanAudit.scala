@@ -162,6 +162,20 @@ object PlanAudit {
       "knn graph joins must co-shuffle")
     assert(!knnPlan.contains("BroadcastExchange"),
       "knn graph must never broadcast a corpus-sized frame")
+    // the cross-source overlap matrix self-joins the df-capped shingle
+    // index: corpus-sized on both sides, so it must co-shuffle on h
+    // (reusing the df window's exchange), never broadcast; and the df cap
+    // must keep the pair stage free of nested-loop degeneration
+    println("\n===== text_cross_source_overlap =====")
+    val xsoDf = SparkEntry.queries("text_cross_source_overlap")(spark, dir)
+    xsoDf.explain("formatted")
+    val xsoPlan = xsoDf.queryExecution.executedPlan.toString
+    assert(xsoPlan.contains("ShuffledHashJoin"),
+      "cross-source overlap self-join must co-shuffle on shingle hash")
+    assert(!xsoPlan.contains("BroadcastExchange"),
+      "cross-source overlap must never broadcast the shingle index")
+    assert(!xsoPlan.contains("NestedLoop") && !xsoPlan.contains("Cartesian"),
+      "cross-source overlap must stay an equi-join on h")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

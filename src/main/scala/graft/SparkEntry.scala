@@ -56,6 +56,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (SimilarityOps.lshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.ivfTopK _),
     "sim_lsh_recall" -> (SimilarityOps.lshRecall _),
+    "sim_ivf_recall" -> (SimilarityOps.ivfRecall _),
     "rel_representative_values" -> (Representative.representativeValues _),
     "rel_column_profile" -> (Representative.columnProfile _),
     "etl_harmonized_phenotypes" -> (graft.etl.Harmonize.harmonizedPhenotypesQuery _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "text_corpus_filter" -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "text_repetition" -> (TextOps.repetition _),
+    "text_cross_source_overlap" -> ((s: SparkSession, d: String) => TextOps.crossSourceOverlap(s, d)),
     "evt_funnel" -> (EventOps.funnel _),
     "evt_stickiness" -> (EventOps.stickiness _),
     "evt_anomaly" -> (EventOps.anomaly _),
@@ -177,6 +179,7 @@ object SparkEntry {
     "sim_lsh_topk" -> Oracles.simLshTopK,
     "sim_ivf_topk" -> Oracles.simIvfTopK,
     "sim_lsh_recall" -> Oracles.simLshRecall,
+    "sim_ivf_recall" -> Oracles.simIvfRecall,
     "rel_representative_values" -> Oracles.relRepresentativeValues,
     "rel_column_profile" -> Oracles.relColumnProfile,
     "etl_harmonized_phenotypes" -> Oracles.etlHarmonizedPhenotypes,
@@ -191,6 +194,7 @@ object SparkEntry {
     "text_corpus_filter" -> Oracles.textCorpusFilter,
     "text_decontaminate" -> Oracles.textDecontaminate,
     "text_repetition" -> Oracles.textRepetition,
+    "text_cross_source_overlap" -> Oracles.textCrossSourceOverlap,
     "evt_funnel" -> Oracles.evtFunnel,
     "evt_stickiness" -> Oracles.evtStickiness,
     "evt_anomaly" -> Oracles.evtAnomaly,

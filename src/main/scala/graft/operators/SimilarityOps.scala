@@ -155,12 +155,20 @@ object SimilarityOps {
     * pattern. Truncated-mean centroids keep every dot-product term at
     * ~1e6 × ~1e6 regardless of list size, so the arithmetic can never
     * overflow 64-bit on a real corpus (raw sums would at |list| ≈ 1e5).
-    * Recall vs brute force is reported by the sim_lsh_recall twin
-    * methodology; see ARCHITECTURE.md. The corpus count driving nlist is
-    * a parquet metadata read, not a scan. */
+    * Recall vs brute force is the oracle-backed [[ivfRecall]] query
+    * (sim_ivf_recall); see ARCHITECTURE.md. The corpus count driving
+    * nlist is a parquet metadata read, not a scan. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
-    val nlist = KMeans.autoNlist(graft.Tables.load(spark, dir, "embeddings").count())
+    ivfTopKFrom(q, graft.Tables.load(spark, dir, "embeddings").count())
+  }
+
+  /** IVF pipe over an already-cached quantized frame — shared by
+    * [[ivfTopK]] and [[ivfRecall]] (the recall arm must search the SAME
+    * index it scores). `corpusN` drives nlist; callers pass the table
+    * count from parquet metadata rather than re-counting the frame. */
+  private def ivfTopKFrom(q: DataFrame, corpusN: Long): DataFrame = {
+    val nlist = KMeans.autoNlist(corpusN)
     val (asg, cents) = KMeans.fit(q, nlist = nlist, firstSeed = NQueries)
     // corpus-length assignment: co-shuffle, never broadcast
     val lists = q.join(asg.hint("shuffle_hash"), "vec_id")
@@ -192,7 +200,26 @@ object SimilarityOps {
     val brute = bruteForceTopKFrom(q).select(col("query_id"), col("neighbor"))
     val lsh = lshTopKFrom(q)
       .select(col("query_id").as("q2"), col("neighbor").as("n2"))
-    brute.join(lsh,
+    recallOf(brute, lsh)
+  }
+
+  /** ANN quality evaluation for the IVF path: per-query recall against
+    * the exact brute-force top-k. Rounds 6-7 measured this by hand
+    * (ARCHITECTURE.md's 0.42/0.44 at the two scale points); as a query
+    * with a DuckDB twin the number is re-derived and cross-checked
+    * every round instead of trusted to prose. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val brute = bruteForceTopKFrom(q).select(col("query_id"), col("neighbor"))
+    val ivf = ivfTopKFrom(q, graft.Tables.load(spark, dir, "embeddings").count())
+      .select(col("query_id").as("q2"), col("neighbor").as("n2"))
+    recallOf(brute, ivf)
+  }
+
+  /** Shared recall scoring: left = ground-truth (query_id, neighbor),
+    * right = the approximate arm renamed (q2, n2). */
+  private def recallOf(brute: DataFrame, approx: DataFrame): DataFrame = {
+    brute.join(approx,
         col("query_id") === col("q2") && col("neighbor") === col("n2"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),

@@ -382,6 +382,63 @@ object TextOps {
     * sample is reproducible across reruns — the property lineage
     * tracking needs. Rates ride in a literal map (broadcast-equivalent);
     * unlisted languages default to 1.0. */
+  /** Cross-source contamination matrix (north-star op): before mixing
+    * corpora, a training-data pipeline measures how much each pair of
+    * sources overlaps — for every ordered source pair (source_a <
+    * source_b), the number of distinct document pairs sharing at least
+    * one word-8-shingle and the number of distinct shared shingle
+    * hashes. High off-diagonal mass means two "independent" sources are
+    * actually mirrors of each other and mixing weights must account for
+    * it.
+    *
+    * Shuffle shape at scale: ONE shuffle on shingle hash builds the
+    * inverted index, and the posting-list length (df) rides the SAME
+    * exchange as a window count — no second df pass. Posting lists are
+    * then truncated at `maxDf`: a shingle held by more than `maxDf`
+    * documents is dropped from the index, so per-key pair space is
+    * bounded by maxDf² and total pair output by O(#shingles · maxDf) —
+    * without the cap a single boilerplate 8-gram shared by a million
+    * documents would emit 10¹² pairs. The truncation undercounts overlap
+    * carried ONLY by ultra-common shingles; at k=8 words those are
+    * boilerplate (headers, license blurbs) whose exclusion is standard
+    * practice and usually desired. The cap lives in the oracle SQL too,
+    * so the gate verifies the truncated semantics, not an idealized one.
+    * The output matrix is ≤ |sources|² rows — driver-safe by
+    * construction. */
+  def crossSourceOverlap(spark: SparkSession, dir: String,
+                         k: Int = 8, maxDf: Int = 64): DataFrame =
+    crossSourceOverlapFrom(Tables.load(spark, dir, "documents"), k, maxDf)
+
+  def crossSourceOverlapFrom(docs: DataFrame, k: Int = 8,
+                             maxDf: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cache the tokenized column BEFORE the shingle lambda (projection-
+    // collapse barrier — see decontaminateFrom)
+    val toks = graft.Caches.cached(
+      docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks")))
+    // shingles() is per-doc distinct, so (doc_id, h) is unique and the
+    // window count below is exactly the document frequency
+    val sh = toks
+      .select(col("doc_id"), col("source"),
+        explode(shingles(col("toks"), k)).as("sh"))
+      .select(col("doc_id"), col("source"), Texty.baseHash60(col("sh")).as("h"))
+    val pruned = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .transform(graft.Caches.cached(_)) // read twice: both sides of the self-join
+    // the index is corpus-sized: co-shuffle on h (reusing the window's
+    // exchange) rather than letting AQE broadcast it at toy SF — the
+    // same discipline as distinctiveTerms' df attach
+    pruned.as("a").join(pruned.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(
+        countDistinct(col("a.doc_id"), col("b.doc_id")).as("n_doc_pairs"),
+        countDistinct(col("a.h")).as("n_shared_shingles"))
+      .orderBy("source_a", "source_b")
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String,
                        rates: Map[String, Double] = Map("en" -> 0.4)): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

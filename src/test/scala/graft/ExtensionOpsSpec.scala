@@ -283,6 +283,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(brute.intersect(ivfPairs).size >= 15, s"recall@5 too low: ${brute.intersect(ivfPairs).size}/50")
   }
 
+  test("similarity: IVF recall query agrees with an independent recomputation") {
+    val rows = SimilarityOps.ivfRecall(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet)
+    rows.foreach { r =>
+      val k = r.getLong(r.fieldIndex("k"))
+      val hits = r.getLong(r.fieldIndex("hits"))
+      assert(k === 5L)
+      assert(hits >= 0L && hits <= k)
+      assert(r.getDouble(r.fieldIndex("recall")) === hits.toDouble / k)
+    }
+    // total hits must equal the brute∩ivf intersection the topk test floors
+    val brute = SparkEntry.queries("sim_brute_topk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val ivfPairs = SimilarityOps.ivfTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rows.map(_.getLong(2)).sum === brute.intersect(ivfPairs).size.toLong)
+  }
+
   test("text: token stats are internally consistent") {
     val rows = TextOps.tokenStats(spark, sf).collect()
     rows.foreach { r =>
@@ -340,6 +358,36 @@ class ExtensionOpsSpec extends SparkTestBase {
       assert((nHit > 0) === (r.getLong(r.fieldIndex("contaminated")) == 1L))
       assert((nHit > 0) === (r.getLong(r.fieldIndex("n_eval_docs")) > 0L))
       assert(r.getLong(r.fieldIndex("contamination_ppm")) === nHit * 1000000L / nSh)
+    }
+  }
+
+  test("text: cross-source overlap finds a planted shared shingle, caps hot ones") {
+    import spark.implicits._
+    // docs 1 (srcA) and 2 (srcB) share exactly one 8-shingle "a b c d e f
+    // g h"; doc 3 (srcC) shares nothing; docs within the same source
+    // never pair
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "srcA"),
+      (2L, "a b c d e f g h z w", "srcB"),
+      (3L, "p q r s t u v w x y", "srcC"),
+      (4L, "a b c d e f g h k l", "srcA")).toDF("doc_id", "text", "source")
+    val out = TextOps.crossSourceOverlapFrom(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("srcA", "srcB"))) // srcC absent; no intra-source pair
+    val r = out(("srcA", "srcB"))
+    assert(r.getLong(r.fieldIndex("n_doc_pairs")) === 2L) // (1,2) and (4,2)
+    assert(r.getLong(r.fieldIndex("n_shared_shingles")) === 1L)
+    // df cap: the shared shingle has df=3; maxDf=2 drops it entirely
+    assert(TextOps.crossSourceOverlapFrom(docs, maxDf = 2).collect().isEmpty)
+  }
+
+  test("text: cross-source overlap invariants hold corpus-wide") {
+    val rows = TextOps.crossSourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted cross-source near-dups in the corpus")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1)) // strictly ordered pairs
+      assert(r.getLong(r.fieldIndex("n_doc_pairs")) >= 1L)
+      assert(r.getLong(r.fieldIndex("n_shared_shingles")) >= 1L)
     }
   }
 
