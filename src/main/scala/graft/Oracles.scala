@@ -598,6 +598,21 @@ object Oracles {
        |FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Corpus mixture plan — the DuckDB twin of TextOps.mixturePlan
+    * (per-(lang, source) token counts, proportional-cap keep rate at a
+    * 5000-token budget, exact integer ppm). */
+  val textMixturePlan: String =
+    s"""WITH t AS (SELECT lang, source,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0)) AS BIGINT) AS nt FROM documents),
+       |a AS (SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1, 2)
+       |SELECT lang, source, n_docs, n_tokens,
+       | LEAST(1000000, (5000::BIGINT * 1000000) // n_tokens) AS rate_ppm,
+       | (n_tokens * LEAST(1000000, (5000::BIGINT * 1000000) // n_tokens)) // 1000000
+       |   AS planned_tokens
+       |FROM a ORDER BY lang, source""".stripMargin
+
   /** Gopher-style repetition signals — the DuckDB twin of
     * TextOps.repetition (n ∈ {2,3}, non-distinct grams, ppm integer
     * shares). */

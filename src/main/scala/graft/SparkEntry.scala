@@ -72,6 +72,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "text_repetition" -> (TextOps.repetition _),
     "text_cross_source_overlap" -> ((s: SparkSession, d: String) => TextOps.crossSourceOverlap(s, d)),
+    "text_mixture_plan" -> ((s: SparkSession, d: String) => TextOps.mixturePlan(s, d)),
     "evt_funnel" -> (EventOps.funnel _),
     "evt_stickiness" -> (EventOps.stickiness _),
     "evt_anomaly" -> (EventOps.anomaly _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "text_decontaminate" -> Oracles.textDecontaminate,
     "text_repetition" -> Oracles.textRepetition,
     "text_cross_source_overlap" -> Oracles.textCrossSourceOverlap,
+    "text_mixture_plan" -> Oracles.textMixturePlan,
     "evt_funnel" -> Oracles.evtFunnel,
     "evt_stickiness" -> Oracles.evtStickiness,
     "evt_anomaly" -> Oracles.evtAnomaly,

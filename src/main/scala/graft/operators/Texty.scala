@@ -373,6 +373,34 @@ object TextOps {
       .orderBy("doc_id", "n")
   }
 
+  /** Corpus mixture planning (north-star op): the step UPSTREAM of
+    * [[stratifiedSample]] — derive the per-stratum sampling rates from a
+    * token budget instead of receiving them. Per (lang, source) stratum:
+    * document count, token count, and the keep rate
+    * `min(1, budget/actual)` in exact integer ppm (the proportional-cap
+    * allocation corpus mixtures use: strata under budget keep
+    * everything, strata over budget downsample to the cap), plus the
+    * planned post-sampling token count. Shuffle shape at scale: token
+    * counts are a pure projection (`size(tokens)` — no explode), then
+    * ONE aggregate on the (lang, source) key space, which is
+    * catalog-sized, not corpus-sized; everything after is arithmetic on
+    * ≤ |langs|·|sources| rows. The rate column feeds stratifiedSample's
+    * hash gate directly. */
+  def mixturePlan(spark: SparkSession, dir: String,
+                  budgetTokens: Long = 5000L): DataFrame =
+    mixturePlanFrom(Tables.load(spark, dir, "documents"), budgetTokens)
+
+  def mixturePlanFrom(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
+    docs.select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr(s"${budgetTokens * 1000000L}L div n_tokens")))
+      .withColumn("planned_tokens", expr("n_tokens * rate_ppm div 1000000"))
+      .orderBy("lang", "source")
+  }
+
   /** Deterministic per-language stratified sampling (north-star op): a
     * training-data pipeline downsamples over-represented strata (e.g.
     * keep 40% of English, all of everything else). The keep decision is

@@ -391,6 +391,42 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text: mixture plan keeps under-budget strata whole, caps over-budget ones") {
+    import spark.implicits._
+    // stratum (en, s1): 4 tokens — far under a 10-token budget, rate 1e6;
+    // stratum (de, s2): 40 tokens — 4x over, rate 250000
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, Seq.fill(20)("w").mkString(" "), "de", "s2"),
+      (3L, Seq.fill(20)("v").mkString(" "), "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.mixturePlanFrom(docs, budgetTokens = 10L)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val en = rows(("en", "s1"))
+    assert(en.getLong(en.fieldIndex("n_tokens")) === 4L)
+    assert(en.getLong(en.fieldIndex("rate_ppm")) === 1000000L)
+    assert(en.getLong(en.fieldIndex("planned_tokens")) === 4L)
+    val de = rows(("de", "s2"))
+    assert(de.getLong(de.fieldIndex("n_docs")) === 2L)
+    assert(de.getLong(de.fieldIndex("n_tokens")) === 40L)
+    assert(de.getLong(de.fieldIndex("rate_ppm")) === 250000L)
+    assert(de.getLong(de.fieldIndex("planned_tokens")) === 10L)
+  }
+
+  test("text: mixture plan invariants hold corpus-wide") {
+    val rows = TextOps.mixturePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nt = r.getLong(r.fieldIndex("n_tokens"))
+      val rate = r.getLong(r.fieldIndex("rate_ppm"))
+      val planned = r.getLong(r.fieldIndex("planned_tokens"))
+      assert(rate > 0L && rate <= 1000000L)
+      assert(planned <= nt)
+      if (rate < 1000000L) assert(planned <= 5000L) // capped strata land under budget
+      else assert(planned === nt) // whole strata keep every token
+    }
+  }
+
   test("text: repetition scores a planted spam doc at full duplicate mass") {
     import spark.implicits._
     val docs = Seq(
