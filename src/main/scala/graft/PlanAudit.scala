@@ -176,6 +176,21 @@ object PlanAudit {
       "cross-source overlap must never broadcast the shingle index")
     assert(!xsoPlan.contains("NestedLoop") && !xsoPlan.contains("Cartesian"),
       "cross-source overlap must stay an equi-join on h")
+    // the mixture planner is scan-bound by design: token counts are a
+    // pure projection (no explode) and the one aggregate keys on the
+    // catalog-sized (lang, source) stratum space; the scan must prune
+    // to exactly the three columns the plan consumes
+    val mixPlan = SparkEntry.queries("text_mixture_plan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Generate"),
+      "mixture plan must count tokens without an explode")
+    assert(!mixPlan.contains("Join"),
+      "mixture plan must stay join-free")
+    val mixRead = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(mixPlan).map(_.group(1)).getOrElse("")
+    assert(mixRead.split(",").map(_.split(":")(0).trim).toSet ==
+      Set("text", "lang", "source"),
+      s"mixture plan must prune the documents scan to text+lang+source, read: $mixRead")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }
