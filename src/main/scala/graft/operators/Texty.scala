@@ -419,45 +419,52 @@ object TextOps {
     * actually mirrors of each other and mixing weights must account for
     * it.
     *
-    * Shuffle shape at scale: ONE shuffle on shingle hash builds the
-    * inverted index, and the posting-list length (df) rides the SAME
-    * exchange as a window count — no second df pass. Posting lists are
-    * then truncated at `maxDf`: a shingle held by more than `maxDf`
-    * documents is dropped from the index, so per-key pair space is
-    * bounded by maxDf² and total pair output by O(#shingles · maxDf) —
-    * without the cap a single boilerplate 8-gram shared by a million
-    * documents would emit 10¹² pairs. The truncation undercounts overlap
-    * carried ONLY by ultra-common shingles; at k=8 words those are
-    * boilerplate (headers, license blurbs) whose exclusion is standard
-    * practice and usually desired. The cap lives in the oracle SQL too,
-    * so the gate verifies the truncated semantics, not an idealized one.
-    * The output matrix is ≤ |sources|² rows — driver-safe by
-    * construction. */
+    * Shuffle shape at scale: every exchange keys on the shingle hash, so
+    * Catalyst reuses one partitioning across df-aggregate, hot-list
+    * anti-join, and self-join. Document frequency comes from a groupBy —
+    * NOT a window count over the h partition: partial aggregation
+    * absorbs hot keys map-side, where a window would buffer (and spill)
+    * a boilerplate shingle's entire posting list inside one task. The
+    * df > `maxDf` keys become a hot-list that is anti-joined away
+    * co-shuffled (the hot set is corpus-dependent and unbounded, so it
+    * is hinted shuffle_hash, never broadcast; the probe side streams).
+    * The cap bounds per-key pair space at maxDf² and total pair output
+    * at O(#shingles · maxDf) — without it a single boilerplate 8-gram
+    * shared by a million documents would emit 10¹² pairs. The
+    * truncation undercounts overlap carried ONLY by ultra-common
+    * shingles; at k=8 words those are boilerplate (headers, license
+    * blurbs) whose exclusion is standard practice and usually desired.
+    * The cap lives in the oracle SQL too, so the gate verifies the
+    * truncated semantics, not an idealized one. The output matrix is
+    * ≤ |sources|² rows — driver-safe by construction. */
   def crossSourceOverlap(spark: SparkSession, dir: String,
                          k: Int = 8, maxDf: Int = 64): DataFrame =
     crossSourceOverlapFrom(Tables.load(spark, dir, "documents"), k, maxDf)
 
   def crossSourceOverlapFrom(docs: DataFrame, k: Int = 8,
                              maxDf: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // cache the tokenized column BEFORE the shingle lambda (projection-
     // collapse barrier — see decontaminateFrom)
     val toks = graft.Caches.cached(
       docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks")))
     // shingles() is per-doc distinct, so (doc_id, h) is unique and the
-    // window count below is exactly the document frequency
+    // groupBy count below is exactly the document frequency
     val sh = toks
       .select(col("doc_id"), col("source"),
         explode(shingles(col("toks"), k)).as("sh"))
       .select(col("doc_id"), col("source"), Texty.baseHash60(col("sh")).as("h"))
-    val pruned = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+      .transform(graft.Caches.cached(_)) // read twice: df aggregate + index
+    // hot-list exclusion: partial-aggregated count (map-side combine
+    // absorbs hot keys), then a co-shuffled anti-join that STREAMS the
+    // probe side — never a window that buffers a hot posting list in one
+    // task, never a broadcast of the unbounded hot set
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val pruned = sh.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
       .transform(graft.Caches.cached(_)) // read twice: both sides of the self-join
-    // the index is corpus-sized: co-shuffle on h (reusing the window's
-    // exchange) rather than letting AQE broadcast it at toy SF — the
-    // same discipline as distinctiveTerms' df attach
+    // the index is corpus-sized: co-shuffle on h (reusing the partitioning
+    // the anti-join already established) rather than letting AQE broadcast
+    // it at toy SF — the same discipline as distinctiveTerms' df attach
     pruned.as("a").join(pruned.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
