@@ -608,8 +608,8 @@ object Oracles {
        |a AS (SELECT lang, source, count(*) AS n_docs,
        |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1, 2)
        |SELECT lang, source, n_docs, n_tokens,
-       | LEAST(1000000, (5000::BIGINT * 1000000) // n_tokens) AS rate_ppm,
-       | (n_tokens * LEAST(1000000, (5000::BIGINT * 1000000) // n_tokens)) // 1000000
+       | LEAST(1000000, (5000::BIGINT * 1000000) // GREATEST(1, n_tokens)) AS rate_ppm,
+       | (n_tokens * LEAST(1000000, (5000::BIGINT * 1000000) // GREATEST(1, n_tokens))) // 1000000
        |   AS planned_tokens
        |FROM a ORDER BY lang, source""".stripMargin
 

@@ -395,8 +395,12 @@ object TextOps {
         size(tokens(col("text"))).cast("long").as("nt"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      // greatest(1, ·): a stratum of only empty documents has zero
+      // tokens — keep it whole (rate 1e6, planned 0) instead of letting
+      // ANSI mode throw on the division
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr(s"${budgetTokens * 1000000L}L div n_tokens")))
+        least(lit(1000000L),
+          expr(s"${budgetTokens * 1000000L}L div greatest(1L, n_tokens)")))
       .withColumn("planned_tokens", expr("n_tokens * rate_ppm div 1000000"))
       .orderBy("lang", "source")
   }

@@ -398,10 +398,15 @@ class ExtensionOpsSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "a b c d", "en", "s1"),
       (2L, Seq.fill(20)("w").mkString(" "), "de", "s2"),
-      (3L, Seq.fill(20)("v").mkString(" "), "de", "s2"))
+      (3L, Seq.fill(20)("v").mkString(" "), "de", "s2"),
+      (4L, "   ", "fr", "s3")) // all-empty stratum: zero tokens, no throw
       .toDF("doc_id", "text", "lang", "source")
     val out = TextOps.mixturePlanFrom(docs, budgetTokens = 10L)
     val rows = out.collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val fr = rows(("fr", "s3"))
+    assert(fr.getLong(fr.fieldIndex("n_tokens")) === 0L)
+    assert(fr.getLong(fr.fieldIndex("rate_ppm")) === 1000000L)
+    assert(fr.getLong(fr.fieldIndex("planned_tokens")) === 0L)
     val en = rows(("en", "s1"))
     assert(en.getLong(en.fieldIndex("n_tokens")) === 4L)
     assert(en.getLong(en.fieldIndex("rate_ppm")) === 1000000L)
