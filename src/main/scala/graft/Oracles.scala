@@ -99,7 +99,7 @@ object Oracles {
        | CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
        |FROM nrm ORDER BY doc_id""".stripMargin
 
-  /** Exact shingle-Jaccard pairs — also the oracle for MinHash+LSH (whose
+  /** Exact shingle-Jaccard pairs — the oracle for MinHash+LSH (whose
     * verified output must recover exactly this relation). */
   val dedupJaccardPairs: String =
     s"""WITH $W,
@@ -107,6 +107,27 @@ object Oracles {
        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |i AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(ca.n_sh + cb.n_sh - inter) AS jaccard
+       |FROM i JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shingles surviving the df <= maxDf hot-shingle cap — the truncated
+    * shingle universe DedupOps.ngramJaccard scores over ((doc_id, sh) is
+    * unique in SH, so count(*) per sh is exactly the document frequency). */
+  private def shCapped(maxDf: Int): String =
+    s"""shp AS (SELECT doc_id, sh FROM sh
+       |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxDf) keep USING (sh))""".stripMargin
+
+  /** Df-capped shingle-Jaccard pairs — the oracle for the inverted-index
+    * ngram detector, mirroring its maxDf=64 hot-shingle exclusion from
+    * both the index and the per-doc set sizes. */
+  val dedupJaccardPairsCapped: String =
+    s"""WITH $W,
+       |$SH,
+       |${shCapped(64)},
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id),
+       |i AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM shp x JOIN shp y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(ca.n_sh + cb.n_sh - inter) AS jaccard
        |FROM i JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
@@ -326,13 +347,14 @@ object Oracles {
   val evtAnomaly: String =
     """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour, count(*) AS n
       |  FROM events GROUP BY 1, 2),
-      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
-      |  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS s2
+      |a AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS nh,
+      |  CAST(sum(n) AS DECIMAL(38,0)) AS s,
+      |  CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS s2
       |  FROM h GROUP BY 1)
       |SELECT h.event_type, h.hour, h.n,
       | CASE WHEN a.nh*a.s2 - a.s*a.s = 0 THEN 0.0
-      |  ELSE CAST(h.n*a.nh - a.s AS DOUBLE) / sqrt(CAST(a.nh*a.s2 - a.s*a.s AS DOUBLE)) END AS z,
-      | CAST(CASE WHEN (h.n*a.nh - a.s)*(h.n*a.nh - a.s) > 9*(a.nh*a.s2 - a.s*a.s)
+      |  ELSE CAST(CAST(h.n AS DECIMAL(38,0))*a.nh - a.s AS DOUBLE) / sqrt(CAST(a.nh*a.s2 - a.s*a.s AS DOUBLE)) END AS z,
+      | CAST(CASE WHEN (CAST(h.n AS DECIMAL(38,0))*a.nh - a.s)*(CAST(h.n AS DECIMAL(38,0))*a.nh - a.s) > 9*(a.nh*a.s2 - a.s*a.s)
       |  THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM h JOIN a USING (event_type) ORDER BY h.event_type, h.hour""".stripMargin
 
@@ -656,9 +678,10 @@ object Oracles {
   val dedupClusters: String =
     s"""WITH RECURSIVE $W,
        |$SH,
-       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |${shCapped(64)},
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id),
        |i AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |  FROM shp x JOIN shp y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
        |p AS (SELECT doc_a, doc_b
        |  FROM i JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
        |  WHERE CAST(inter AS DOUBLE)/(ca.n_sh + cb.n_sh - inter) >= 0.5),

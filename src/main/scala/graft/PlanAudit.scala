@@ -176,6 +176,18 @@ object PlanAudit {
       "cross-source overlap must never broadcast the shingle index")
     assert(!xsoPlan.contains("NestedLoop") && !xsoPlan.contains("Cartesian"),
       "cross-source overlap must stay an equi-join on h")
+    // the ngram-Jaccard inverted index is df-capped: the hot-shingle
+    // exclusion must be a co-shuffled LeftAnti (the hot list is corpus-
+    // dependent and unbounded — a broadcast build side is an OOM), and
+    // no stage of the pair pipeline may broadcast a corpus-sized frame
+    println("\n===== dedup_ngram_jaccard =====")
+    val njDf = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+    njDf.explain("formatted")
+    val njPlan = njDf.queryExecution.executedPlan.toString
+    assert(njPlan.contains("LeftAnti"),
+      "ngram jaccard must anti-join the hot-shingle list away")
+    assert(!njPlan.contains("BroadcastExchange"),
+      "ngram jaccard must never broadcast the hot list or the index")
     // the mixture planner is scan-bound by design: token counts are a
     // pure projection (no explode) and the one aggregate keys on the
     // catalog-sized (lang, source) stratum space; the scan must prune

@@ -45,7 +45,7 @@ object SparkEntry {
     "text_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "text_winnow_fingerprint" -> ((s: SparkSession, d: String) => TextOps.winnowFingerprint(s, d)),
     "dedup_exact" -> (DedupOps.exact _),
-    "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
     "dedup_simhash" -> (DedupOps.simhash _),
     "dedup_embedding_cosine" -> (DedupOps.embeddingNearDup _),
@@ -166,7 +166,7 @@ object SparkEntry {
     "text_pack_sequences" -> Oracles.textPackSequences,
     "text_winnow_fingerprint" -> Oracles.textWinnowFingerprint,
     "dedup_exact" -> Oracles.dedupExact,
-    "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairs,
+    "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairsCapped,
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_embedding_cosine" -> Oracles.dedupEmbedding,

@@ -12,7 +12,8 @@ import graft.{Caches, Tables}
   * with their similarity evidence. Exact dedup groups on a content hash;
   * the near-dup detectors differ in how they prune the O(n²) pair space:
   *
-  *  - n-gram Jaccard: inverted index on shingles (pairs must share one)
+  *  - n-gram Jaccard: df-capped inverted index on shingles (pairs must
+  *    share a sub-boilerplate shingle; hot shingles anti-joined away)
   *  - MinHash+LSH: banded signatures (pairs must collide in one band)
   *  - SimHash: 15-bit chunk blocking over a 60-bit sketch
   *  - embedding cosine: coarse-cluster (label) blocking, integer-quantized
@@ -68,24 +69,46 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (jaccard >= 0.5) via inverted
-    * index: only pairs sharing at least one shingle are scored — recall-
-    * exact for any threshold > 0. The shingle self-join shuffles on the
-    * shingle value; with near-unique shingles the fan-out per key is ~1,
-    * so the join output is O(true candidates), not O(n²). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** N-gram Jaccard near-dup pairs (jaccard >= 0.5) via a df-capped
+    * inverted index: only pairs sharing at least one NON-HOT shingle are
+    * scored. Shingles with document frequency > `maxDf` are excluded
+    * from the index AND from the per-doc set sizes (the same truncated-
+    * universe semantics as [[Texty.crossSourceOverlapFrom]], and the
+    * oracle mirrors the cap), so the similarity is Jaccard over the
+    * sub-boilerplate shingle universe. Without the cap one hot trigram
+    * ("terms of service") with df = m emits O(m²) join rows — at 100 TB
+    * that is a single-key quadratic; with it, per-key pair space is
+    * bounded at maxDf² and total join output at O(#shingles · maxDf).
+    * True near-dups lose hot shingles from numerator and denominator
+    * alike, so their Jaccard is essentially unchanged; what the
+    * truncation drops are pairs related ONLY through boilerplate, which
+    * is precisely the relation a dedup pipeline does not want. The hot
+    * list is corpus-dependent and unbounded, so it is anti-joined away
+    * co-shuffled on the shingle hash (hinted shuffle_hash, never a
+    * broadcast build side). */
+  def ngramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame = {
     // shingles arrive as 60-bit longs: every downstream shuffle/join
     // moves 8-byte keys instead of ~20-byte strings, and the set
     // semantics are unchanged (within-pair collision odds ~1e-13)
-    val sh = Caches.cached(shingleTable(spark, dir))
+    val raw = Caches.cached(shingleTable(spark, dir))
+    // document frequency via groupBy (map-side combine absorbs hot keys;
+    // a window over h would buffer a hot posting list in one task)
+    val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val sh = Caches.cached(raw.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti"))
+    // per-doc set sizes are corpus-sized (one row per document): both
+    // attaches below co-shuffle on the doc key — never a broadcast
+    // build side that scales with the corpus
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val inter = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+        .hint("shuffle_hash"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

@@ -260,19 +260,24 @@ object EventOps {
     * integers, so the only float ops are one division and one sqrt on
     * identical operands in any engine; the flag is decided on the exact
     * integer inequality (n·H − S)² > 9·(H·S2 − S²), no float threshold.
-    * One shuffle (the hourly aggregate) + one event_type-partitioned
-    * window over O(hours) rows. */
+    * The moments are carried in DECIMAL(38,0) (both engines evaluate it
+    * deterministically): in Long, S² and the squared numerator overflow
+    * once a type's total hourly counts reach ~3e9 events — well inside
+    * the 100 TB envelope — and with ANSI mode pinned that is a runtime
+    * abort, not a wrong answer. One shuffle (the hourly aggregate) +
+    * one event_type-partitioned window over O(hours) rows. */
   def anomaly(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), expr("ts div 1000000 div 3600000").as("hour"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type")
-    val num = col("n") * col("nh") - col("s")
+    val nd = col("n").cast("decimal(38,0)")
+    val num = nd * col("nh") - col("s")
     val rad = col("nh") * col("s2") - col("s") * col("s")
     hourly
-      .withColumn("nh", count(lit(1)).over(w))
-      .withColumn("s", sum(col("n")).over(w))
-      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("nh", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("s", sum(nd).over(w))
+      .withColumn("s2", sum(nd * nd).over(w))
       .select(col("event_type"), col("hour"), col("n"),
         when(rad === 0, lit(0.0))
           .otherwise(num.cast("double") / sqrt(rad.cast("double"))).as("z"),

@@ -221,9 +221,13 @@ object EventStream {
     * match — late rows beyond the watermark are dropped before the
     * operator); orders below the watermark compact to the single best
     * (time, orderkey) entry, which is all any future event can match below
-    * that point. At 100 TB this is the same cost class as the batch twin:
-    * one shuffle of each side on the join key, state O(in-horizon rows per
-    * key). */
+    * that point. A user idle for 4 weeks of EVENT TIME is evicted whole —
+    * including the compacted order floor — so an event arriving after
+    * that horizon enriches as null where the batch join would match
+    * arbitrarily far back: the same bounded-state trade the funnel /
+    * active / transition twins document, with the same horizon. At 100 TB
+    * this is the same cost class as the batch twin: one shuffle of each
+    * side on the join key, state O(in-horizon rows per key). */
   def asofDeltas(tagged: Dataset[AsofInput]): Dataset[AsofDelta] = {
     import tagged.sparkSession.implicits._
     // match preference: lexicographic (time, orderkey) max among orders
@@ -277,8 +281,14 @@ object EventStream {
                 st.events.filter(_._2 >= wm))
             }
             state.update(st)
-            state.setTimeoutTimestamp(
-              (rows.map(_.ms).max + 4 * 3600 * 1000L).max(wm + 1))
+            // idle-eviction horizon matches the sibling twins (4 weeks of
+            // event time past the last row, never below the watermark):
+            // the compacted order floor stays alive as long as the user
+            // can still emit admissible events. maxMs guard: an empty
+            // non-timeout invocation must not underflow an empty .max
+            val maxMs = rows.foldLeft(Long.MinValue)((m, r) => m.max(r.ms))
+            val anchor = if (maxMs == Long.MinValue) wm else maxMs
+            state.setTimeoutTimestamp((anchor + 4 * WeekMs).max(wm + 1))
             out.reverse.iterator
           }
       }
