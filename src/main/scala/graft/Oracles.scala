@@ -635,6 +635,25 @@ object Oracles {
        |   AS planned_tokens
        |FROM a ORDER BY lang, source""".stripMargin
 
+  /** Mixture plan applied — the DuckDB twin of TextOps.mixtureApply
+    * (same rate derivation as textMixturePlan at the 200-token apply
+    * budget, same deterministic hash-gate keep decision as
+    * textStratifiedSample). */
+  val textMixtureApply: String =
+    s"""WITH t AS (SELECT lang, source,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0)) AS BIGINT) AS nt FROM documents),
+       |a AS (SELECT lang, source, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY 1, 2),
+       |p AS (SELECT lang, source,
+       |  LEAST(1000000, (200::BIGINT * 1000000) // GREATEST(1, n_tokens)) AS rate_ppm
+       |  FROM a)
+       |SELECT d.doc_id, d.lang, d.source, p.rate_ppm
+       |FROM documents d JOIN p USING (lang, source)
+       |WHERE ${graft.operators.Texty.baseHash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |  < p.rate_ppm
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Gopher-style repetition signals — the DuckDB twin of
     * TextOps.repetition (n ∈ {2,3}, non-distinct grams, ppm integer
     * shares). */

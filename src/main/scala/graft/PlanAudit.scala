@@ -203,6 +203,24 @@ object PlanAudit {
     assert(mixRead.split(",").map(_.split(":")(0).trim).toSet ==
       Set("text", "lang", "source"),
       s"mixture plan must prune the documents scan to text+lang+source, read: $mixRead")
+    // mixture apply: the plan attach must be a BROADCAST join (the plan
+    // is catalog-sized by construction — never data-sized), so the
+    // corpus side is scan → project → map-side join → filter; the only
+    // hash exchange anywhere is the planner's own (lang, source)
+    // aggregate, never a shuffle of the document side on doc keys
+    println("\n===== text_mixture_apply =====")
+    val mixApplyDf = SparkEntry.queries("text_mixture_apply")(spark, dir)
+    mixApplyDf.explain("formatted")
+    val mixApplyPlan = mixApplyDf.queryExecution.executedPlan.toString
+    assert(mixApplyPlan.contains("BroadcastHashJoin"),
+      "mixture apply must broadcast the catalog-sized plan")
+    assert(!mixApplyPlan.contains("SortMergeJoin") &&
+      !mixApplyPlan.contains("ShuffledHashJoin"),
+      "mixture apply must never shuffle the corpus for the plan attach")
+    val mixApplyKeys = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(mixApplyPlan).map(_.group(1)).toSet
+    assert(mixApplyKeys.subsetOf(Set("lang", "source")),
+      s"mixture apply's only hash exchange is the planner aggregate, found: $mixApplyKeys")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

@@ -73,6 +73,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "text_cross_source_overlap" -> ((s: SparkSession, d: String) => TextOps.crossSourceOverlap(s, d)),
     "text_mixture_plan" -> ((s: SparkSession, d: String) => TextOps.mixturePlan(s, d)),
+    "text_mixture_apply" -> ((s: SparkSession, d: String) => TextOps.mixtureApply(s, d)),
     "evt_funnel" -> (EventOps.funnel _),
     "evt_stickiness" -> (EventOps.stickiness _),
     "evt_anomaly" -> (EventOps.anomaly _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "text_repetition" -> Oracles.textRepetition,
     "text_cross_source_overlap" -> Oracles.textCrossSourceOverlap,
     "text_mixture_plan" -> Oracles.textMixturePlan,
+    "text_mixture_apply" -> Oracles.textMixtureApply,
     "evt_funnel" -> Oracles.evtFunnel,
     "evt_stickiness" -> Oracles.evtStickiness,
     "evt_anomaly" -> Oracles.evtAnomaly,

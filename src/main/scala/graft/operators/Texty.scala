@@ -405,6 +405,35 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Apply a mixture plan to the corpus — the composition that closes the
+    * planner→sampler loop: [[mixturePlan]]'s per-(lang, source) rate_ppm
+    * is attached to every document and the keep decision is
+    * [[stratifiedSample]]'s deterministic hash gate,
+    * `hash60(doc_id) mod 1e6 < rate_ppm` — exact integers end to end, no
+    * rand(), reproducible on any engine and partitioning.
+    *
+    * Shuffle shape at scale: the plan is catalog-sized BY CONSTRUCTION
+    * (≤ |langs|·|sources| rows — it cannot grow with the corpus), so the
+    * attach is an explicit `broadcast()`: the corpus side stays a pure
+    * scan → project → map-side join → filter with ZERO data-sized
+    * shuffles. Deriving the plan costs one (lang, source)-keyed aggregate
+    * over a 3-column pruned scan — the planner's own audited shape.
+    *
+    * The default budget (200 tokens) sits BELOW the typical stratum of
+    * the synthetic corpus so most strata genuinely downsample — a budget
+    * no stratum exceeds would leave the gate untested. */
+  def mixtureApply(spark: SparkSession, dir: String,
+                   budgetTokens: Long = 200L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = mixturePlanFrom(docs, budgetTokens).select("lang", "source", "rate_ppm")
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(plan), Seq("lang", "source"))
+      .filter(pmod(Texty.baseHash60(col("doc_id").cast("string")), lit(1000000L))
+        < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-language stratified sampling (north-star op): a
     * training-data pipeline downsamples over-represented strata (e.g.
     * keep 40% of English, all of everything else). The keep decision is

@@ -432,6 +432,36 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text: mixture apply keeps exactly the docs the plan's hash gate admits") {
+    // same 200-token budget as mixtureApply's default
+    val plan = TextOps.mixturePlanFrom(Tables.load(spark, sf, "documents"), 200L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(r.fieldIndex("rate_ppm")))
+      .toMap
+    val kept = TextOps.mixtureApply(spark, sf).collect()
+    assert(kept.nonEmpty)
+    // every kept doc satisfies its stratum's gate, with the rate attached
+    kept.foreach { r =>
+      val rate = plan((r.getString(1), r.getString(2)))
+      assert(r.getLong(r.fieldIndex("rate_ppm")) === rate)
+    }
+    // the composition equals a driver-side replay: per stratum, the kept
+    // count matches filtering all docs by hash60(doc_id) % 1e6 < rate
+    val all = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000 as gate")
+      .collect()
+    val expect = all.filter { r =>
+      r.getLong(3) < plan((r.getString(1), r.getString(2)))
+    }.map(_.getLong(0)).toSet
+    assert(kept.map(_.getLong(0)).toSet === expect)
+    // whole strata (rate 1e6) survive in full
+    plan.filter(_._2 == 1000000L).keys.foreach { case (l, s) =>
+      val total = all.count(r => r.getString(1) == l && r.getString(2) == s)
+      val keptN = kept.count(r => r.getString(1) == l && r.getString(2) == s)
+      assert(keptN === total, s"whole stratum ($l,$s) must keep every doc")
+    }
+  }
+
   test("text: repetition scores a planted spam doc at full duplicate mass") {
     import spark.implicits._
     val docs = Seq(
