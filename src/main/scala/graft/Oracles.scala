@@ -320,12 +320,80 @@ object Oracles {
        |  FROM tk f JOIN tk r ON f.src = r.dst AND f.dst = r.src
        |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
 
+  /** 2-probe pipeline: every vector's top-2 centroid lists under the
+    * FINAL trained centroids k2 (rn <= 2 replays assignTop2's two-pass
+    * argmax — same (scos DESC, cl ASC) tie rule), DISTINCT same-list
+    * pairs (a pair sharing both lists scores once), then the same
+    * mutual-top-3 tail as KNN_PIPE. */
+  private val KNN2_PIPE: String =
+    s"""$KM,
+       |p30 AS (SELECT v.vec_id, k.cl,
+       |  CAST(list_sum(list_transform(generate_series(1,64), i -> v.qv[i]*k.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(v.nrm AS DOUBLE)) / sqrt(CAST(k.cnrm AS DOUBLE)) AS scos
+       |  FROM n v, k2 k),
+       |pp AS (SELECT vec_id, cl FROM (
+       |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
+       |  FROM p30) t WHERE rn <= 2),
+       |m2 AS (SELECT n.*, pp.cl FROM n JOIN pp USING (vec_id)),
+       |sc2 AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
+       |  FROM m2 x JOIN m2 y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+       |d2 AS (SELECT ida AS src, idb AS dst, cosine FROM sc2
+       |  UNION ALL SELECT idb, ida, cosine FROM sc2),
+       |tk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rnk
+       |  FROM d2),
+       |mk2 AS (SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
+       |  f.rnk AS rnk_a, r.rnk AS rnk_b
+       |  FROM tk2 f JOIN tk2 r ON f.src = r.dst AND f.dst = r.src
+       |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
+
   /** Mutual k-NN graph — the DuckDB twin of SimilarityOps.knnGraph. */
   val simKnnGraph: String =
     s"""WITH $QN,
        |$KNN_PIPE
        |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mk
        |ORDER BY ida, idb""".stripMargin
+
+  /** 2-probe mutual k-NN graph — the DuckDB twin of
+    * SimilarityOps.knnGraph2. */
+  val simKnnGraph2: String =
+    s"""WITH $QN,
+       |$KNN2_PIPE
+       |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mk2
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Blocked-graph recall vs exact mutual k-NN ground truth — the DuckDB
+    * twin of SimilarityOps.knnRecall. The oracle can afford the full
+    * all-pairs directed ranking at verification scale; restricted to
+    * query-incident edges it is exactly the Spark side's two linear
+    * broadcast passes (global ranks both ways). */
+  val simKnnRecall: String = knnRecallSql(KNN_PIPE, "mk")
+
+  /** Same recall query over the 2-probe graph. */
+  val simKnnRecall2: String = knnRecallSql(KNN2_PIPE, "mk2")
+
+  private def knnRecallSql(pipe: String, mk: String): String =
+    s"""WITH $QN,
+       |$pipe,
+       |bd AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosine("a", "b")} AS cosine
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |bt AS (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+       |  FROM bd) WHERE rnk <= 3),
+       |bm AS (SELECT x.src AS query_id, x.dst AS nbr FROM bt x
+       |  JOIN bt y ON x.src = y.dst AND x.dst = y.src WHERE x.src < 10),
+       |h AS (SELECT bm.query_id, bm.nbr,
+       |  CASE WHEN $mk.ida IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bm LEFT JOIN $mk ON $mk.ida = LEAST(bm.query_id, bm.nbr)
+       |    AND $mk.idb = GREATEST(bm.query_id, bm.nbr))
+       |SELECT q.vec_id AS query_id,
+       | count(h.nbr) AS n_true,
+       | CAST(coalesce(sum(h.hit), 0) AS BIGINT) AS hits,
+       | CAST(CASE WHEN count(h.nbr) = 0 THEN 1.0
+       |  ELSE CAST(coalesce(sum(h.hit), 0) AS DOUBLE) / count(h.nbr) END AS DOUBLE) AS recall
+       |FROM (SELECT vec_id FROM n WHERE vec_id < 10) q
+       |LEFT JOIN h ON q.vec_id = h.query_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Connected components over the mutual-kNN edges — the DuckDB twin of
     * SimilarityOps.knnComponents (same reach CTE as dedupClusters). */

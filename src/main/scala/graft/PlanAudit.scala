@@ -162,6 +162,21 @@ object PlanAudit {
       "knn graph joins must co-shuffle")
     assert(!knnPlan.contains("BroadcastExchange"),
       "knn graph must never broadcast a corpus-sized frame")
+    // the 2-probe graph's only broadcasts are the nlist-row centroid
+    // frames inside the probe assignment (bounded √n — legitimate);
+    // every corpus-sized join (probe attach, salted pair join,
+    // mutuality) must be a shuffled hash join, never a broadcast-hash
+    // or a non-broadcast cartesian
+    println("\n===== sim_knn_graph2 =====")
+    val knn2Df = SparkEntry.queries("sim_knn_graph2")(spark, dir)
+    knn2Df.explain("formatted")
+    val knn2Plan = knn2Df.queryExecution.executedPlan.toString
+    assert(knn2Plan.contains("ShuffledHashJoin"),
+      "2-probe knn graph joins must co-shuffle")
+    assert(!knn2Plan.contains("BroadcastHashJoin"),
+      "2-probe knn graph must never broadcast-hash-join a corpus-sized frame")
+    assert(!knn2Plan.contains("CartesianProduct"),
+      "2-probe centroid scoring must ride the broadcast, not a cartesian")
     // the cross-source overlap matrix self-joins the df-capped shingle
     // index: corpus-sized on both sides, so it must co-shuffle on h
     // (reusing the df window's exchange), never broadcast; and the df cap

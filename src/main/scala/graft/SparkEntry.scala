@@ -80,6 +80,9 @@ object SparkEntry {
     "evt_transition_matrix" -> (EventOps.transitionMatrix _),
     "sim_knn_graph" -> (SimilarityOps.knnGraph _),
     "sim_knn_components" -> (SimilarityOps.knnComponents _),
+    "sim_knn_recall" -> (SimilarityOps.knnRecall _),
+    "sim_knn_graph2" -> (SimilarityOps.knnGraph2 _),
+    "sim_knn_recall2" -> (SimilarityOps.knnRecall2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +208,8 @@ object SparkEntry {
     "evt_transition_matrix" -> Oracles.evtTransitionMatrix,
     "sim_knn_graph" -> Oracles.simKnnGraph,
     "sim_knn_components" -> Oracles.simKnnComponents,
+    "sim_knn_recall" -> Oracles.simKnnRecall,
+    "sim_knn_graph2" -> Oracles.simKnnGraph2,
+    "sim_knn_recall2" -> Oracles.simKnnRecall2,
   )
 }

@@ -81,6 +81,11 @@ object KMeans {
   def autoNlist(n: Long): Int =
     math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
 
+  /** Vector-vs-centroid cosine over the joined (qv, nrm, cv, cnrm) row. */
+  private def centCos =
+    VectorFunctions.dotLong(col("qv"), col("cv"))
+      .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
+
   /** (vec_id, cl): each vector's max-cosine centroid (ties: smaller cl).
     * Argmax as `max(struct(scos, -cl))` — a hash aggregate with map-side
     * partial combine (each task reduces its n·nlist candidate rows to one
@@ -89,14 +94,34 @@ object KMeans {
     * ordering is lexicographic, so max scos wins and ties go to the
     * smaller cl via the negated id — identical semantics to the oracle's
     * `ORDER BY scos DESC, cl ASC ... rn = 1`. */
-  private def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val cos = VectorFunctions.dotLong(col("qv"), col("cv"))
-      .cast("double") / sqrt(col("nrm").cast("double")) / sqrt(col("cnrm").cast("double"))
+  private def assign(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cl"), cos.as("scos"))
+      .select(col("vec_id"), col("cl"), centCos.as("scos"))
       .groupBy("vec_id")
       .agg(max(struct(col("scos"), (-col("cl")).as("ncl"))).as("m"))
       .select(col("vec_id"), (-col("m.ncl")).as("cl"))
+
+  /** Top-2 probe assignment against a centroid table: probe 1 is the
+    * standard argmax [[assign]]; probe 2 is the argmax over the REMAINING
+    * centroids, computed by attaching probe 1 (an n-row co-shuffled
+    * narrow join — corpus-length, never broadcast) and re-running the
+    * broadcast-assign pass with that centroid filtered out. Two
+    * map-side-combining aggregate passes: the equivalent `rn <= 2`
+    * window (which the oracle replays) would sort-shuffle the full
+    * n·nlist scored frame — the one shuffle this family never takes.
+    * Ties break identically to [[assign]] ((scos, -cl) lexicographic =
+    * `ORDER BY scos DESC, cl ASC`). A vector emits a second probe only
+    * when ≥ 2 centroids survive training. */
+  def assignTop2(q: DataFrame, cents: DataFrame): DataFrame = {
+    val first = assign(q, cents)
+    val q1 = q.join(first.withColumnRenamed("cl", "cl1").hint("shuffle_hash"), "vec_id")
+    val second = q1.crossJoin(broadcast(cents))
+      .filter(col("cl") =!= col("cl1"))
+      .select(col("vec_id"), col("cl"), centCos.as("scos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("scos"), (-col("cl")).as("ncl"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncl")).as("cl"))
+    first.unionByName(second)
   }
 
   /** (cl, cv, cnrm): truncated integer means per list. The assignment

@@ -263,6 +263,34 @@ object SimilarityOps {
     val blocked = q.join(asg.hint("shuffle_hash"), "vec_id")
     val scored = DedupOps.saltedBlockCosines(blocked, "cl")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
+    mutualize(scored)
+  }
+
+  /** 2-probe mutual k-NN graph: every vector joins its TWO max-cosine
+    * Voronoi lists under the final trained centroids
+    * ([[KMeans.assignTop2]]), so candidate pairs need only share either
+    * endpoint's first- OR second-best list — the standard nprobe recall
+    * lever over [[knnGraph]]'s nprobe=1 blocking, bought with a bounded
+    * constant: block populations double, so the salted self-join's pair
+    * space is ≤ 4× the 1-probe n^1.5, and a pair sharing both lists is
+    * deduplicated BEFORE ranking (identical cosine rows — one
+    * `distinct`). [[knnRecall2]] prices the recall side of the trade;
+    * the sf-pair cost curve prices this side. */
+  def knnGraph2(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val nlist = KMeans.autoNlist(graft.Tables.load(spark, dir, "embeddings").count())
+    val (_, cents) = KMeans.fit(q, nlist = nlist)
+    val probes = KMeans.assignTop2(q, cents)
+    val blocked = q.join(probes.hint("shuffle_hash"), "vec_id")
+    val scored = DedupOps.saltedBlockCosines(blocked, "cl")
+      .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
+      .distinct()
+    mutualize(scored)
+  }
+
+  /** Shared mutual-top-k tail: mirror the undirected scored pairs, rank
+    * per endpoint, keep edges BOTH endpoints rank top-k. */
+  private def mutualize(scored: DataFrame): DataFrame = {
     val directed = scored
       .select(col("ida").as("src"), col("idb").as("dst"), col("cosine"))
       .unionByName(scored
@@ -277,6 +305,69 @@ object SimilarityOps {
         col("f.cosine").as("cosine"),
         col("f.rnk").as("rnk_a"), col("r.rnk").as("rnk_b"))
       .orderBy("ida", "idb")
+  }
+
+  /** Recall of the Voronoi-blocked mutual k-NN graph ([[knnGraph]],
+    * nprobe=1) against the EXACT mutual k-NN ground truth, restricted to
+    * edges incident to the eval query set (vec_id < [[NQueries]]) — the
+    * number that prices the blocking's cross-list misses, measured by
+    * the gate every round instead of trusted to prose (the same
+    * discipline as [[lshRecall]] / [[ivfRecall]]).
+    *
+    * Ground truth WITHOUT an all-pairs scan: the mutual-edge test for a
+    * query q needs only (1) q's exact global top-k — |queries|·n dot
+    * products with the query frame broadcast — and (2) the exact global
+    * top-k of q's ≤ k·|queries| candidate neighbors, another linear
+    * broadcast pass. Both arms are O(|eval set|·n): the eval harness
+    * stays linear in the corpus at any scale, where a full-graph ground
+    * truth would be the O(n²) blowup the blocked operator exists to
+    * avoid. Per query: its true mutual neighbors, how many survive in
+    * the blocked graph, and the recall ratio (vacuously 1.0 for a query
+    * with no true mutual neighbor). */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame =
+    knnRecallOf(spark, dir, knnGraph(spark, dir))
+
+  /** [[knnRecall]] for the 2-probe graph — the number that shows what
+    * the second probe buys (measured: 1-probe ≈ 0.10 on the synthetic
+    * corpus at sf0.01; the gate re-derives both every round). */
+  def knnRecall2(spark: SparkSession, dir: String): DataFrame =
+    knnRecallOf(spark, dir, knnGraph2(spark, dir))
+
+  private def knnRecallOf(spark: SparkSession, dir: String,
+                          graph: DataFrame): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    def directedTopK(src: DataFrame): DataFrame = {
+      val pairs = broadcast(src).as("a").join(q.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          DedupOps.dotCosine("a", "b").as("cosine"))
+      val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= KGraph)
+    }
+    val qset = q.filter(col("vec_id") < NQueries)
+    val fwd = graft.Caches.cached(directedTopK(qset))
+    val nbrs = q.join(broadcast(fwd.select(col("dst").as("vec_id")).distinct()), "vec_id")
+    val rev = directedTopK(nbrs)
+    // true mutual edge q→n: q ranks n top-k AND n ranks q top-k (global
+    // ranks both ways — rev re-ranks each candidate against the corpus)
+    val truth = fwd.as("f").join(rev.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .select(col("f.src").as("query_id"), col("f.dst").as("nbr"))
+    val found = graph.select(col("ida"), col("idb"))
+    val hits = truth.join(found,
+        least(col("query_id"), col("nbr")) === col("ida") &&
+          greatest(col("query_id"), col("nbr")) === col("idb"), "left")
+      .select(col("query_id"), col("nbr"), col("ida").isNotNull.as("hit"))
+    qset.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("nbr")).as("n_true"),
+        coalesce(sum(when(col("hit"), 1L).otherwise(0L)), lit(0L)).as("hits"))
+      .select(col("query_id"), col("n_true"), col("hits"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("hits").cast("double") / col("n_true")).as("recall"))
+      .orderBy("query_id")
   }
 
   /** Connected components over the mutual-kNN edge relation — semantic

@@ -229,6 +229,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     auto.intersect(labeled).foreach(p => assert(autoCos(p) === labeledCos(p)))
   }
 
+  test("similarity: 2-probe knn graph improves (never hurts) eval-set recall") {
+    val r1 = SimilarityOps.knnRecall(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+    val r2 = SimilarityOps.knnRecall2(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+    // ground truth is probe-independent — n_true identical per query
+    assert(r1.map(_._1).toSeq === r2.map(_._1).toSeq)
+    // second probe strictly adds candidate pairs; on this corpus the
+    // measured totals are 2/21 (1-probe) vs 9/21 (2-probe)
+    assert(r2.map(_._2).sum > r1.map(_._2).sum,
+      s"2-probe hits ${r2.map(_._2).sum} should exceed 1-probe ${r1.map(_._2).sum}")
+    // graph contract holds for the 2-probe edges too
+    SimilarityOps.knnGraph2(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(3) <= 3L && r.getLong(4) <= 3L)
+    }
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
