@@ -266,10 +266,19 @@ object EventOps {
     * the 100 TB envelope — and with ANSI mode pinned that is a runtime
     * abort, not a wrong answer. One shuffle (the hourly aggregate) +
     * one event_type-partitioned window over O(hours) rows. */
-  def anomaly(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.load(spark, dir, "events")
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyFrom(Tables.load(spark, dir, "events"))
+
+  def anomalyFrom(events: DataFrame): DataFrame =
+    zFlagged(events
       .groupBy(col("event_type"), expr("ts div 1000000 div 3600000").as("hour"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The exact-arithmetic tail of [[anomaly]] over an (event_type, hour,
+    * n) count frame — shared with the streaming changelog's rollup
+    * (graft.streaming.EventStream.anomalyRollup), so both faces flag
+    * from literally the same expressions. */
+  private[graft] def zFlagged(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type")
     val nd = col("n").cast("decimal(38,0)")
     val num = nd * col("nh") - col("s")

@@ -630,6 +630,55 @@ object EventStream {
       .as[TypedEvent]
   }
 
+  final case class HourCountDelta(event_type: String, hour: Long, delta: Long)
+
+  /** Streaming hourly-count changelog for the volume monitor — the
+    * anomaly family's streaming face ([[anomalyRollup]] materializes it
+    * into graft.operators.EventOps.anomaly's output). Counts are PURE
+    * ADDITION: an admissible late event emits another +n delta for its
+    * hour and the z statistic is recomputed at rollup over the summed
+    * exact counts, so — unlike the order-sensitive twins — nothing is
+    * ever over-claimed and NO retraction (and no per-key state at all)
+    * is needed; the group invocation collapses each micro-batch's rows
+    * to one delta per (type, hour) and leaves the state store empty.
+    * Events later than the 2 h watermark are dropped before the
+    * operator — the family's documented admissibility bound. At 100 TB:
+    * one shuffle per micro-batch on the (type, hour) key space (bounded
+    * per batch by types × in-flight hours), state O(0). */
+  def anomalyDeltas(events: Dataset[Event]): Dataset[HourCountDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.event_time.getTime, 3600000L)))
+      .flatMapGroupsWithState[Long, HourCountDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((tpe, hour), it, _) =>
+          val n = it.size.toLong
+          if (n == 0) Iterator.empty else Iterator.single(HourCountDelta(tpe, hour, n))
+      }
+  }
+
+  /** Materialize an hourly-count changelog into the batch anomaly shape:
+    * summed deltas are the exact per-(type, hour) counts, and the
+    * z/flag tail is LITERALLY the batch operator's expressions
+    * (EventOps.zFlagged — same DECIMAL(38,0) moments, same integer flag
+    * inequality), so the rollup converges to the batch output for any
+    * admissible arrival order. */
+  def anomalyRollup(deltas: DataFrame): DataFrame =
+    graft.operators.EventOps.zFlagged(
+      deltas.groupBy("event_type", "hour")
+        .agg(sum(col("delta")).as("n"))
+        .filter(col("n") > 0))
+
+  /** Bounded typed-event source for [[anomalyDeltas]]. */
+  def readAnomalyEvents(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("event_time"))
+      .as[Event]
+  }
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by
