@@ -83,10 +83,37 @@ object ScaleGen {
     * on the shared test session. */
   def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
           copies: Int): Unit = {
+    // Collision-free key stride, derived from the DATA: the smallest
+    // power of 10 (≥ the historical 10⁷, so first-decade outputs are
+    // byte-identical to earlier rounds) strictly above every key in the
+    // source. A FIXED stride collides the moment ScaleGen is applied to
+    // its own output — sf1 ids reach 9·10⁷, so sf1→sf10 under stride 10⁷
+    // merged id 10⁷+0·s with id 0+1·s into one doc_id carrying two
+    // documents' shingles, which the sf10 cost-curve gate caught as a
+    // zero Jaccard denominator. One power-of-10 stride shared by ALL key
+    // columns keeps cross-table references (orderkey/custkey/partkey) in
+    // lockstep. Driver reads one max per table — catalog-sized.
+    val keyed = Seq(
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "embeddings" -> Seq("vec_id"),
+      "documents" -> Seq("doc_id"))
+    val maxKey: Long = keyed.map { case (n, ks) =>
+      val maxes = ks.map(k => max(col(k).cast("long")))
+      val top = if (maxes.size == 1) maxes.head else greatest(maxes: _*)
+      Tables.load(spark, src, n).agg(top.as("m")).head.getLong(0)
+    }.max
+    val stride = Iterator.iterate(Stride)(_ * 10).dropWhile(_ <= maxKey).next()
+    require(stride.toDouble * copies < Long.MaxValue.toDouble, "stride overflow")
+
     def replicated(name: String, keys: String*) = {
       val df = Tables.load(spark, src, name)
         .withColumn("_k", explode(sequence(lit(0L), lit(copies - 1L))))
-      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + col("_k") * Stride))
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + col("_k") * stride))
     }
 
     Seq("region", "nation").foreach { n =>

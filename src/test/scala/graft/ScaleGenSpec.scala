@@ -70,6 +70,21 @@ class ScaleGenSpec extends SparkTestBase {
     assert(cosines.map(math.abs).sum / cosines.size < 0.2)
   }
 
+  test("re-application to its own output keeps every key collision-free") {
+    // the sf10 lesson: a FIXED stride collides one decade later (sf1 ids
+    // reach 9·10⁷, so sf1→sf10 under stride 10⁷ merged two documents
+    // into one doc_id). The stride must be derived from the data.
+    val out1 = java.nio.file.Files.createTempDirectory("sfgen1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("sfgen2").toString
+    ScaleGen.run(spark, sf, out1, 2)
+    ScaleGen.run(spark, out1, out2, 2)
+    Seq("documents" -> "doc_id", "events" -> "event_id",
+        "embeddings" -> "vec_id", "orders" -> "o_orderkey").foreach { case (t, k) =>
+      val df = spark.read.parquet(s"$out2/$t.parquet")
+      assert(df.count() === df.select(k).distinct().count(), s"$t.$k collided")
+    }
+  }
+
   test("a 2x scale point multiplies dedup output rows by exactly 2") {
     // the end-to-end form of the decorrelation property: near-dup DENSITY
     // is preserved, so the measured relation grows linearly in the copy
