@@ -808,6 +808,66 @@ object Oracles {
       |WHERE hname IS NOT NULL GROUP BY material_id, hname
       |ORDER BY material_id, name""".stripMargin
 
+  /** Chunk-level exact dedup — the DuckDB twin of TextOps.chunkDedup
+    * (16-token non-overlapping chunks, global first-wins on the 60-bit
+    * chunk hash, first = min (doc_id, chunk_idx), reassembly in chunk
+    * order; empty reassembly is '' on both engines). */
+  val textChunkDedup: String =
+    s"""WITH w0 AS (SELECT doc_id,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  array_to_string(ws[CAST(i*16+1 AS INT) : CAST(i*16+16 AS INT)], ' ') AS chunk
+       |  FROM w0, UNNEST(range(0, (len(ws)-1)//16 + 1)) AS t(i) WHERE len(ws) > 0),
+       |h AS (SELECT doc_id, chunk_idx, chunk,
+       |  ${graft.operators.Texty.baseHash60Sql("chunk")} AS h FROM c),
+       |k AS (SELECT doc_id, chunk_idx, chunk,
+       |  CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1
+       |   THEN 1 ELSE 0 END AS kept FROM h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       | CAST(sum(kept) AS BIGINT) AS n_kept,
+       | coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE kept = 1), '')
+       |   AS dedup_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Deterministic corpus shuffle — the DuckDB twin of
+    * TextOps.corpusShuffle: the single-node total-order rank the
+    * distributed two-pass (bucket offsets + per-bucket rank) must equal
+    * bit-for-bit. */
+  val textCorpusShuffle: String =
+    s"""WITH k AS (SELECT doc_id,
+       |  ${graft.operators.Texty.baseHash60Sql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS k
+       |  FROM documents)
+       |SELECT row_number() OVER (ORDER BY k, doc_id) - 1 AS position,
+       | doc_id, k AS shuffle_key, k >> 53 AS bucket
+       |FROM k ORDER BY position""".stripMargin
+
+  /** Exact embedding covariance — the DuckDB twin of
+    * SimilarityOps.embeddingCovariance. The oracle pays the ×2080 pair
+    * explode the Spark operator's native one-pass aggregate avoids
+    * (single-node, sf0.01 — affordable here, the point at scale); the
+    * exact HUGEINT moments and the fixed division order make the final
+    * double bit-comparable. */
+  val simEmbeddingCovariance: String =
+    s"""WITH q AS (SELECT
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ij AS (SELECT a.i AS i, b.j AS j
+       |  FROM UNNEST(range(0, 64)) AS a(i), UNNEST(range(0, 64)) AS b(j)
+       |  WHERE b.j >= a.i),
+       |s AS (SELECT i, j, count(*) AS n_vectors,
+       |  sum(qv[CAST(i AS INT) + 1]) AS s_i_h,
+       |  sum(qv[CAST(j AS INT) + 1]) AS s_j_h,
+       |  sum(qv[CAST(i AS INT) + 1] * qv[CAST(j AS INT) + 1]) AS s_ij_h
+       |  FROM q, ij GROUP BY i, j)
+       |SELECT i, j, n_vectors,
+       | CAST(s_i_h AS DECIMAL(38,0)) AS s_i,
+       | CAST(s_j_h AS DECIMAL(38,0)) AS s_j,
+       | CAST(s_ij_h AS DECIMAL(38,0)) AS s_ij,
+       | CAST(n_vectors * s_ij_h - s_i_h * s_j_h AS DOUBLE)
+       |   / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE) * 1e12) AS cov
+       |FROM s ORDER BY i, j""".stripMargin
+
   val etlHypertensionStatus: String =
     s"""WITH long AS ($p9Long), s AS (
       | SELECT material_id,

@@ -236,6 +236,62 @@ object PlanAudit {
       .findAllMatchIn(mixApplyPlan).map(_.group(1)).toSet
     assert(mixApplyKeys.subsetOf(Set("lang", "source")),
       s"mixture apply's only hash exchange is the planner aggregate, found: $mixApplyKeys")
+    // chunk dedup: first-wins is a groupBy on the chunk hash whose
+    // min(struct) combines map-side, and the winner attach co-shuffles
+    // on the same hash — the winner relation is corpus-sized, so a
+    // broadcast build side is an OOM at cluster scale
+    println("\n===== text_chunk_dedup =====")
+    val cdDf = SparkEntry.queries("text_chunk_dedup")(spark, dir)
+    cdDf.explain("formatted")
+    val cdPlan = cdDf.queryExecution.executedPlan.toString
+    assert(cdPlan.contains("ShuffledHashJoin"),
+      "chunk dedup winner attach must co-shuffle on the chunk hash")
+    assert(!cdPlan.contains("BroadcastExchange"),
+      "chunk dedup must never broadcast the corpus-sized winner relation")
+    assert(!cdPlan.contains("NestedLoop") && !cdPlan.contains("Cartesian"),
+      "chunk dedup must stay an equi-join on the chunk hash")
+    // corpus shuffle: the distributed total-order rank must keep every
+    // data-sized step partition-parallel — the only hash exchanges key
+    // on bucket (the per-bucket rank window + the counts aggregate), the
+    // offset attach is a BROADCAST of the ≤128-row offset table, and the
+    // scan prunes to the id column alone
+    println("\n===== text_corpus_shuffle =====")
+    val csDf = SparkEntry.queries("text_corpus_shuffle")(spark, dir)
+    csDf.explain("formatted")
+    val csPlan = csDf.queryExecution.executedPlan.toString
+    assert(csPlan.contains("BroadcastHashJoin"),
+      "corpus shuffle must broadcast the bucket-offset table")
+    assert(!csPlan.contains("SortMergeJoin") && !csPlan.contains("ShuffledHashJoin"),
+      "corpus shuffle must never shuffle the corpus for the offset attach")
+    val csKeys = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(csPlan).map(_.group(1)).toSet
+    assert(csKeys == Set("bucket"),
+      s"corpus shuffle's data-sized exchanges must key on bucket, found: $csKeys")
+    val csRead = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(csPlan).map(_.group(1)).getOrElse("")
+    assert(csRead.split(",").map(_.split(":")(0).trim).toSet == Set("doc_id"),
+      s"corpus shuffle must prune the documents scan to doc_id, read: $csRead")
+    // embedding covariance: ONE native imperative-aggregate pass — no
+    // join anywhere, no corpus-sized explode (the pair explode operates
+    // on the single moments row, ABOVE the aggregate), and the
+    // embeddings scan prunes to the vector column alone
+    // (cleared cache: earlier knn checks cache the wider quantized frame,
+    // and Spark's cache matching would substitute it into this plan —
+    // legitimate reuse in a shared session, but the audit pins the
+    // STANDALONE shape)
+    Caches.release(); spark.catalog.clearCache()
+    println("\n===== sim_embedding_covariance =====")
+    val covDf = SparkEntry.queries("sim_embedding_covariance")(spark, dir)
+    covDf.explain("formatted")
+    val covPlan = covDf.queryExecution.executedPlan.toString
+    assert(covPlan.contains("graft_vector_moments"),
+      "embedding covariance must aggregate via the native moments expression")
+    assert(!covPlan.contains("Join"),
+      "embedding covariance must stay join-free")
+    val covRead = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(covPlan).map(_.group(1)).getOrElse("")
+    assert(covRead.split(",").map(_.split(":")(0).trim).toSet == Set("embedding"),
+      s"embedding covariance must prune the embeddings scan to embedding, read: $covRead")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

@@ -83,6 +83,9 @@ object SparkEntry {
     "sim_knn_recall" -> (SimilarityOps.knnRecall _),
     "sim_knn_graph2" -> (SimilarityOps.knnGraph2 _),
     "sim_knn_recall2" -> (SimilarityOps.knnRecall2 _),
+    "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
+    "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
+    "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,5 +214,8 @@ object SparkEntry {
     "sim_knn_recall" -> Oracles.simKnnRecall,
     "sim_knn_graph2" -> Oracles.simKnnGraph2,
     "sim_knn_recall2" -> Oracles.simKnnRecall2,
+    "text_chunk_dedup" -> Oracles.textChunkDedup,
+    "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
+    "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,
   )
 }

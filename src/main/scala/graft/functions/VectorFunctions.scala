@@ -12,6 +12,12 @@ object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       LongArrayDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Exact vector-moments aggregate over an `Array[Long]` column
+    * ([[VectorMomentsAgg]]): one struct of (n, Σqᵢ, Σqᵢqⱼ upper-tri). */
+  def vectorMoments(qv: Column, dim: Int): Column =
+    GraftSqlBridge.column(
+      VectorMomentsAgg(GraftSqlBridge.expression(qv), dim).toAggregateExpression())
 }
 
 /** SQL registration for graft's native expressions, the

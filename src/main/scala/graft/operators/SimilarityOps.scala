@@ -390,4 +390,38 @@ object SimilarityOps {
       .filter(col("rnk") <= K)
       .orderBy("query_id", "rnk")
   }
+
+  /** Exact covariance matrix of the embedding corpus — the
+    * whitening/PCA front-end. ONE aggregate pass through the data via
+    * the native [[graft.functions.VectorMomentsAgg]] imperative
+    * aggregate (count + Σqᵢ + upper-triangular Σqᵢqⱼ in exact integer /
+    * BigInteger arithmetic); everything after it — the pair explode, the
+    * covariance division — operates on a SINGLE dim²-sized row. The
+    * DataFrame alternative (explode dim·(dim+1)/2 products per row, then
+    * groupBy) multiplies the corpus ×2080 before the shuffle; here only
+    * O(dim²) numbers leave each partition, the map-side-combine shape
+    * that survives 100 TB. Output: one row per (i ≤ j) with the exact
+    * DECIMAL moments and the covariance of the ORIGINAL float vectors
+    * (de-quantized: cov = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n²·10¹²)) as the single
+    * final float op, division order fixed for oracle hash-stability. */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val dim = DedupOps.Dim
+    val q = DedupOps.quantized(spark, dir).select(col("qv"))
+    val m = q.agg(graft.functions.VectorFunctions.vectorMoments(col("qv"), dim).as("m"))
+      .select(col("m.n").as("n"), col("m.s1").as("s1"), col("m.s2").as("s2"))
+    m.select(col("n"), col("s1"), col("s2"),
+        explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("n"), col("s1"), col("s2"), col("i"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n").as("n_vectors"),
+        element_at(col("s1"), col("i") + 1).as("s_i"),
+        element_at(col("s1"), col("j") + 1).as("s_j"),
+        element_at(col("s2"),
+          expr(s"CAST($dim * i - (i * (i - 1)) DIV 2 + (j - i) + 1 AS INT)")).as("s_ij"))
+      .withColumn("cov",
+        (col("n_vectors") * col("s_ij") - col("s_i") * col("s_j")).cast("double") /
+          (col("n_vectors").cast("double") * col("n_vectors").cast("double") * 1e12))
+      .orderBy("i", "j")
+  }
 }

@@ -507,6 +507,92 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Chunk-level exact dedup — the C4/RefinedWeb "line dedup" move at
+    * chunk granularity (the corpus has no newlines, so the unit is
+    * consecutive non-overlapping `chunkTokens`-token windows, last
+    * partial chunk included): a chunk instance survives iff it is the
+    * GLOBAL first occurrence of its text, first = lexicographic min
+    * (doc_id, chunk_idx); every later copy — within a doc or across the
+    * corpus — is dropped, and each doc is reassembled from its surviving
+    * chunks in order.
+    *
+    * 100 TB shape: the explode is bounded (n_tokens / chunkTokens rows
+    * per doc); first-wins is ONE groupBy on the 60-bit chunk hash whose
+    * min(struct) combines map-side, so a boilerplate chunk with millions
+    * of copies still ships one candidate per map partition; the winner
+    * attach co-shuffles on the same hash (build side = 1 row per hash —
+    * hinted shuffle_hash, never broadcast: winners are corpus-sized);
+    * reassembly keys on doc_id, the table's natural partitioning. No
+    * corpus-wide window, no self-join — pair space never materializes,
+    * which is what makes chunk dedup cheaper than document near-dup. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 chunkTokens: Int = 16): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = docs
+      .select(col("doc_id"), Texty.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          expr(s"sequence(0, CAST((size(ws) - 1) DIV $chunkTokens AS INT))"),
+          i => array_join(slice(col("ws"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"),
+        Texty.baseHash60(col("col")).as("h"))
+    val winners = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.chunk_idx").as("w_idx"))
+    chunks.join(winners.hint("shuffle_hash"), "h")
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("chunk_idx") === col("w_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(array_sort(collect_list(when(col("kept"),
+          struct(col("chunk_idx"), col("chunk"))))).getField("chunk"), " ")
+          .as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle with a GLOBAL position — how you
+    * shuffle 100 TB of training data without the classic scale-killer (a
+    * partition-less `row_number` window that funnels the corpus through
+    * one task). Two-pass distributed total-order rank:
+    *
+    *  1. shuffle key k = 60-bit md5 of the doc id (seeded — re-keying
+    *     the seed is a fresh epoch permutation), bucket = top 7 bits of
+    *     k: 128 fixed-width ranges of the hash domain, balanced by hash
+    *     uniformity, no sampling pass and no nondeterministic
+    *     RangePartitioner;
+    *  2. per-bucket counts (tiny aggregate) → cumulative offsets — the
+    *     only window runs over ≤ 128 catalog-sized rows — broadcast back;
+    *     position = bucket offset + (row_number within bucket ordered by
+    *     (k, doc_id)), each within-bucket window bounded by corpus/128.
+    *
+    * The result equals the single-node `row_number() OVER (ORDER BY k,
+    * doc_id)` bit-for-bit (the oracle runs exactly that) while every
+    * data-sized step stays partition-parallel. */
+  def corpusShuffle(spark: SparkSession, dir: String,
+                    seed: String = "epoch0"): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val keyed = docs.select(col("doc_id"),
+        Texty.baseHash60(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bucket", shiftright(col("k"), 53))
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("off"))
+    keyed.join(broadcast(offsets), "bucket")
+      .withColumn("position",
+        col("off") + row_number().over(
+          Window.partitionBy("bucket").orderBy("k", "doc_id")) - 1)
+      .select(col("position"), col("doc_id"), col("k").as("shuffle_key"),
+        col("bucket"))
+      .orderBy("position")
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String,
                        rates: Map[String, Double] = Map("en" -> 0.4)): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

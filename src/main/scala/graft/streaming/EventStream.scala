@@ -630,6 +630,56 @@ object EventStream {
       .as[TypedEvent]
   }
 
+  /** Point/interval sides of the range join as watermarked streams —
+    * the streaming face of graft.operators.EventOps.rangeJoin's inputs.
+    * Join times are MILLISECOND-truncated timestamps so the interval
+    * condition is bit-equivalent to the batch operator's integer-ms
+    * comparison (micros-precision times would admit sub-ms orderings
+    * the batch join excludes). */
+  def readRangeSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ms", expr("ts div 1000000"))
+    val points = side().filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("p_user"), col("ms").as("pms"), col("value"),
+        timestamp_millis(col("ms")).as("p_time"))
+    val purchases = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("i_user"), col("event_id").as("purchase_id"),
+        col("ms").as("ims"), timestamp_millis(col("ms")).as("i_time"))
+    (points, purchases)
+  }
+
+  /** Streaming range join — the tenth streaming face, and deliberately
+    * NOT another flatMapGroupsWithState changelog: Spark's NATIVE
+    * stream-stream interval join is exactly this operator, so the twin
+    * uses it. The time bound is two-sided (point ∈ [purchase − 1 h,
+    * purchase) ⟺ purchase ∈ (point, point + 1 h]), so with both sides
+    * watermarked the state store evicts rows that can no longer match —
+    * bounded state without any hand-rolled GroupState. An inner interval
+    * join emits each match exactly once (append-only +1 deltas; nothing
+    * to retract), and [[rangeRollup]] materializes the batch operator's
+    * per-purchase aggregate from the match relation. At 100 TB: the join
+    * co-shuffles both streams on user_id per micro-batch and state holds
+    * only the 1-hour in-flight horizon per side. */
+  def rangeMatches(points: DataFrame, purchases: DataFrame): DataFrame =
+    points.withWatermark("p_time", "2 hours")
+      .join(purchases.withWatermark("i_time", "2 hours"),
+        expr("p_user = i_user AND " +
+          "p_time >= i_time - INTERVAL 1 HOUR AND p_time < i_time"))
+      .select(col("purchase_id"), col("i_user").as("user_id"),
+        col("pms"), col("value"))
+
+  /** Materialize a range-join match relation into the batch operator's
+    * output shape (same DECIMAL(18,4) sum, same final double cast). */
+  def rangeRollup(matches: DataFrame): DataFrame =
+    matches.groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("value").cast(DecimalType(18, 4))).as("d"))
+      .select(col("purchase_id"), col("user_id"), col("n_hits"),
+        col("d").cast("double").as("sum_value"))
+      .orderBy("purchase_id")
+
   final case class HourCountDelta(event_type: String, hour: Long, delta: Long)
 
   /** Streaming hourly-count changelog for the volume monitor — the

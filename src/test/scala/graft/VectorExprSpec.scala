@@ -70,4 +70,33 @@ class VectorExprSpec extends SparkTestBase {
     assert(native.length === 190)
     assert(native === interpreted)
   }
+
+  test("graft_vector_moments: multi-partition aggregate equals the naive sums " +
+    "through the flush, merge and serialize paths") {
+    // dim 4 keeps the naive side cheap; > FlushRows rows force the
+    // Long-hot → BigInteger-cold flush; 7 partitions force merges of
+    // serialized partials
+    val dim = 4
+    val n = graft.functions.VectorMomentsAgg.FlushRows + 1234
+    def vec(id: Int): Array[Long] =
+      Array.tabulate(dim)(i => ((id * 31 + i * 17) % 2001 - 1000).toLong)
+    val df = (0 until n).map(id => Tuple1(vec(id).toSeq)).toDF("qv")
+      .repartition(7)
+    val row = df.agg(VectorFunctions.vectorMoments($"qv", dim).as("m"))
+      .select("m.n", "m.s1", "m.s2").head()
+    assert(row.getLong(0) === n.toLong)
+    val s1 = row.getSeq[java.math.BigDecimal](1).map(_.longValueExact())
+    val s2 = row.getSeq[java.math.BigDecimal](2).map(_.longValueExact())
+    val vs = (0 until n).map(vec)
+    (0 until dim).foreach { i =>
+      assert(s1(i) === vs.map(_(i)).sum, s"s1($i)")
+    }
+    var p = 0
+    (0 until dim).foreach { i =>
+      (i until dim).foreach { j =>
+        assert(s2(p) === vs.map(v => v(i) * v(j)).sum, s"s2($i,$j)")
+        p += 1
+      }
+    }
+  }
 }
