@@ -409,6 +409,35 @@ object Oracles {
        |SELECT node AS vec_id, min(label) AS cluster_id
        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
+  /** Integer PageRank over the mutual-kNN graph — the DuckDB twin of
+    * SimilarityOps.pageRank: the same fixed 10 rounds of the ppm
+    * recurrence unrolled as chained CTEs, every operation integer floor
+    * division on non-negatives. */
+  val simPagerank: String = {
+    val rounds = (1 to 10).map { t =>
+      s"""r$t AS (SELECT nd.vec_id,
+         |  150000 + (850000 * coalesce(s.c, 0)) // 1000000 AS rank_ppm
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS vec_id, sum(p.rank_ppm // dg.deg) AS c
+         |    FROM r${t - 1} p JOIN e ON p.vec_id = e.src
+         |    JOIN dg ON dg.src = e.src
+         |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $QN,
+       |$KNN_PIPE,
+       |e AS (SELECT ida AS src, idb AS dst FROM mk
+       |  UNION ALL SELECT idb, ida FROM mk),
+       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nd AS (SELECT vec_id FROM n),
+       |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nd),
+       |$rounds
+       |SELECT nd.vec_id AS vec_id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+       | CAST(r10.rank_ppm AS BIGINT) AS rank_ppm
+       |FROM nd LEFT JOIN dg ON dg.src = nd.vec_id
+       |JOIN r10 ON r10.vec_id = nd.vec_id
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Hourly volume anomalies per event type — the DuckDB twin of
     * EventOps.anomaly (integer numerator/radicand, one float division +
     * sqrt; integer-inequality flag). */

@@ -292,6 +292,18 @@ object PlanAudit {
       .findFirstMatchIn(covPlan).map(_.group(1)).getOrElse("")
     assert(covRead.split(",").map(_.split(":")(0).trim).toSet == Set("embedding"),
       s"embedding covariance must prune the embeddings scan to embedding, read: $covRead")
+    // pagerank: the per-round joins are corpus-sized on both sides
+    // (ranks ⋈ edges, nodes ⋈ sums) — hinted shuffle_hash like every
+    // other corpus join; the final plan (last round over checkpointed
+    // leaves) must show co-shuffled equi-joins and no nested loop
+    println("\n===== sim_pagerank =====")
+    val prDf = SparkEntry.queries("sim_pagerank")(spark, dir)
+    prDf.explain("formatted")
+    val prPlan = prDf.queryExecution.executedPlan.toString
+    assert(prPlan.contains("ShuffledHashJoin"),
+      "pagerank joins must co-shuffle")
+    assert(!prPlan.contains("NestedLoop") && !prPlan.contains("Cartesian"),
+      "pagerank must stay equi-join only")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

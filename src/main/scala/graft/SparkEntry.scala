@@ -86,6 +86,7 @@ object SparkEntry {
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
+    "sim_pagerank" -> ((s: SparkSession, d: String) => SimilarityOps.pageRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,5 +218,6 @@ object SparkEntry {
     "text_chunk_dedup" -> Oracles.textChunkDedup,
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,
+    "sim_pagerank" -> Oracles.simPagerank,
   )
 }

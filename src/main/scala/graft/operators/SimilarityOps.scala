@@ -391,6 +391,47 @@ object SimilarityOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Integer PageRank over the mutual k-NN graph — semantic authority
+    * scoring: vectors many vectors agree are their nearest neighbors
+    * rank high, the label-free "representative member" signal for a
+    * semantic cluster (the companion of [[knnComponents]] on the same
+    * edge-list seam). Simplified PageRank, defined EXACTLY: rank in ppm,
+    * r₀ = 10⁶, rₜ₊₁(v) = 150000 + (850000 · Σ_{u→v} (rₜ(u) div
+    * deg(u))) div 10⁶, a FIXED 10 iterations — every operation integer
+    * (both engines floor identically on non-negatives), no dangling
+    * redistribution (the mutual graph has no sinks among connected
+    * nodes; isolated vectors hold the base rank 150000+850000·0).
+    * Fixed iterations → deterministic, oracle-replayable (the DuckDB
+    * twin unrolls the same 10 rounds), and ZERO driver round-trips —
+    * unlike the convergence-tested cluster fixpoints there is nothing
+    * to test. At 100 TB: one (src, dst, deg) relation cached; each
+    * round is a rank⋈edges co-shuffle + a dst-keyed sum (deg ≤ k = 3,
+    * so contribution fan-out is bounded); localCheckpoint per round
+    * cuts the lineage exactly as the cluster family does. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val g = knnGraph(spark, dir).select(col("ida"), col("idb"))
+    val edges = g.unionByName(g.select(col("idb").as("ida"), col("ida").as("idb")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val out = graft.Caches.cached(edges.join(deg.hint("shuffle_hash"), "src"))
+    val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
+    var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val sums = ranks.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
+        .select(col("dst"), expr("rank_ppm DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums.hint("shuffle_hash"),
+          col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          expr("150000L + (850000L * coalesce(s, 0L)) DIV 1000000L").as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks.join(deg.hint("shuffle_hash"), col("vec_id") === col("src"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("rank_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** Exact covariance matrix of the embedding corpus — the
     * whitening/PCA front-end. ONE aggregate pass through the data via
     * the native [[graft.functions.VectorMomentsAgg]] imperative

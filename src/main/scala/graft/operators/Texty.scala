@@ -526,8 +526,10 @@ object TextOps {
     * corpus-wide window, no self-join — pair space never materializes,
     * which is what makes chunk dedup cheaper than document near-dup. */
   def chunkDedup(spark: SparkSession, dir: String,
-                 chunkTokens: Int = 16): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+                 chunkTokens: Int = 16): DataFrame =
+    chunkDedupFrom(Tables.load(spark, dir, "documents"), chunkTokens)
+
+  def chunkDedupFrom(docs: DataFrame, chunkTokens: Int = 16): DataFrame = {
     val chunks = docs
       .select(col("doc_id"), Texty.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
