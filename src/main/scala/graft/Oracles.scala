@@ -438,6 +438,62 @@ object Oracles {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Cluster exemplars — the DuckDB twin of
+    * SimilarityOps.clusterExemplars: the same mutual-kNN graph feeding
+    * both the recursive component reach and the unrolled PageRank
+    * rounds; exemplar = top rank per cluster, ties to the smaller id. */
+  val simClusterExemplars: String = {
+    val rounds = (1 to 10).map { t =>
+      s"""r$t AS (SELECT nd.vec_id,
+         |  150000 + (850000 * coalesce(s.c, 0)) // 1000000 AS rank_ppm
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS vec_id, sum(p.rank_ppm // dg.deg) AS c
+         |    FROM r${t - 1} p JOIN e ON p.vec_id = e.src
+         |    JOIN dg ON dg.src = e.src
+         |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $QN,
+       |$KNN_PIPE,
+       |e AS (SELECT ida AS src, idb AS dst FROM mk
+       |  UNION ALL SELECT idb, ida FROM mk),
+       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nd AS (SELECT vec_id FROM n),
+       |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nd),
+       |$rounds,
+       |reach(node, label) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node),
+       |comp AS (SELECT node AS vec_id, min(label) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |j AS (SELECT c.cluster_id, c.vec_id, r10.rank_ppm
+       |  FROM comp c JOIN r10 USING (vec_id)),
+       |sel AS (SELECT *,
+       |  row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY rank_ppm DESC, vec_id ASC) AS rn,
+       |  count(*) OVER (PARTITION BY cluster_id) AS nm FROM j)
+       |SELECT cluster_id, vec_id AS exemplar_id,
+       | CAST(rank_ppm AS BIGINT) AS exemplar_rank_ppm,
+       | CAST(nm AS BIGINT) AS n_members
+       |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** Exact per-type value quantiles — the DuckDB twin of
+    * EventOps.valueQuantiles (cents quantization, integer
+    * cross-multiplied rank selection, one final float division). */
+  val evtValueQuantiles: String =
+    """WITH c AS (SELECT event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, cents,
+      |  sum(n) OVER (PARTITION BY event_type ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(n) OVER (PARTITION BY event_type) AS total FROM c),
+      |q AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS q_ppm)
+      |SELECT event_type, q_ppm, CAST(min(cents) AS DOUBLE) / 100 AS value
+      |FROM cum, q WHERE cum * 1000000 >= q_ppm * total
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Hourly volume anomalies per event type — the DuckDB twin of
     * EventOps.anomaly (integer numerator/radicand, one float division +
     * sqrt; integer-inequality flag). */

@@ -304,6 +304,31 @@ object PlanAudit {
       "pagerank joins must co-shuffle")
     assert(!prPlan.contains("NestedLoop") && !prPlan.contains("Cartesian"),
       "pagerank must stay equi-join only")
+    // value quantiles: no global sort / partition-less corpus rank —
+    // every exchange keys on event_type (the windows run over the
+    // value-domain-sized distinct-cents frame), and the events scan
+    // prunes to (event_type, value)
+    println("\n===== evt_value_quantiles =====")
+    val vqDf = SparkEntry.queries("evt_value_quantiles")(spark, dir)
+    vqDf.explain("formatted")
+    val vqPlan = vqDf.queryExecution.executedPlan.toString
+    val vqKeys = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(vqPlan).map(_.group(1)).toSet
+    assert(vqKeys == Set("event_type"),
+      s"value quantiles must shuffle only on event_type, found: $vqKeys")
+    val vqRead = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(vqPlan).map(_.group(1)).getOrElse("")
+    assert(vqRead.split(",").map(_.split(":")(0).trim).toSet == Set("event_type", "value"),
+      s"value quantiles must prune the events scan to event_type+value, read: $vqRead")
+    // cluster exemplars: composition of audited pieces — still assert
+    // the composed plan never degenerates to a nested loop / cartesian
+    // and the exemplar pick window is cluster-partitioned
+    val ceDf = SparkEntry.queries("sim_cluster_exemplars")(spark, dir)
+    val cePlan = ceDf.queryExecution.executedPlan.toString
+    assert(!cePlan.contains("NestedLoop") && !cePlan.contains("Cartesian"),
+      "cluster exemplars must stay equi-join only")
+    assert(cePlan.contains("hashpartitioning(cluster_id"),
+      "exemplar pick must window per cluster, never partition-less")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }

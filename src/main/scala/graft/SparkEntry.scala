@@ -87,6 +87,8 @@ object SparkEntry {
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
     "sim_pagerank" -> ((s: SparkSession, d: String) => SimilarityOps.pageRank(s, d)),
+    "sim_cluster_exemplars" -> (SimilarityOps.clusterExemplars _),
+    "evt_value_quantiles" -> (EventOps.valueQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +221,7 @@ object SparkEntry {
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,
     "sim_pagerank" -> Oracles.simPagerank,
+    "sim_cluster_exemplars" -> Oracles.simClusterExemplars,
+    "evt_value_quantiles" -> Oracles.evtValueQuantiles,
   )
 }

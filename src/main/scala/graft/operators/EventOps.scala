@@ -294,6 +294,39 @@ object EventOps {
       .orderBy("event_type", "hour")
   }
 
+  /** Exact p50/p90/p99 of the value column per event type — the latency/
+    * price-distribution dashboard query, computed WITHOUT the classic
+    * scale-killer (a global sort / partition-less rank over the corpus).
+    * Values are cents-quantized (2-decimal domain — exact under double
+    * round on both engines), so the per-type distinct-cents frame is
+    * VALUE-DOMAIN-sized, not corpus-sized: the groupBy absorbs the
+    * corpus with map-side combine, and every window (cumulative count,
+    * per-type total) runs over that bounded frame. Quantile q = the
+    * smallest cents value whose cumulative count reaches q·total —
+    * compared in exact integer cross-multiplication (cum·10⁶ ≥
+    * q_ppm·total), one float division at the end. The same two-pass
+    * count-then-offset idea as TextOps.corpusShuffle, pointed at a
+    * bounded key domain. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(500000L, 900000L, 990000L)
+    val counts = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+    val wcum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy("event_type")
+    counts
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("total", sum(col("n")).over(wtot))
+      .withColumn("q_ppm", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") * lit(1000000L) >= col("q_ppm") * col("total"))
+      .groupBy("event_type", "q_ppm")
+      .agg(min(col("cents")).as("cents"))
+      .select(col("event_type"), col("q_ppm"),
+        (col("cents").cast("double") / 100.0).as("value"))
+      .orderBy("event_type", "q_ppm")
+  }
+
   /** Ordered conversion funnel view → click → purchase: for each user,
     * the first view, the first click strictly after that view, and the
     * first purchase strictly after that click — the sequential-pattern

@@ -410,11 +410,19 @@ object SimilarityOps {
     * cuts the lineage exactly as the cluster family does. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
     val g = knnGraph(spark, dir).select(col("ida"), col("idb"))
+    val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
+    pageRankFrom(nodes, g, iters)
+  }
+
+  /** The ppm recurrence over an explicit (nodes, undirected edges) pair —
+    * shared by [[pageRank]] and [[clusterExemplars]] so the composed
+    * operator builds the graph ONCE. */
+  private[operators] def pageRankFrom(nodes: DataFrame, g: DataFrame,
+                                      iters: Int = 10): DataFrame = {
     val edges = g.unionByName(g.select(col("idb").as("ida"), col("ida").as("idb")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val out = graft.Caches.cached(edges.join(deg.hint("shuffle_hash"), "src"))
-    val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
     (1 to iters).foreach { _ =>
       val sums = ranks.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
@@ -430,6 +438,33 @@ object SimilarityOps {
       .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
         col("rank_ppm"))
       .orderBy("vec_id")
+  }
+
+  /** Cluster exemplars — the composed read-side of the whole similarity
+    * family: for every semantic cluster ([[knnComponents]]' star
+    * contraction), its most AUTHORITATIVE member ([[pageRankFrom]]'s top
+    * rank, ties to the smaller id) plus the member count — the "show me
+    * one representative document per topic" query a curation pipeline
+    * runs. The mutual k-NN graph is built ONCE and feeds both the
+    * component fixpoint and the rank recurrence; the final exemplar pick
+    * is a per-cluster window (bounded by cluster size), never a global
+    * sort. */
+  def clusterExemplars(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.Caches.cached(knnGraph(spark, dir).select(col("ida"), col("idb")))
+    val comp = DedupOps.starComponents(
+        g.select(col("ida").as("doc_a"), col("idb").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
+    val pr = pageRankFrom(nodes, g).select(col("vec_id"), col("rank_ppm"))
+    val w = Window.partitionBy("cluster_id")
+    comp.join(pr.hint("shuffle_hash"), "vec_id")
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("rank_ppm").desc, col("vec_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").as("exemplar_id"),
+        col("rank_ppm").as("exemplar_rank_ppm"), col("n_members"))
+      .orderBy("cluster_id")
   }
 
   /** Exact covariance matrix of the embedding corpus — the
