@@ -307,11 +307,17 @@ object EventOps {
     * q_ppm·total), one float division at the end. The same two-pass
     * count-then-offset idea as TextOps.corpusShuffle, pointed at a
     * bounded key domain. */
-  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val qs = Seq(500000L, 900000L, 990000L)
-    val counts = Tables.load(spark, dir, "events")
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantileTail(Tables.load(spark, dir, "events")
       .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("n")))
+
+  /** The quantile-selection tail of [[valueQuantiles]] over an
+    * (event_type, cents, n) count frame — shared with the streaming
+    * changelog's rollup (graft.streaming.EventStream.quantilesRollup),
+    * so both faces select from literally the same expressions. */
+  private[graft] def quantileTail(counts: DataFrame): DataFrame = {
+    val qs = Seq(500000L, 900000L, 990000L)
     val wcum = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wtot = Window.partitionBy("event_type")

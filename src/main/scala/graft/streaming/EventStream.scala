@@ -729,6 +729,42 @@ object EventStream {
       .as[Event]
   }
 
+  final case class CentsDelta(event_type: String, cents: Long, delta: Long)
+
+  /** Streaming cents-histogram changelog for the value-quantile
+    * dashboard — the eleventh twin, and the second PURE-ADDITION member
+    * after [[anomalyDeltas]]: a (type, cents) count only ever grows, so
+    * an admissible late event is just another +n delta (no retraction,
+    * no per-key state), and the exact quantile selection is recomputed
+    * at rollup over the summed histogram. Each micro-batch collapses to
+    * one delta per observed (type, cents) — bounded by the value
+    * domain, not the batch size. */
+  def quantilesDeltas(events: Dataset[Event]): Dataset[CentsDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      // same cents quantization as the batch SQL round(value*100):
+      // HALF_UP over the shortest decimal representation of the double
+      .groupByKey(e => (e.event_type,
+        BigDecimal(e.value * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .flatMapGroupsWithState[Long, CentsDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((tpe, cents), it, _) =>
+          val n = it.size.toLong
+          if (n == 0) Iterator.empty else Iterator.single(CentsDelta(tpe, cents, n))
+      }
+  }
+
+  /** Materialize a cents-histogram changelog into the batch quantile
+    * shape: summed deltas are the exact per-(type, cents) counts and
+    * the selection tail is LITERALLY the batch operator's expressions
+    * (EventOps.quantileTail). */
+  def quantilesRollup(deltas: DataFrame): DataFrame =
+    graft.operators.EventOps.quantileTail(
+      deltas.groupBy("event_type", "cents")
+        .agg(sum(col("delta")).as("n"))
+        .filter(col("n") > 0))
+
   /** Streaming exact dedup (the dedup family's streaming face): drop
     * re-deliveries of the same event_id within the watermark horizon.
     * State holds one key per event inside the horizon and is evicted by
