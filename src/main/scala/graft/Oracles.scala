@@ -949,7 +949,7 @@ object Oracles {
        | CAST(s_i_h AS DECIMAL(38,0)) AS s_i,
        | CAST(s_j_h AS DECIMAL(38,0)) AS s_j,
        | CAST(s_ij_h AS DECIMAL(38,0)) AS s_ij,
-       | CAST(n_vectors * s_ij_h - s_i_h * s_j_h AS DOUBLE)
+       | CAST(CAST(n_vectors * s_ij_h - s_i_h * s_j_h AS VARCHAR) AS DOUBLE)
        |   / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE) * 1e12) AS cov
        |FROM s ORDER BY i, j""".stripMargin
 

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros, unix_millis}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 /** Table registry for the synthetic star schema (TESTDATA.md).
   *
@@ -16,6 +18,34 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-tolerant epoch-milliseconds extraction for the events `ts`
+    * column. Real lakes mix parquet timestamp physical encodings:
+    * TIMESTAMP(NANOS) is only readable as a raw nanosecond long
+    * (`spark.sql.legacy.parquet.nanosAsLong`), while MICROS/MILLIS files
+    * resolve as timestamp types. Dispatching on the RESOLVED dtype makes
+    * every event operator encoding-independent — the session time zone is
+    * pinned UTC (see [[session]]), so the NTZ→timestamp cast preserves the
+    * instant, and `unix_millis` truncates exactly like `div` on the
+    * (always-positive) epoch values. Integer paths only: a double division
+    * would lose precision above 2^53. */
+  def epochMs(schema: StructType): Column = schema("ts").dataType match {
+    case LongType => expr("ts div 1000000") // nanos-as-long
+    case _        => unix_millis(col("ts").cast(TimestampType))
+  }
+
+  /** [[epochMs]]'s microsecond sibling (micros fit a long until year ~294k). */
+  def epochUs(schema: StructType): Column = schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case _        => unix_micros(col("ts").cast(TimestampType))
+  }
+
+  /** The events table with a unix-millis `ms` column attached, whatever
+    * the parquet `ts` encoding. */
+  def loadEventsMs(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.withColumn("ms", epochMs(df.schema))
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

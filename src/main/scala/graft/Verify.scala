@@ -16,11 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // An erroring query must leave a visible artifact, not a silent gap:
+    // r10's correctness JSON shrank 69→59 rows because failed queries
+    // wrote no parquet and the driver omitted them. Every failure now
+    // writes <out>/<name>/_ERROR.txt plus a row in <out>/errors.json.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
       } finally Caches.release() // each query's internal caches die with it
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // the one-line summary a log tail can't miss
+    println(s"[verify] ${SparkEntry.queries.size - failures.size} dumped, " +
+      s"${failures.size} FAILED${if (failures.nonEmpty) ": " + failures.keys.mkString(",") else ""}")
     spark.stop()
   }
 }

@@ -20,11 +20,12 @@ object EventOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
 
-  /** The events parquet carries TIMESTAMP(NANOS); Spark reads it as a long
-    * (nanosAsLong) — convert with integer division (a double division
-    * would lose precision above 2^53 ns). */
-  private val msCol = expr("ts div 1000000")
-  private val usCol = expr("ts div 1000")
+  /** The events parquet's `ts` physical encoding varies by writer —
+    * TIMESTAMP(NANOS) reads as a raw long (nanosAsLong), MICROS/MILLIS
+    * resolve as timestamp types. [[Tables.epochMs]] dispatches on the
+    * resolved dtype, so every operator here works against any of them. */
+  private def eventsMs(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEventsMs(spark, dir)
 
   /** Gap-based sessionization (30-min inactivity closes a session). The
     * classic two-window program: lag → session-break flag → running sum
@@ -33,7 +34,7 @@ object EventOps {
     * 100 TB this keys on the natural partitioning and skew is bounded by
     * the busiest user (salt by day if that ever dominates). */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val events = eventsMs(spark, dir)
     val byUser = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
     val sessions = events
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
@@ -60,7 +61,7 @@ object EventOps {
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     events.groupBy(
-        date_format(timestamp_micros(usCol), "yyyy-MM-dd HH").as("hour"),
+        date_format(timestamp_micros(Tables.epochUs(events.schema)), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -76,7 +77,7 @@ object EventOps {
     * ties and is also slower). Exact decimal accumulation keeps the
     * running values order-stable. */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val events = eventsMs(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events.select(col("user_id"), col("event_id"), col("ms"),
@@ -93,7 +94,7 @@ object EventOps {
     * and the retention counts are one user-keyed shuffle each; cohort
     * sizes broadcast back onto the tallies. */
   def retention(spark: SparkSession, dir: String): DataFrame =
-    retentionFrom(Tables.load(spark, dir, "events").withColumn("ms", msCol))
+    retentionFrom(eventsMs(spark, dir))
 
   /** [[retention]] over an explicit (user_id, ms) frame. */
   def retentionFrom(events: DataFrame): DataFrame = {
@@ -132,9 +133,7 @@ object EventOps {
     * tie-break column is non-null exactly on the order side, so engines'
     * differing null orderings cannot reorder anything observable. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame =
-    asofJoinFrom(
-      Tables.load(spark, dir, "events").withColumn("ms", msCol),
-      Tables.load(spark, dir, "orders"))
+    asofJoinFrom(eventsMs(spark, dir), Tables.load(spark, dir, "orders"))
 
   /** [[asofJoin]] over explicit (event_id, user_id, ms) / orders frames. */
   def asofJoinFrom(events: DataFrame, orders: DataFrame): DataFrame = {
@@ -177,7 +176,7 @@ object EventOps {
     * bucket boundary) from double-joining its rows. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val H = 3600000L
-    val ev = Tables.load(spark, dir, "events").withColumn("ms", msCol)
+    val ev = eventsMs(spark, dir)
     val points = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("ms").as("pms"), col("value"),
         expr(s"ms div $H").as("bucket"))
@@ -211,8 +210,8 @@ object EventOps {
     * same plan — the spec asserts the sketch lands within 5% of exact
     * on this corpus, the swap a 100 TB deployment would make. */
   def stickiness(spark: SparkSession, dir: String): DataFrame =
-    stickinessFrom(Tables.load(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000000 div 86400000").as("day")))
+    stickinessFrom(eventsMs(spark, dir)
+      .select(col("user_id"), expr("ms div 86400000").as("day")))
 
   def stickinessFrom(userDays0: DataFrame): DataFrame = {
     val userDays = userDays0.distinct()
@@ -238,8 +237,8 @@ object EventOps {
     * engine's deterministic-ordering discipline. */
   def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
-    val t = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), msCol.as("ms"), col("event_id"))
+    val t = eventsMs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
     val counts = t.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
@@ -271,7 +270,8 @@ object EventOps {
 
   def anomalyFrom(events: DataFrame): DataFrame =
     zFlagged(events
-      .groupBy(col("event_type"), expr("ts div 1000000 div 3600000").as("hour"))
+      .withColumn("ms", Tables.epochMs(events.schema))
+      .groupBy(col("event_type"), expr("ms div 3600000").as("hour"))
       .agg(count(lit(1)).as("n")))
 
   /** The exact-arithmetic tail of [[anomaly]] over an (event_type, hour,
@@ -348,8 +348,8 @@ object EventOps {
     * design (scaling adds users, not history — ScaleGen.scala:17), so
     * no per-user state grows with corpus size. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
-    funnelFrom(Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), msCol.as("ms")))
+    funnelFrom(eventsMs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ms")))
 
   /** [[funnel]] over a prepared (user_id, event_type, ms) frame — the seam
     * the streaming twin's batch-equivalence spec compares against. */

@@ -27,14 +27,16 @@ object EventStream {
 
   val GapMs: Long = 30 * 60 * 1000L
 
-  /** Events file-stream with event-time column (ns → micros timestamp). */
+  /** Events file-stream with event-time column. The `ts` epoch extraction
+    * dispatches on the resolved parquet dtype (graft.Tables.epochUs) so the
+    * stream reads NANOS-as-long and MICROS/MILLIS files alike. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory; filter to the events file
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(graft.Tables.epochUs(schema)))
   }
 
   /** Streaming hourly rollup with watermarked tumbling windows. */
@@ -315,7 +317,7 @@ object EventStream {
     val e = spark.readStream.schema(eSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("user_id"), lit(1).as("side"), col("event_id"),
-        expr("ts div 1000000").as("ms"),
+        graft.Tables.epochMs(eSchema).as("ms"),
         lit(-1L).as("o_orderkey"), lit(0.0).as("o_totalprice"))
     val o = spark.readStream.schema(oSchema)
       .option("pathGlobFilter", "orders.parquet").parquet(dir)
@@ -437,7 +439,7 @@ object EventStream {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000000").as("ms"))
+        graft.Tables.epochMs(schema).as("ms"))
       .withColumn("event_time", timestamp_millis(col("ms")))
       .as[FunnelEvent]
   }
@@ -525,9 +527,10 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ms", graft.Tables.epochMs(schema))
       .select(col("user_id"),
-        expr("ts div 1000000 div 86400000").as("day"),
-        timestamp_millis(expr("ts div 1000000")).as("event_time"))
+        expr("ms div 86400000").as("day"),
+        timestamp_millis(col("ms")).as("event_time"))
       .as[DayEvent]
   }
 
@@ -625,7 +628,7 @@ object EventStream {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000000").as("ms"))
+        graft.Tables.epochMs(schema).as("ms"))
       .withColumn("event_time", timestamp_millis(col("ms")))
       .as[TypedEvent]
   }
@@ -640,7 +643,7 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def side() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("ms", graft.Tables.epochMs(schema))
     val points = side().filter(col("event_type").isin("click", "view"))
       .select(col("user_id").as("p_user"), col("ms").as("pms"), col("value"),
         timestamp_millis(col("ms")).as("p_time"))

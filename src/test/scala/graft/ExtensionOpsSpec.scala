@@ -52,8 +52,8 @@ class ExtensionOpsSpec extends SparkTestBase {
 
   test("evt: as-of join matches a brute-force latest-order-per-event recomputation") {
     val out = EventOps.asofJoin(spark, sf).collect()
-    val events = Tables.load(spark, sf, "events")
-      .selectExpr("event_id", "user_id", "ts div 1000000 as ms").collect()
+    val events = Tables.loadEventsMs(spark, sf)
+      .selectExpr("event_id", "user_id", "ms").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val orders = Tables.load(spark, sf, "orders")
       .selectExpr("o_custkey", "unix_millis(cast(o_orderdate as timestamp)) as ms", "o_orderkey").collect()
@@ -75,8 +75,8 @@ class ExtensionOpsSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "bucketization must keep the range join an equi-join")
-    val ev = Tables.load(spark, sf, "events")
-      .selectExpr("event_id", "user_id", "ts div 1000000 as ms", "event_type").collect()
+    val ev = Tables.loadEventsMs(spark, sf)
+      .selectExpr("event_id", "user_id", "ms", "event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val points = ev.filter(e => e._4 == "click" || e._4 == "view").groupBy(_._2)
     val expect = ev.filter(_._4 == "purchase").flatMap { case (pid, uid, pms, _) =>
@@ -521,8 +521,8 @@ class ExtensionOpsSpec extends SparkTestBase {
       assert(r.getDouble(r.fieldIndex("stickiness")) === dau.toDouble / wau)
     }
     // the 100 TB swap: approx_count_distinct on the same plan stays close
-    val ud = Tables.load(spark, sf, "events")
-      .selectExpr("user_id", "ts div 1000000 div 86400000 as day").distinct()
+    val ud = Tables.loadEventsMs(spark, sf)
+      .selectExpr("user_id", "ms div 86400000 as day").distinct()
     val approx = ud.groupBy("day")
       .agg(approx_count_distinct(col("user_id")).as("adau"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -594,8 +594,8 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("events: funnel matches an independent per-user fold") {
-    val ev = Tables.load(spark, sf, "events")
-      .selectExpr("user_id", "event_type", "ts div 1000000 as ms")
+    val ev = Tables.loadEventsMs(spark, sf)
+      .selectExpr("user_id", "event_type", "ms")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
       es.collect { case (_, "view", m) => m }.minOption.map { vm =>
