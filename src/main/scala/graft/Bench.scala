@@ -24,7 +24,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every localCheckpoint emits a lineage warning, and
+    // at 69 queries the flood buries the one JSON result line the driver
+    // tail-parses (r9/r10: parsed null three rounds running)
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up the JVM / codegen / parquet footer caches so the first
     // timed query isn't charged for session initialization
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -307,9 +307,17 @@ object Oracles {
     * relation). */
   private val KNN_PIPE: String =
     s"""$KM,
+       |cp AS (SELECT 4 * ((count(*) + (SELECT nlist FROM nl) - 1)
+       |    // (SELECT nlist FROM nl)) AS cap FROM n),
        |m AS (SELECT n.*, g.cl FROM n JOIN a2 g USING (vec_id)),
+       |ms AS (SELECT cl, count(*) AS m FROM m GROUP BY cl),
+       |mb AS (SELECT m.*,
+       |  (ms.m + (SELECT cap FROM cp) - 1) // (SELECT cap FROM cp) AS nsplit
+       |  FROM m JOIN ms USING (cl)),
        |sc AS (SELECT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
-       |  FROM m x JOIN m y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+       |  FROM mb x JOIN mb y ON x.cl = y.cl
+       |    AND x.vec_id % x.nsplit = y.vec_id % y.nsplit
+       |    AND x.vec_id < y.vec_id),
        |d AS (SELECT ida AS src, idb AS dst, cosine FROM sc
        |  UNION ALL SELECT idb, ida, cosine FROM sc),
        |tk AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
@@ -335,8 +343,16 @@ object Oracles {
        |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY scos DESC, cl ASC) AS rn
        |  FROM p30) t WHERE rn <= 2),
        |m2 AS (SELECT n.*, pp.cl FROM n JOIN pp USING (vec_id)),
+       |cp2 AS (SELECT 4 * (((SELECT count(*) FROM n) + (SELECT nlist FROM nl) - 1)
+       |    // (SELECT nlist FROM nl)) AS cap),
+       |ms2 AS (SELECT cl, count(*) AS m FROM m2 GROUP BY cl),
+       |mb2 AS (SELECT m2.*,
+       |  (ms2.m + (SELECT cap FROM cp2) - 1) // (SELECT cap FROM cp2) AS nsplit
+       |  FROM m2 JOIN ms2 USING (cl)),
        |sc2 AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
-       |  FROM m2 x JOIN m2 y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+       |  FROM mb2 x JOIN mb2 y ON x.cl = y.cl
+       |    AND x.vec_id % x.nsplit = y.vec_id % y.nsplit
+       |    AND x.vec_id < y.vec_id),
        |d2 AS (SELECT ida AS src, idb AS dst, cosine FROM sc2
        |  UNION ALL SELECT idb, ida, cosine FROM sc2),
        |tk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
@@ -396,12 +412,16 @@ object Oracles {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Connected components over the mutual-kNN edges — the DuckDB twin of
-    * SimilarityOps.knnComponents (same reach CTE as dedupClusters). */
+    * SimilarityOps.knnComponents (same reach CTE as dedupClusters). The
+    * consumers run on the 2-probe graph, so the pipe here is KNN2. The
+    * edge CTE is MATERIALIZED: the recursive reach re-references it per
+    * iteration, and inlining the whole KNN2 pipeline into every round
+    * measured 59 s vs 3 s materialized at sf0.01. */
   val simKnnComponents: String =
     s"""WITH RECURSIVE $QN,
-       |$KNN_PIPE,
-       |e AS (SELECT ida AS src, idb AS dst FROM mk
-       |  UNION ALL SELECT idb, ida FROM mk),
+       |$KNN2_PIPE,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM mk2
+       |  UNION ALL SELECT idb, ida FROM mk2),
        |reach(node, label) AS (
        |  SELECT src, src FROM e
        |  UNION
@@ -424,11 +444,11 @@ object Oracles {
          |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH $QN,
-       |$KNN_PIPE,
-       |e AS (SELECT ida AS src, idb AS dst FROM mk
-       |  UNION ALL SELECT idb, ida FROM mk),
-       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-       |nd AS (SELECT vec_id FROM n),
+       |$KNN2_PIPE,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM mk2
+       |  UNION ALL SELECT idb, ida FROM mk2),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nd AS MATERIALIZED (SELECT vec_id FROM n),
        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nd),
        |$rounds
        |SELECT nd.vec_id AS vec_id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
@@ -453,11 +473,11 @@ object Oracles {
          |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH RECURSIVE $QN,
-       |$KNN_PIPE,
-       |e AS (SELECT ida AS src, idb AS dst FROM mk
-       |  UNION ALL SELECT idb, ida FROM mk),
-       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-       |nd AS (SELECT vec_id FROM n),
+       |$KNN2_PIPE,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM mk2
+       |  UNION ALL SELECT idb, ida FROM mk2),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nd AS MATERIALIZED (SELECT vec_id FROM n),
        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nd),
        |$rounds,
        |reach(node, label) AS (
@@ -922,9 +942,12 @@ object Oracles {
   val textCorpusShuffle: String =
     s"""WITH k AS (SELECT doc_id,
        |  ${graft.operators.Texty.baseHash60Sql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS k
+       |  FROM documents),
+       |nb AS (SELECT LEAST(GREATEST((count(*) + 4095) // 4096, 1), 65536) AS nb
        |  FROM documents)
        |SELECT row_number() OVER (ORDER BY k, doc_id) - 1 AS position,
-       | doc_id, k AS shuffle_key, k >> 53 AS bucket
+       | doc_id, k AS shuffle_key,
+       | ((k >> 20) * (SELECT nb FROM nb)) >> 40 AS bucket
        |FROM k ORDER BY position""".stripMargin
 
   /** Exact embedding covariance — the DuckDB twin of

@@ -14,7 +14,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the localCheckpoint lineage WARNs flood the log at 69
+    // queries (same rationale as Bench)
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     // An erroring query must leave a visible artifact, not a silent gap:
     // r10's correctness JSON shrank 69→59 rows because failed queries

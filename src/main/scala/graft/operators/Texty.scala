@@ -562,24 +562,36 @@ object TextOps {
     * one task). Two-pass distributed total-order rank:
     *
     *  1. shuffle key k = 60-bit md5 of the doc id (seeded — re-keying
-    *     the seed is a fresh epoch permutation), bucket = top 7 bits of
-    *     k: 128 fixed-width ranges of the hash domain, balanced by hash
+    *     the seed is a fresh epoch permutation); bucket = fixed-width
+    *     range of the hash domain via pure-integer range mapping
+    *     `((k >> 20) · nb) >> 40` — monotone in k, balanced by hash
     *     uniformity, no sampling pass and no nondeterministic
-    *     RangePartitioner;
+    *     RangePartitioner. The bucket count nb is DERIVED FROM THE
+    *     CORPUS COUNT (a parquet-metadata count, no scan):
+    *     nb = min(⌈n/4096⌉, 65536) — ~4 k rows per rank window at
+    *     measurable scale so a ScaleGen decade shows flat per-bucket
+    *     populations, capped at 64 Ki buckets so the offsets table
+    *     stays catalog-sized; past the cap per-bucket size grows as
+    *     n/65536 (≈1.5 M rows at 10¹¹ docs — a bounded per-task sort,
+    *     vs the corpus/128 funnel of the fixed 128-bucket first cut
+    *     that r9/r10 flagged as a scale-killer);
     *  2. per-bucket counts (tiny aggregate) → cumulative offsets — the
-    *     only window runs over ≤ 128 catalog-sized rows — broadcast back;
-    *     position = bucket offset + (row_number within bucket ordered by
-    *     (k, doc_id)), each within-bucket window bounded by corpus/128.
+    *     only global window runs over ≤ 65536 catalog-sized rows —
+    *     broadcast back; position = bucket offset + (row_number within
+    *     bucket ordered by (k, doc_id)).
     *
     * The result equals the single-node `row_number() OVER (ORDER BY k,
-    * doc_id)` bit-for-bit (the oracle runs exactly that) while every
-    * data-sized step stays partition-parallel. */
+    * doc_id)` bit-for-bit (the oracle runs exactly that, and re-derives
+    * nb with the same integer arithmetic) while every data-sized step
+    * stays partition-parallel. */
   def corpusShuffle(spark: SparkSession, dir: String,
                     seed: String = "epoch0"): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    val nb = math.min((n + 4095L) / 4096L, 65536L).max(1L)
     val keyed = docs.select(col("doc_id"),
         Texty.baseHash60(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("k"))
-      .withColumn("bucket", shiftright(col("k"), 53))
+      .withColumn("bucket", shiftright(shiftright(col("k"), 20) * lit(nb), 40))
     val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .withColumn("off",
         coalesce(sum(col("bn")).over(

@@ -550,7 +550,9 @@ class ExtensionOpsSpec extends SparkTestBase {
   }
 
   test("sim: knn components cover exactly the graph's vertices, labels are component minima") {
-    val edges = SparkEntry.queries("sim_knn_graph")(spark, sf).collect()
+    // components consume the 2-PROBE graph, so the vertex contract is
+    // checked against sim_knn_graph2's edge set
+    val edges = SparkEntry.queries("sim_knn_graph2")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val comps = SparkEntry.queries("sim_knn_components")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
