@@ -388,6 +388,54 @@ object Oracles {
   /** Same recall query over the 2-probe graph. */
   val simKnnRecall2: String = knnRecallSql(KNN2_PIPE, "mk2")
 
+  /** Bit-signature graph pipe — the DuckDB twin of
+    * SimilarityOps.knnGraphBits: b = min plane count with 2^b ≥ ⌈n/64⌉
+    * (integer argmin over range(1,41) — no floating log2 to agree on),
+    * 4 tables of b sign bits under the two-stage-mod plane weights
+    * (SimilarityOps.bitPlaneWeight's formula verbatim), cl = t·2^b +
+    * bucket, the same cap-split skew guard with the CONSTANT cap
+    * 256 = CapFactor·BitsTargetList, DISTINCT same-block pairs, and the
+    * shared mutual-top-3 tail. */
+  private val KNNB_PIPE: String =
+    s"""nbb AS (SELECT count(*) AS n FROM n),
+       |bpb AS (SELECT min(b) AS b FROM range(1, 41) tb(b)
+       |  WHERE (CAST(1 AS BIGINT) << b) >= (SELECT (n + 63) // 64 FROM nbb)),
+       |lbb AS (SELECT vec_id, t,
+       |  CAST(list_sum(list_transform(generate_series(0, (SELECT b FROM bpb) - 1), h ->
+       |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64), d ->
+       |      qv[d] * ((((d*131 + (t*64+h)*37 + d*(t*64+h)*59 + d*d*(t*64+h)*17) % 1009) % 7) - 3))) AS BIGINT) >= 0
+       |    THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM n, UNNEST([0,1,2,3]) AS tt(t)),
+       |mbt AS (SELECT n.*, CAST(t AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT b FROM bpb)) + bucket AS cl
+       |  FROM n JOIN lbb USING (vec_id)),
+       |msb AS (SELECT cl, count(*) AS m FROM mbt GROUP BY cl),
+       |mbb AS (SELECT mbt.*, (msb.m + 255) // 256 AS nsplit FROM mbt JOIN msb USING (cl)),
+       |scb AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
+       |  FROM mbb x JOIN mbb y ON x.cl = y.cl
+       |    AND x.vec_id % x.nsplit = y.vec_id % y.nsplit
+       |    AND x.vec_id < y.vec_id),
+       |dbb AS (SELECT ida AS src, idb AS dst, cosine FROM scb
+       |  UNION ALL SELECT idb, ida, cosine FROM scb),
+       |tkb AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rnk
+       |  FROM dbb),
+       |mkb AS (SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
+       |  f.rnk AS rnk_a, r.rnk AS rnk_b
+       |  FROM tkb f JOIN tkb r ON f.src = r.dst AND f.dst = r.src
+       |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
+
+  /** Bit-signature mutual k-NN graph — the DuckDB twin of
+    * SimilarityOps.knnGraphBits. */
+  val simKnnGraphBits: String =
+    s"""WITH $QN,
+       |$KNNB_PIPE
+       |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mkb
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Recall of the bit-signature graph vs the exact mutual ground
+    * truth — the DuckDB twin of SimilarityOps.knnRecallBits. */
+  val simKnnRecallBits: String = knnRecallSql(KNNB_PIPE, "mkb")
+
   private def knnRecallSql(pipe: String, mk: String): String =
     s"""WITH $QN,
        |$pipe,

@@ -83,6 +83,8 @@ object SparkEntry {
     "sim_knn_recall" -> (SimilarityOps.knnRecall _),
     "sim_knn_graph2" -> (SimilarityOps.knnGraph2 _),
     "sim_knn_recall2" -> (SimilarityOps.knnRecall2 _),
+    "sim_knn_graph_bits" -> (SimilarityOps.knnGraphBits _),
+    "sim_knn_recall_bits" -> (SimilarityOps.knnRecallBits _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
@@ -217,6 +219,8 @@ object SparkEntry {
     "sim_knn_recall" -> Oracles.simKnnRecall,
     "sim_knn_graph2" -> Oracles.simKnnGraph2,
     "sim_knn_recall2" -> Oracles.simKnnRecall2,
+    "sim_knn_graph_bits" -> Oracles.simKnnGraphBits,
+    "sim_knn_recall_bits" -> Oracles.simKnnRecallBits,
     "text_chunk_dedup" -> Oracles.textChunkDedup,
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [names-csv] — the optional filter is for local
+    // iteration on a new operator; the driver always runs the full suite
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +28,9 @@ object Verify {
     // wrote no parquet and the driver omitted them. Every failure now
     // writes <out>/<name>/_ERROR.txt plus a row in <out>/errors.json.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,7 +60,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     // the one-line summary a log tail can't miss
-    println(s"[verify] ${SparkEntry.queries.size - failures.size} dumped, " +
+    val selectedN = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    println(s"[verify] ${selectedN - failures.size} dumped, " +
       s"${failures.size} FAILED${if (failures.nonEmpty) ": " + failures.keys.mkString(",") else ""}")
     spark.stop()
   }

@@ -262,10 +262,16 @@ object SimilarityOps {
     val nlist = KMeans.autoNlist(n)
     val (asg, _) = KMeans.fit(q, nlist = nlist)
     val blocked = q.join(asg.hint("shuffle_hash"), "vec_id")
-    val scored = DedupOps.saltedBlockCosines(capSplit(blocked, n, nlist), "blk")
+    val scored = DedupOps.saltedBlockCosines(
+        capSplit(blocked, voronoiCap(n, nlist)), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
     mutualize(scored)
   }
+
+  /** The Voronoi family's split threshold: [[CapFactor]]× the BALANCED
+    * list size ⌈n/nlist⌉ — balanced lists (the common case) never split. */
+  private def voronoiCap(n: Long, nlist: Int): Long =
+    CapFactor * ((n + nlist - 1) / nlist)
 
   /** Skew guard for the Voronoi pair space: a list whose population m
     * exceeds cap = [[CapFactor]]·⌈n/nlist⌉ (CapFactor× the BALANCED list
@@ -282,14 +288,19 @@ object SimilarityOps {
     * common case, have nsplit = 1 and lose nothing). Everything here is
     * exact integer arithmetic (`DIV`, `pmod`) mirrored verbatim by the
     * oracle pipes. The per-list sizes are an nlist-row aggregate —
-    * broadcast back as a planning table, never corpus-sized. */
-  private def capSplit(blocked: DataFrame, n: Long, nlist: Int): DataFrame = {
-    val cap = CapFactor * ((n + nlist - 1) / nlist)
+    * broadcast back as a planning table for the Voronoi family (nlist
+    * rows) but CO-SHUFFLED for the bit-signature family, whose block-key
+    * cardinality is ~n/[[BitsTargetList]] — corpus-order, an OOM the
+    * first time the corpus outgrows the driver if broadcast. */
+  private def capSplit(blocked: DataFrame, cap: Long,
+                       broadcastSizes: Boolean = true): DataFrame = {
     val sizes = blocked.groupBy("cl").agg(count(lit(1)).as("m"))
       .select(col("cl"), expr(s"(m + ${cap - 1}) DIV $cap").as("nsplit"))
-    blocked.join(broadcast(sizes), "cl")
-      .withColumn("blk",
-        col("cl") * lit(1L << 20) + pmod(col("vec_id"), col("nsplit")))
+    val attached =
+      if (broadcastSizes) blocked.join(broadcast(sizes), "cl")
+      else blocked.join(sizes.hint("shuffle_hash"), "cl")
+    attached.withColumn("blk",
+      col("cl") * lit(1L << 20) + pmod(col("vec_id"), col("nsplit")))
   }
 
   private val CapFactor = 4L
@@ -313,22 +324,127 @@ object SimilarityOps {
     val blocked = q.join(probes.hint("shuffle_hash"), "vec_id")
     // list populations here are probe-EXPANDED (≤ 2n rows), which is the
     // actual pair-space driver, so the cap sees the doubled occupancy
-    val scored = DedupOps.saltedBlockCosines(capSplit(blocked, n, nlist), "blk")
+    val scored = DedupOps.saltedBlockCosines(
+        capSplit(blocked, voronoiCap(n, nlist)), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
       .distinct()
     mutualize(scored)
   }
 
+  /** Bucket-size target for the bit-signature graph: the plane count
+    * grows with the corpus so EXPECTED bucket population stays in
+    * (32, 64] — the constant that makes the pair space linear. */
+  private val BitsTargetList = 64L
+  private val BitsTables = 4
+
+  /** Plane count for [[knnGraphBits]]: the smallest b ≥ 1 with
+    * 2^b ≥ ⌈n/[[BitsTargetList]]⌉ — pure integer arithmetic, mirrored by
+    * the oracle as an argmin over `range(1, 41)` (no floating log2 to
+    * agree on). */
+  private[graft] def autoPlanes(n: Long): Int = {
+    val buckets = math.max(1L, (n + BitsTargetList - 1) / BitsTargetList)
+    var b = 1
+    while ((1L << b) < buckets && b < 40) b += 1
+    b
+  }
+
+  /** Deterministic weight of signature plane hh (= table·64 + plane) in
+    * dimension d (1-based): a two-stage-mod pattern in [-3, 3]. The d·hh
+    * and d²·hh CROSS terms make the weight vector genuinely
+    * two-dimensional in (d, hh) — a formula of the shape (a·d + c(hh))
+    * mod p collapses to the scalar c and measured 22 duplicate planes
+    * out of 160 after the mod-7 projection; with the cross terms the
+    * spec asserts all 160 usable planes distinct, none constant, worst
+    * per-plane mean weight 0.78. All terms non-negative, so Spark's `%`
+    * and DuckDB's `%` agree. */
+  private[graft] def bitPlaneWeight(hh: Int, d: Int): Int =
+    ((d * 131 + hh * 37 + d * hh * 59 + d * d * hh * 17) % 1009) % 7 - 3
+
+  /** Linear-cost mutual k-NN graph — the 100 TB path of the graph
+    * family. The Voronoi graphs ([[knnGraph]]/[[knnGraph2]]) pay the
+    * standard IVF n^1.5: ⌊√n⌋ lists of ~√n vectors cost n·√n in both
+    * quantizer assignment and same-list pairs (measured ×15.0/×18.7 per
+    * sf1→sf10 decade, r9). Here the block key is a b-bit HYPERPLANE
+    * SIGNATURE with b = ⌈log₂(n/64)⌉ ([[autoPlanes]]): bucket population
+    * stays ~constant (≤ [[BitsTargetList]]) as the corpus grows, so
+    * signature assignment is n·b·[[BitsTables]] = O(n log n) dot
+    * products and the same-bucket pair space is O(n) — each decade costs
+    * ~×10, where the Voronoi path costs ~×30. The price is recall decay
+    * with scale (a near pair must agree on ALL b sign bits of some
+    * table, probability p^b for per-plane agreement p), which
+    * [[BitsTables]] independent plane sets buy back a constant factor
+    * of — and [[knnRecallBits]] prices every round, the same discipline
+    * as the rest of the ANN family. Candidates sharing several tables'
+    * buckets are deduplicated BEFORE ranking (one `distinct` on scored
+    * id pairs, identical cosine rows). [[capSplit]] (cap = CapFactor ·
+    * BitsTargetList, a CONSTANT) guards signature skew — correlated
+    * planes or clustered data can still pile one bucket — with the
+    * per-bucket sizes CO-SHUFFLED, not broadcast: the (table, bucket)
+    * key space is ~n/64 rows, corpus-order, unlike the Voronoi family's
+    * nlist-row planning table. */
+  def knnGraphBits(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val n = graft.Tables.load(spark, dir, "embeddings").count()
+    val blocked = bitBlocked(q, n)
+    val scored = DedupOps.saltedBlockCosines(
+        capSplit(blocked, CapFactor * BitsTargetList, broadcastSizes = false), "blk")
+      .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
+      .distinct()
+    mutualize(scored)
+  }
+
+  /** (vec_id, qv, nrm, cl) with cl = table · 2^b + signature bucket, one
+    * row per (vector, table). The b·[[BitsTables]] plane dot products run
+    * once per row in the native codegen'd loop; sign bits assemble the
+    * bucket id per table, and the table explode carries ids + vectors
+    * (the downstream pair join needs qv/nrm on both sides). */
+  private def bitBlocked(q: DataFrame, n: Long): DataFrame = {
+    val b = autoPlanes(n)
+    val dots = (0 until BitsTables).flatMap { t =>
+      (0 until b).map { h =>
+        val hh = t * 64 + h
+        val w = (1 to DedupOps.Dim).map(d => bitPlaneWeight(hh, d).toLong)
+        graft.functions.VectorFunctions.dotLong(col("qv"), typedlit(w))
+          .as(s"dot_${t}_$h")
+      }
+    }
+    val withDots = q.select(
+      Seq(col("vec_id"), col("qv"), col("nrm")) ++ dots: _*)
+    val tables = (0 until BitsTables).map { t =>
+      val bucket = (0 until b).map { h =>
+        when(col(s"dot_${t}_$h") >= 0, lit(1L << h)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (lit(t.toLong) * lit(1L << b) + bucket).as(s"cl_$t")
+    }
+    withDots
+      .withColumn("cl", explode(array(tables: _*)))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cl"))
+  }
+
   /** Shared mutual-top-k tail: mirror the undirected scored pairs, rank
-    * per endpoint, keep edges BOTH endpoints rank top-k. */
+    * per endpoint, keep edges BOTH endpoints rank top-k.
+    *
+    * Two recompute guards (r11 — sim_pagerank measured 51.6 s at sf0.1
+    * because every consumer materialization re-derived the WHOLE
+    * candidate-scoring pipeline several times over):
+    *  - the mirror is one `explode` of each scored row into its two
+    *    directions, not a self-union — a union's branches each rescan
+    *    (and here re-SCORE) the child, and the swapped join keys defeat
+    *    exchange reuse;
+    *  - the ranked top-k relation (≤ [[KGraph]] rows per endpoint —
+    *    k·2n rows total, tiny next to the pair space) is cached before
+    *    the mutuality self-join, so the forward/reverse sides share one
+    *    materialization instead of each rebuilding
+    *    quantize→train→block→score. */
   private def mutualize(scored: DataFrame): DataFrame = {
-    val directed = scored
-      .select(col("ida").as("src"), col("idb").as("dst"), col("cosine"))
-      .unionByName(scored
-        .select(col("idb").as("src"), col("ida").as("dst"), col("cosine")))
+    val directed = scored.select(explode(array(
+        struct(col("ida").as("src"), col("idb").as("dst"), col("cosine")),
+        struct(col("idb").as("src"), col("ida").as("dst"), col("cosine")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.cosine"))
     val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-    val topk = directed.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= KGraph)
+    val topk = graft.Caches.cached(
+      directed.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= KGraph))
     topk.as("f").join(topk.as("r").hint("shuffle_hash"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
       .filter(col("f.src") < col("f.dst"))
@@ -363,6 +479,13 @@ object SimilarityOps {
     * corpus at sf0.01; the gate re-derives both every round). */
   def knnRecall2(spark: SparkSession, dir: String): DataFrame =
     knnRecallOf(spark, dir, knnGraph2(spark, dir))
+
+  /** [[knnRecall]] for the bit-signature graph — the number that prices
+    * [[knnGraphBits]]' linear-cost trade: signature recall DECAYS as the
+    * plane count grows with the corpus, and this gate re-derives the
+    * decay point every round instead of trusting the theory. */
+  def knnRecallBits(spark: SparkSession, dir: String): DataFrame =
+    knnRecallOf(spark, dir, knnGraphBits(spark, dir))
 
   private def knnRecallOf(spark: SparkSession, dir: String,
                           graph: DataFrame): DataFrame = {
@@ -445,31 +568,74 @@ object SimilarityOps {
     * so contribution fan-out is bounded); localCheckpoint per round
     * cuts the lineage exactly as the cluster family does. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    val g = knnGraph2(spark, dir).select(col("ida"), col("idb"))
+    // cache the edge list: pageRankFrom's out-degree relation AND the
+    // final deg re-attach both read it — uncached, the second consumer
+    // rebuilt the whole graph (quantize→train→block→score→mutualize)
+    val g = graft.Caches.cached(knnGraph2(spark, dir).select(col("ida"), col("idb")))
     val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
-    pageRankFrom(nodes, g, iters)
+    pageRankFrom(nodes, g, iters,
+      nodeCount = Some(graft.Tables.load(spark, dir, "embeddings").count()))
   }
 
   /** The ppm recurrence over an explicit (nodes, undirected edges) pair —
     * shared by [[pageRank]] and [[clusterExemplars]] so the composed
-    * operator builds the graph ONCE. */
+    * operator builds the graph ONCE.
+    *
+    * Iterative-tail parallelism: the per-round frames are NODE-sized
+    * (≤ n rank rows, ≤ k·2n edge rows), so when `nodeCount` is known the
+    * loop runs under a shuffle-partition count derived from the DATA
+    * (~100k rows per partition, capped at the session default) instead
+    * of the corpus-wide setting. At sf0.1 the default 32 partitions made
+    * each of the 10 rounds ~10 32-task stages — ~1.6 s of pure task
+    * latency per round, 16 of sim_pagerank's 21.7 s (r11 measurement);
+    * at cluster scale the cap keeps the configured parallelism. The conf
+    * is restored before returning — the final assembled plan (and every
+    * other query) still plans under the session default. */
   private[operators] def pageRankFrom(nodes: DataFrame, g: DataFrame,
-                                      iters: Int = 10): DataFrame = {
+                                      iters: Int = 10,
+                                      nodeCount: Option[Long] = None): DataFrame = {
     val edges = g.unionByName(g.select(col("idb").as("ida"), col("ida").as("idb")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val out = graft.Caches.cached(edges.join(deg.hint("shuffle_hash"), "src"))
-    var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
-    (1 to iters).foreach { _ =>
-      val sums = ranks.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
-        .select(col("dst"), expr("rank_ppm DIV deg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(sums.hint("shuffle_hash"),
-          col("vec_id") === col("dst"), "left")
-        .select(col("vec_id"),
-          expr("150000L + (850000L * coalesce(s, 0L)) DIV 1000000L").as("rank_ppm"))
-        .localCheckpoint()
-    }
+    // LEAN materialization barriers, not plan-carrying caches: the loop
+    // references the edge relation `iters` times and the node-id frame
+    // iters+1 times, so both become shallow localCheckpoints — (src,
+    // dst, deg) is ≤ k·2n short rows, node ids one long column. Reading
+    // an InMemoryRelation whose lineage is a join over the cached
+    // ARRAY-bearing quantized frame instead cost ~0.7 s per round in
+    // deserialization and cache-scan stages (r11 measurement: the 10
+    // rounds fell from ~10-15 s to 0.2-0.5 s with lean checkpoints +
+    // lazy chaining). Both checkpoints are eager, so the graph build
+    // they absorb runs at FULL session parallelism, before the reduced
+    // loop scope below.
+    val out = edges.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
+    val nodeIds = nodes.select(col("vec_id")).localCheckpoint()
+    val conf = nodes.sparkSession.conf
+    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
+    // node-sized loop frames plan under a DATA-derived partition count
+    // (~100k rows/partition, capped at the session default so a real
+    // cluster keeps its configured parallelism)
+    val loopParts = nodeCount
+      .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
+      .getOrElse(defaultParts)
+    var ranks = nodeIds.withColumn("rank_ppm", lit(1000000L))
+    try {
+      conf.set("spark.sql.shuffle.partitions", loopParts)
+      // the rounds chain LAZILY — each is referenced exactly once by the
+      // next, so nothing re-evaluates — and the single checkpoint at the
+      // end materializes the whole chain INSIDE the reduced-parallelism
+      // scope (laziness would otherwise defer planning past the finally)
+      (1 to iters).foreach { _ =>
+        val sums = ranks.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
+          .select(col("dst"), expr("rank_ppm DIV deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = nodeIds.join(sums.hint("shuffle_hash"),
+            col("vec_id") === col("dst"), "left")
+          .select(col("vec_id"),
+            expr("150000L + (850000L * coalesce(s, 0L)) DIV 1000000L").as("rank_ppm"))
+      }
+      ranks = ranks.localCheckpoint()
+    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
     ranks.join(deg.hint("shuffle_hash"), col("vec_id") === col("src"), "left")
       .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
         col("rank_ppm"))
@@ -491,7 +657,9 @@ object SimilarityOps {
         g.select(col("ida").as("doc_a"), col("idb").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
     val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
-    val pr = pageRankFrom(nodes, g).select(col("vec_id"), col("rank_ppm"))
+    val pr = pageRankFrom(nodes, g,
+        nodeCount = Some(graft.Tables.load(spark, dir, "embeddings").count()))
+      .select(col("vec_id"), col("rank_ppm"))
     val w = Window.partitionBy("cluster_id")
     comp.join(pr.hint("shuffle_hash"), "vec_id")
       .withColumn("rn", row_number().over(

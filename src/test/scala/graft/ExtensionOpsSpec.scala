@@ -247,6 +247,40 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("similarity: bit-signature knn graph holds the edge contract and its planes are distinct") {
+    // the quadratic-term weight formula must yield DISTINCT hyperplanes
+    // for every (table, plane) the operator can use (4 tables × up to
+    // 40 planes) — the linear mod-7 formula it replaces collapses to 7
+    // classes, which would make extra planes pure waste
+    val vecs = (0 until 4).flatMap(t => (0 until 40).map { h =>
+      val hh = t * 64 + h
+      (1 to 64).map(d => SimilarityOps.bitPlaneWeight(hh, d))
+    })
+    assert(vecs.distinct.length === vecs.length)
+    // plane count scale rule: smallest b with 2^b covering n/64 buckets
+    assert(SimilarityOps.autoPlanes(500) === 3)
+    assert(SimilarityOps.autoPlanes(2000) === 5)
+    assert(SimilarityOps.autoPlanes(1000000000L) === 24)
+    val edges = SimilarityOps.knnGraphBits(spark, sf).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(r.getLong(r.fieldIndex("ida")) < r.getLong(r.fieldIndex("idb")))
+      assert(r.getLong(r.fieldIndex("rnk_a")) <= 3L)
+      assert(r.getLong(r.fieldIndex("rnk_b")) <= 3L)
+      val c = r.getDouble(r.fieldIndex("cosine"))
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(edges.length <= 3 * n / 2)
+    // the recall gate prices the linear-cost trade: per-query rows for
+    // the full eval set, hits never exceeding ground truth
+    val rec = SimilarityOps.knnRecallBits(spark, sf).collect()
+    assert(rec.length === 10)
+    rec.foreach { r =>
+      assert(r.getLong(r.fieldIndex("hits")) <= r.getLong(r.fieldIndex("n_true")))
+    }
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
