@@ -86,6 +86,11 @@ object Bench {
         // deferred to catalog-wide eviction
         Caches.release()
         spark.catalog.clearCache()
+        // untimed GC: late-suite queries otherwise inherit the heap
+        // pressure of the 60+ queries before them and pay their
+        // collections (r11: dedup_minhash_lsh measured 8.5 s at suite
+        // position ~40 vs 1.5 s solo — identical plan, pure GC tax)
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>

@@ -189,6 +189,23 @@ object PlanAudit {
       "2-probe broadcast-hash joins must all be the nlist-row nsplit attach on cl")
     assert(!knn2Plan.contains("CartesianProduct"),
       "2-probe centroid scoring must ride the broadcast, not a cartesian")
+    // the bit-signature graph's per-bucket size table is CORPUS-ORDER
+    // (~n/64 rows keyed (table, bucket)) — unlike the Voronoi family's
+    // nlist-row planning table it must CO-SHUFFLE onto the blocked rows,
+    // and no other stage has a broadcastable side either: the whole plan
+    // must be broadcast-free (signature assignment is per-row arithmetic
+    // on constant weight arrays, no centroid frame exists)
+    println("\n===== sim_knn_graph_bits =====")
+    val knnbDf = SparkEntry.queries("sim_knn_graph_bits")(spark, dir)
+    knnbDf.explain("formatted")
+    val knnbPlan = knnbDf.queryExecution.executedPlan.toString
+    assert(knnbPlan.contains("ShuffledHashJoin"),
+      "bit-signature graph joins must co-shuffle")
+    assert(!knnbPlan.contains("BroadcastHashJoin") &&
+        !knnbPlan.contains("BroadcastExchange"),
+      "bit-signature graph must broadcast nothing — its size table is corpus-order")
+    assert(!knnbPlan.contains("NestedLoop") && !knnbPlan.contains("Cartesian"),
+      "bit-signature graph must stay equi-join only")
     // the cross-source overlap matrix self-joins the df-capped shingle
     // index: corpus-sized on both sides, so it must co-shuffle on h
     // (reusing the df window's exchange), never broadcast; and the df cap

@@ -196,19 +196,30 @@ object DedupOps {
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
-    while (curSum != prevSum && rounds < 50) {
-      val nbrMin = edges.join(labels, col("src") === col("node"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      prevSum = curSum
-      curSum = labelSum(next)
-      unpersistCheckpoint(labels)
-      labels = next
-      rounds += 1
-    }
+    // node-sized loop frames plan under a partition count derived from
+    // the measured label count (~100k rows/partition, capped at the
+    // session default) — same r11 discipline as starComponents and
+    // pageRankFrom; every action of the loop runs inside the scope
+    val conf = spark.conf
+    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L,
+      math.min(defaultParts.toLong, labels.count() / 100000L + 1)).toInt
+    try {
+      conf.set("spark.sql.shuffle.partitions", loopParts)
+      while (curSum != prevSum && rounds < 50) {
+        val nbrMin = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labelSum(next)
+        unpersistCheckpoint(labels)
+        labels = next
+        rounds += 1
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
     // a silent non-converged labeling would be WRONG output (pairs split
     // across clusters) — refuse instead; 50 rounds covers any diameter a
     // near-dup graph plausibly has
@@ -272,17 +283,30 @@ object DedupOps {
     var cur = pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
       .distinct().localCheckpoint()
     var curCount = cur.count()
+    // the rounds run over EDGE-sized two-column frames that only shrink,
+    // so they plan under a partition count derived from the measured
+    // edge count (~100k rows/partition, capped at the session default —
+    // a cluster keeps its configured parallelism); at toy scale this
+    // collapses the ~10 rounds' 32-task stages to single-task ones
+    // (same discipline as SimilarityOps.pageRankFrom, r11)
+    val conf = pairs.sparkSession.conf
+    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts =
+      math.max(1L, math.min(defaultParts.toLong, curCount / 100000L + 1)).toInt
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextCount = next.count()
-      converged = nextCount == curCount && next.except(cur).isEmpty
-      unpersistCheckpoint(cur) // next is lineage-cut, so cur is never re-read
-      cur = next
-      curCount = nextCount
-      rounds += 1
-    }
+    try {
+      conf.set("spark.sql.shuffle.partitions", loopParts)
+      while (!converged && rounds < 50) {
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        val nextCount = next.count()
+        converged = nextCount == curCount && next.except(cur).isEmpty
+        unpersistCheckpoint(cur) // next is lineage-cut, so cur is never re-read
+        cur = next
+        curCount = nextCount
+        rounds += 1
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
     require(converged, s"star contraction did not converge in $rounds rounds")
     // the final checkpointed edge set backs the returned frame; its
     // blocks are dropped by the context cleaner once the frame is GC'd
