@@ -1024,6 +1024,58 @@ object Oracles {
        |   / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE) * 1e12) AS cov
        |FROM s ORDER BY i, j""".stripMargin
 
+  /** Top principal component — the DuckDB twin of
+    * SimilarityOps.topComponent: the same exact HUGEINT moments, the
+    * same integer covariance scaling (cscale = max(1, max|c| // 10¹²)),
+    * and the same 10 power-iteration rounds unrolled as chained CTEs
+    * (every division sign-split onto non-negative operands so `//` and
+    * Spark's `div` agree), finished by the Rayleigh eigenvalue with the
+    * VARCHAR-routed HUGEINT→DOUBLE casts (the repo convention for
+    * correctly-rounded comparisons, see simEmbeddingCovariance). */
+  val simTopComponent: String = {
+    val rounds = (1 to 10).map { t =>
+      s"""x$t AS MATERIALIZED (SELECT cfs.i, sum(cfs.c * v.v) AS x
+         |  FROM cfs JOIN v${t - 1} v ON cfs.j = v.vi GROUP BY cfs.i),
+         |m$t AS (SELECT greatest(max(abs(x)), 1) AS mx FROM x$t),
+         |v$t AS MATERIALIZED (SELECT i AS vi,
+         |  CASE WHEN x < 0 THEN -(((-x) * 1000000) // (SELECT mx FROM m$t))
+         |   ELSE (x * 1000000) // (SELECT mx FROM m$t) END AS v FROM x$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ij AS (SELECT a.i AS i, b.j AS j
+       |  FROM UNNEST(range(0, 64)) AS a(i), UNNEST(range(0, 64)) AS b(j)
+       |  WHERE b.j >= a.i),
+       |s AS (SELECT i, j, count(*) AS n,
+       |  sum(qv[CAST(i AS INT) + 1]) AS s_i_h,
+       |  sum(qv[CAST(j AS INT) + 1]) AS s_j_h,
+       |  sum(qv[CAST(i AS INT) + 1] * qv[CAST(j AS INT) + 1]) AS s_ij_h
+       |  FROM q, ij GROUP BY i, j),
+       |cn AS (SELECT max(n) AS n FROM s),
+       |tri AS (SELECT i, j, n * s_ij_h - s_i_h * s_j_h AS c FROM s),
+       |cf AS (SELECT i, j, c FROM tri
+       |  UNION ALL SELECT j, i, c FROM tri WHERE i <> j),
+       |cs AS (SELECT greatest(max(abs(c)) // 1000000000000, 1) AS cscale FROM cf),
+       |cfs AS MATERIALIZED (SELECT i, j,
+       |  CASE WHEN c < 0 THEN -((-c) // (SELECT cscale FROM cs))
+       |   ELSE c // (SELECT cscale FROM cs) END AS c FROM cf),
+       |v0 AS (SELECT CAST(a.i AS BIGINT) AS vi, CAST(1000000 AS HUGEINT) AS v
+       |  FROM UNNEST(range(0, 64)) a(i)),
+       |$rounds,
+       |xf AS (SELECT cfs.i, sum(cfs.c * v.v) AS x
+       |  FROM cfs JOIN v10 v ON cfs.j = v.vi GROUP BY cfs.i),
+       |lam AS (SELECT sum(xf.x * v.v) AS vtcv, sum(v.v * v.v) AS vtv
+       |  FROM xf JOIN v10 v ON xf.i = v.vi)
+       |SELECT v.vi AS i, CAST(v.v AS BIGINT) AS component_ppm,
+       | CAST(CAST((SELECT vtcv FROM lam) AS VARCHAR) AS DOUBLE)
+       |  / CAST(CAST((SELECT vtv FROM lam) AS VARCHAR) AS DOUBLE)
+       |  * CAST(CAST((SELECT cscale FROM cs) AS VARCHAR) AS DOUBLE)
+       |  / (CAST((SELECT n FROM cn) AS DOUBLE) * CAST((SELECT n FROM cn) AS DOUBLE) * 1e12)
+       |  AS eigenvalue
+       |FROM v10 v ORDER BY i""".stripMargin
+  }
+
   val etlHypertensionStatus: String =
     s"""WITH long AS ($p9Long), s AS (
       | SELECT material_id,

@@ -704,4 +704,97 @@ object SimilarityOps {
           (col("n_vectors").cast("double") * col("n_vectors").cast("double") * 1e12))
       .orderBy("i", "j")
   }
+
+  /** Top principal component of the embedding cloud — the read-side of
+    * the whitening/PCA story [[embeddingCovariance]] opens: 10 rounds of
+    * deterministic INTEGER power iteration on the exact scaled
+    * covariance, plus a Rayleigh-quotient eigenvalue. Output: one row
+    * per dimension (i, component_ppm, eigenvalue), component scaled so
+    * max |component| = 10⁶.
+    *
+    * 100 TB shape: the ONE corpus-scale stage is the same single-pass
+    * native moments aggregate the covariance op uses (O(dim²) numbers
+    * leave each partition); everything after is DIMENSION-sized — a
+    * 64²-entry matrix and 64-entry vectors — so the iteration runs
+    * lazily over dim-sized frames under a single shuffle partition
+    * (dim² is a CONSTANT of the schema, not the corpus — unlike the
+    * pageRank loop there is nothing here that grows, at any corpus).
+    *
+    * Determinism: the scaled covariance C'ᵢⱼ = sign·(|n·sᵢⱼ − sᵢ·sⱼ|
+    * div cscale) with cscale = max(1, max|c| div 10¹²) bounds every
+    * later product inside DECIMAL(38,0)/HUGEINT at ANY corpus size
+    * (raw c reaches ~10³⁰ at 10⁹ vectors; scaled matvec terms stay
+    * ≤ ~10²⁶); each round rescales vᵢ = sign·(|xᵢ|·10⁶ div max|x|).
+    * Every division is arranged on non-negative operands, where Spark's
+    * `div` and DuckDB's `//` agree; the oracle unrolls the same 10
+    * rounds as chained CTEs (same discipline as the PageRank twin).
+    * Power iteration from the all-ones vector has no sign/tie ambiguity
+    * to agree on — the start vector and round count pin the result. */
+  def topComponent(spark: SparkSession, dir: String): DataFrame = {
+    val dim = DedupOps.Dim
+    val q = DedupOps.quantized(spark, dir).select(col("qv"))
+    val m = q.agg(graft.functions.VectorFunctions.vectorMoments(col("qv"), dim).as("m"))
+      .select(col("m.n").as("n"), col("m.s1").as("s1"), col("m.s2").as("s2"))
+    val tri = m.select(col("n"), col("s1"), col("s2"),
+        explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("n"), col("s1"), col("s2"), col("i"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        (col("n") * element_at(col("s2"),
+          expr(s"CAST($dim * i - (i * (i - 1)) DIV 2 + (j - i) + 1 AS INT)")) -
+          element_at(col("s1"), col("i") + 1) *
+            element_at(col("s1"), col("j") + 1)).as("c"))
+    // mirror the upper triangle in ONE pass (the union form would run
+    // the distributed moments aggregate once per branch)
+    val full = tri.select(col("n"), explode(when(col("i") === col("j"),
+          array(struct(col("i").as("i"), col("j").as("j"), col("c").as("c"))))
+        .otherwise(array(
+          struct(col("i").as("i"), col("j").as("j"), col("c").as("c")),
+          struct(col("j").as("i"), col("i").as("j"), col("c").as("c"))))).as("e"))
+      .select(col("n"), col("e.i").as("i"), col("e.j").as("j"), col("e.c").as("c"))
+      .localCheckpoint()
+    val cs = full.agg(
+      expr("greatest(max(abs(c)) div 1000000000000L, 1L)").as("cscale"),
+      max(col("n")).as("n"))
+    val scaled = full.crossJoin(broadcast(cs))
+      .select(col("i"), col("j"),
+        expr("CASE WHEN c < 0 THEN -((-c) div cscale) ELSE c div cscale END").as("c"))
+      .localCheckpoint()
+    val spark2 = spark
+    val conf = spark2.conf
+    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
+    var v = spark2.range(dim).select(col("id").as("vi"), lit(1000000L).as("v"))
+    try {
+      conf.set("spark.sql.shuffle.partitions", 1)
+      def matvec(vt: DataFrame): DataFrame =
+        scaled.join(vt, col("j") === col("vi"))
+          .groupBy(col("i"))
+          .agg(sum(col("c").cast("decimal(38,0)") * col("v")).as("x"))
+      (1 to 10).foreach { _ =>
+        // x appears in BOTH the max aggregate and the rescale, and the
+        // max crossJoins back onto x — left lazy, each round DOUBLES the
+        // plan tree (2¹⁰ copies of the moments subtree by round 10; the
+        // analyzer never returns). The checkpoint is 64 rows.
+        val x = matvec(v).localCheckpoint()
+        val mx = x.agg(expr("greatest(max(abs(x)), CAST(1 AS DECIMAL(38,0)))").as("mx"))
+        v = x.crossJoin(broadcast(mx))
+          .select(col("i").as("vi"),
+            expr("CASE WHEN x < 0 THEN -(((-x) * 1000000L) div mx) " +
+              "ELSE (x * 1000000L) div mx END").as("v"))
+      }
+      val xf = matvec(v)
+      val lam = xf.join(v, col("i") === col("vi"))
+        .agg(sum(col("x") * col("v")).as("vtcv"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("vtv"))
+      v = v.crossJoin(broadcast(lam)).crossJoin(broadcast(cs))
+        .select(col("vi").as("i"), col("v").as("component_ppm"),
+          (col("vtcv").cast("double") / col("vtv").cast("double") *
+            col("cscale").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
+            .as("eigenvalue"))
+        .localCheckpoint()
+    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+    v.orderBy("i")
+  }
 }

@@ -281,6 +281,27 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("similarity: top principal component is unit-scaled and its eigenvalue sits in (0, trace]") {
+    val rows = SimilarityOps.topComponent(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 64L))
+    val comps = rows.map(_.getLong(1))
+    // the rescale pins max |component| at exactly 1e6
+    assert(comps.map(math.abs).max === 1000000L)
+    val eig = rows.map(_.getDouble(2)).distinct
+    assert(eig.length === 1) // one global eigenvalue, repeated per row
+    // Rayleigh quotient of a PSD matrix: positive, at most the trace
+    // (= total variance, the sum of the covariance diagonal)
+    val trace = SimilarityOps.embeddingCovariance(spark, sf).collect()
+      .filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getDouble(6)).sum
+    assert(eig.head > 0.0 && eig.head <= trace * 1.0001,
+      s"eigenvalue ${eig.head} outside (0, trace=$trace]")
+    // power iteration should find a DOMINANT direction: at least the
+    // average eigenvalue (trace/dim) after 10 rounds
+    assert(eig.head >= trace / 64.0,
+      s"eigenvalue ${eig.head} below the mean-eigenvalue floor ${trace / 64.0}")
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
