@@ -1024,15 +1024,12 @@ object Oracles {
        |   / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE) * 1e12) AS cov
        |FROM s ORDER BY i, j""".stripMargin
 
-  /** Top principal component — the DuckDB twin of
-    * SimilarityOps.topComponent: the same exact HUGEINT moments, the
-    * same integer covariance scaling (cscale = max(1, max|c| // 10¹²)),
-    * and the same 10 power-iteration rounds unrolled as chained CTEs
-    * (every division sign-split onto non-negative operands so `//` and
-    * Spark's `div` agree), finished by the Rayleigh eigenvalue with the
-    * VARCHAR-routed HUGEINT→DOUBLE casts (the repo convention for
-    * correctly-rounded comparisons, see simEmbeddingCovariance). */
-  val simTopComponent: String = {
+  /** Shared pipe for the top-principal-component family — the exact
+    * HUGEINT moments, the integer covariance scaling, and the 10
+    * power-iteration rounds (MATERIALIZED per round: the max-rescale
+    * references each matvec twice, and CTE inlining otherwise doubles
+    * the tree per round). Ends at `v10`, the converged ppm component. */
+  private val TOPC_PIPE: String = {
     val rounds = (1 to 10).map { t =>
       s"""x$t AS MATERIALIZED (SELECT cfs.i, sum(cfs.c * v.v) AS x
          |  FROM cfs JOIN v${t - 1} v ON cfs.j = v.vi GROUP BY cfs.i),
@@ -1041,7 +1038,7 @@ object Oracles {
          |  CASE WHEN x < 0 THEN -(((-x) * 1000000) // (SELECT mx FROM m$t))
          |   ELSE (x * 1000000) // (SELECT mx FROM m$t) END AS v FROM x$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT
+    s"""q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
        |  FROM embeddings),
        |ij AS (SELECT a.i AS i, b.j AS j
@@ -1062,7 +1059,16 @@ object Oracles {
        |   ELSE c // (SELECT cscale FROM cs) END AS c FROM cf),
        |v0 AS (SELECT CAST(a.i AS BIGINT) AS vi, CAST(1000000 AS HUGEINT) AS v
        |  FROM UNNEST(range(0, 64)) a(i)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** Top principal component — the DuckDB twin of
+    * SimilarityOps.topComponent: [[TOPC_PIPE]] finished by the Rayleigh
+    * eigenvalue with the VARCHAR-routed HUGEINT→DOUBLE casts (the repo
+    * convention for correctly-rounded comparisons, see
+    * simEmbeddingCovariance). */
+  val simTopComponent: String =
+    s"""WITH $TOPC_PIPE,
        |xf AS (SELECT cfs.i, sum(cfs.c * v.v) AS x
        |  FROM cfs JOIN v10 v ON cfs.j = v.vi GROUP BY cfs.i),
        |lam AS (SELECT sum(xf.x * v.v) AS vtcv, sum(v.v * v.v) AS vtv
@@ -1074,7 +1080,22 @@ object Oracles {
        |  / (CAST((SELECT n FROM cn) AS DOUBLE) * CAST((SELECT n FROM cn) AS DOUBLE) * 1e12)
        |  AS eigenvalue
        |FROM v10 v ORDER BY i""".stripMargin
-  }
+
+  /** Per-vector projection onto the top component — the DuckDB twin of
+    * SimilarityOps.componentScores: the same exact integer numerator
+    * n·(qv·v) − Σ s1ᵢ·vᵢ, one double division at the end. */
+  val simComponentScores: String =
+    s"""WITH $TOPC_PIPE,
+       |s1d AS (SELECT a.i AS i, sum(qv[CAST(a.i AS INT) + 1]) AS s1
+       |  FROM q, UNNEST(range(0, 64)) AS a(i) GROUP BY a.i),
+       |svc AS (SELECT sum(s1d.s1 * v.v) AS sv FROM s1d JOIN v10 v ON s1d.i = v.vi),
+       |vl AS (SELECT list(v ORDER BY vi) AS v FROM v10)
+       |SELECT q.vec_id,
+       | CAST(CAST((SELECT n FROM cn)
+       |   * CAST(list_sum(list_transform(generate_series(1,64), d -> qv[d] * vl.v[d])) AS HUGEINT)
+       |   - (SELECT sv FROM svc) AS VARCHAR) AS DOUBLE)
+       |  / (CAST((SELECT n FROM cn) AS DOUBLE) * 1e12) AS score
+       |FROM q CROSS JOIN vl ORDER BY q.vec_id""".stripMargin
 
   val etlHypertensionStatus: String =
     s"""WITH long AS ($p9Long), s AS (

@@ -89,6 +89,7 @@ object SparkEntry {
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
     "sim_top_component" -> (SimilarityOps.topComponent _),
+    "sim_component_scores" -> (SimilarityOps.componentScores _),
     "sim_pagerank" -> ((s: SparkSession, d: String) => SimilarityOps.pageRank(s, d)),
     "sim_cluster_exemplars" -> (SimilarityOps.clusterExemplars _),
     "evt_value_quantiles" -> (EventOps.valueQuantiles _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,
     "sim_top_component" -> Oracles.simTopComponent,
+    "sim_component_scores" -> Oracles.simComponentScores,
     "sim_pagerank" -> Oracles.simPagerank,
     "sim_cluster_exemplars" -> Oracles.simClusterExemplars,
     "evt_value_quantiles" -> Oracles.evtValueQuantiles,

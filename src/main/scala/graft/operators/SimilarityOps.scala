@@ -730,11 +730,23 @@ object SimilarityOps {
     * rounds as chained CTEs (same discipline as the PageRank twin).
     * Power iteration from the all-ones vector has no sign/tie ambiguity
     * to agree on — the start vector and round count pin the result. */
-  def topComponent(spark: SparkSession, dir: String): DataFrame = {
+  def topComponent(spark: SparkSession, dir: String): DataFrame =
+    topComponentFrom(momentsOf(spark, dir))
+
+  /** The one corpus-scale stage, CACHED so [[topComponent]] and
+    * [[componentScores]] composed in one query share the single pass:
+    * one row of (n, s1[dim], s2[dim·(dim+1)/2]) exact moments. */
+  private def momentsOf(spark: SparkSession, dir: String): DataFrame = {
     val dim = DedupOps.Dim
     val q = DedupOps.quantized(spark, dir).select(col("qv"))
-    val m = q.agg(graft.functions.VectorFunctions.vectorMoments(col("qv"), dim).as("m"))
-      .select(col("m.n").as("n"), col("m.s1").as("s1"), col("m.s2").as("s2"))
+    graft.Caches.cached(
+      q.agg(graft.functions.VectorFunctions.vectorMoments(col("qv"), dim).as("m"))
+        .select(col("m.n").as("n"), col("m.s1").as("s1"), col("m.s2").as("s2")))
+  }
+
+  private def topComponentFrom(m: DataFrame): DataFrame = {
+    val dim = DedupOps.Dim
+    val spark = m.sparkSession
     val tri = m.select(col("n"), col("s1"), col("s2"),
         explode(sequence(lit(0), lit(dim - 1))).as("i"))
       .select(col("n"), col("s1"), col("s2"), col("i"),
@@ -796,5 +808,37 @@ object SimilarityOps {
         .localCheckpoint()
     } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
     v.orderBy("i")
+  }
+
+  /** Projection of EVERY vector onto the top principal component — the
+    * whitening transform in use: score(x) = (x − μ)·w in original
+    * embedding units, where w is [[topComponent]]'s unit-scaled
+    * direction and μ the exact mean. Kept integer to the last step:
+    * score·(n·10¹²) = n·(qv·v) − Σᵢs1ᵢ·vᵢ exactly (qv = x·10⁶,
+    * v = w·10⁶, the s1·v term is the ×n centering constant), one
+    * DECIMAL(38,0) number per vector, divided once into a double.
+    *
+    * Scale shape: the moments pass is SHARED with the component (cached
+    * one-row frame), the component + constants are dimension-sized and
+    * broadcast via a 1-row crossJoin, and the score scan is one
+    * stateless map over the corpus — no shuffle until the presentation
+    * sort. */
+  def componentScores(spark: SparkSession, dir: String): DataFrame = {
+    val m = momentsOf(spark, dir)
+    val tc = topComponentFrom(m)
+    val varr = tc.agg(expr(
+      "transform(sort_array(collect_list(struct(i, component_ppm))), x -> x.component_ppm)")
+      .as("v"))
+    val consts = varr.crossJoin(m.select(col("n"), col("s1")))
+      .select(col("v"), col("n"),
+        expr("aggregate(zip_with(s1, v, (a, b) -> a * b), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)").as("sv"))
+    val q = DedupOps.quantized(spark, dir).select(col("vec_id"), col("qv"))
+    q.crossJoin(broadcast(consts))
+      .select(col("vec_id"),
+        ((col("n") * graft.functions.VectorFunctions.dotLong(col("qv"), col("v"))
+            .cast("decimal(38,0)") - col("sv")).cast("double") /
+          (col("n").cast("double") * lit(1e12))).as("score"))
+      .orderBy("vec_id")
   }
 }

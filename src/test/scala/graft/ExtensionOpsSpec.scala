@@ -302,6 +302,19 @@ class ExtensionOpsSpec extends SparkTestBase {
       s"eigenvalue ${eig.head} below the mean-eigenvalue floor ${trace / 64.0}")
   }
 
+  test("similarity: component scores are the centered projection (zero mean, real spread)") {
+    val rows = SimilarityOps.componentScores(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.length.toLong === n)
+    val scores = rows.map(_.getDouble(1))
+    // Σ(x − μ)·w = 0 exactly in the integer arithmetic; the only error
+    // is the final per-row double rounding
+    val mean = scores.sum / scores.length
+    val spread = scores.max - scores.min
+    assert(spread > 0.0)
+    assert(math.abs(mean) < spread * 1e-9, s"mean $mean vs spread $spread")
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
