@@ -315,6 +315,38 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(math.abs(mean) < spread * 1e-9, s"mean $mean vs spread $spread")
   }
 
+  test("events: epoch extraction is identical across parquet ts encodings") {
+    // the r10 regression class: the driver's testdata moved from
+    // TIMESTAMP(NANOS)-read-as-long to TIMESTAMP(MICROS) and every
+    // ts-touching operator failed analysis. Pin BOTH dispatch branches
+    // of Tables.epochMs/epochUs so neither can silently rot.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts-enc").toString
+    val msVals = Seq(1700000000123L, 1700003600456L, 1700007200789L)
+    msVals.map(ms => (1L, ms * 1000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/long")
+    msVals.map(ms => (1L, new java.sql.Timestamp(ms))).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/stamp")
+    def read(p: String) = spark.read.parquet(p)
+    def ms(p: String) = {
+      val df = read(p)
+      df.select(Tables.epochMs(df.schema).as("v")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    def us(p: String) = {
+      val df = read(p)
+      df.select(Tables.epochUs(df.schema).as("v")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // the two physical encodings must resolve through DIFFERENT branches
+    assert(read(s"$dir/long").schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(read(s"$dir/stamp").schema("ts").dataType !==
+      org.apache.spark.sql.types.LongType)
+    assert(ms(s"$dir/long") === msVals.sorted)
+    assert(ms(s"$dir/stamp") === msVals.sorted)
+    assert(us(s"$dir/long") === msVals.map(_ * 1000L).sorted)
+    assert(us(s"$dir/stamp") === msVals.map(_ * 1000L).sorted)
+  }
+
   test("dedup: exact groups cover all docs, canonical is group min") {
     val rows = DedupOps.exact(spark, sf).collect()
     assert(rows.length === Tables.load(spark, sf, "documents").count())
