@@ -322,6 +322,22 @@ object PlanAudit {
       .findFirstMatchIn(covPlan).map(_.group(1)).getOrElse("")
     assert(covRead.split(",").map(_.split(":")(0).trim).toSet == Set("embedding"),
       s"embedding covariance must prune the embeddings scan to embedding, read: $covRead")
+    // component scores: one moments pass shared with the component,
+    // constants broadcast via a 1-row crossJoin, then a STATELESS score
+    // map over the corpus — the scan must prune to (vec_id, embedding)
+    // and nothing corpus-sized may sort-merge or broadcast (the plan's
+    // only joins are the 1-row constant attaches)
+    println("\n===== sim_component_scores =====")
+    val pcsDf = SparkEntry.queries("sim_component_scores")(spark, dir)
+    pcsDf.explain("formatted")
+    val pcsPlan = pcsDf.queryExecution.executedPlan.toString
+    val pcsRead = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(pcsPlan).map(_.group(1)).toSeq
+    assert(pcsRead.exists(r =>
+        r.split(",").map(_.split(":")(0).trim).toSet == Set("vec_id", "embedding")),
+      s"component scores must prune a scan to vec_id+embedding, read: $pcsRead")
+    assert(!pcsPlan.contains("SortMergeJoin"),
+      "component scores must not sort-merge anything — its joins are 1-row attaches")
     // pagerank: the per-round joins are corpus-sized on both sides
     // (ranks ⋈ edges, nodes ⋈ sums) — hinted shuffle_hash like every
     // other corpus join; the final plan (last round over checkpointed
