@@ -37,7 +37,16 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
         System.err.println(s"[verify] $name failed: $msg")
         failures(name) = msg
-        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        // scrub the query dir BEFORE writing the marker: a failure
+        // during plan construction (before overwrite deletes) or
+        // mid-write (partial part-files) would otherwise leave stale
+        // parquet that the checker scores as a PASS against a previous
+        // run's output — exactly the masking the marker exists to stop
+        val d = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d); d.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
       } finally Caches.release() // each query's internal caches die with it
     }

@@ -197,15 +197,10 @@ object DedupOps {
     var curSum = labelSum(labels)
     var rounds = 0
     // node-sized loop frames plan under a partition count derived from
-    // the measured label count (~100k rows/partition, capped at the
-    // session default) — same r11 discipline as starComponents and
-    // pageRankFrom; every action of the loop runs inside the scope
-    val conf = spark.conf
-    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L,
-      math.min(defaultParts.toLong, labels.count() / 100000L + 1)).toInt
-    try {
-      conf.set("spark.sql.shuffle.partitions", loopParts)
+    // the measured label count — the shared IterLoop discipline; every
+    // action of the loop runs inside the scope (the seed checkpoint and
+    // its count above already materialized the corpus lineage)
+    IterLoop.withLoopPartitions(spark, Some(labels.count())) {
       while (curSum != prevSum && rounds < 50) {
         val nbrMin = edges.join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
@@ -219,7 +214,7 @@ object DedupOps {
         labels = next
         rounds += 1
       }
-    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+    }
     // a silent non-converged labeling would be WRONG output (pairs split
     // across clusters) — refuse instead; 50 rounds covers any diameter a
     // near-dup graph plausibly has
@@ -285,18 +280,11 @@ object DedupOps {
     var curCount = cur.count()
     // the rounds run over EDGE-sized two-column frames that only shrink,
     // so they plan under a partition count derived from the measured
-    // edge count (~100k rows/partition, capped at the session default —
-    // a cluster keeps its configured parallelism); at toy scale this
-    // collapses the ~10 rounds' 32-task stages to single-task ones
-    // (same discipline as SimilarityOps.pageRankFrom, r11)
-    val conf = pairs.sparkSession.conf
-    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts =
-      math.max(1L, math.min(defaultParts.toLong, curCount / 100000L + 1)).toInt
+    // edge count — the shared IterLoop discipline (the seed checkpoint
+    // and its count above already materialized the corpus lineage)
     var rounds = 0
     var converged = false
-    try {
-      conf.set("spark.sql.shuffle.partitions", loopParts)
+    IterLoop.withLoopPartitions(pairs.sparkSession, Some(curCount)) {
       while (!converged && rounds < 50) {
         val next = smallStar(largeStar(cur)).localCheckpoint()
         val nextCount = next.count()
@@ -306,7 +294,7 @@ object DedupOps {
         curCount = nextCount
         rounds += 1
       }
-    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+    }
     require(converged, s"star contraction did not converge in $rounds rounds")
     // the final checkpointed edge set backs the returned frame; its
     // blocks are dropped by the context cleaner once the frame is GC'd
@@ -412,12 +400,18 @@ object DedupOps {
     blockPairs(blocked, "cl")
   }
 
+  /** The quantization expression itself — the ONE definition of
+    * round(x·10⁶) that the batch frames and the streaming moments twin
+    * must share byte-for-byte (the streaming-equals-batch contract is
+    * exact integer equality of the moments). */
+  private[graft] def quantizeExpr: org.apache.spark.sql.Column =
+    transform(col("embedding"),
+      x => round(x.cast("double") * 1000000).cast("long"))
+
   /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings").select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000000).cast("long")).as("qv"))
+      col("vec_id"), col("label"), quantizeExpr.as("qv"))
       .withColumn("nrm", aggregate(transform(col("qv"), x => x * x), lit(0L), _ + _))
 
   val Dim = 64

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared shuffle-partition scope for iterative tails (PageRank rounds,
+  * cluster fixpoints, the power iteration): the loop frames are node- or
+  * dimension-sized, so they plan under a DATA-derived partition count
+  * (~100k rows per partition, capped at the session default so a real
+  * cluster keeps its configured parallelism) and the default is restored
+  * on every exit path. One definition instead of four hand-rolled
+  * try/finally blocks, each mutating session-global state.
+  *
+  * Callers must materialize anything corpus-scale BEFORE entering the
+  * scope (an eager checkpoint or count) — a lazy corpus lineage first
+  * evaluated inside would run under the reduced parallelism. */
+private[graft] object IterLoop {
+
+  def withLoopPartitions[T](spark: SparkSession, rows: Option[Long])(body: => T): T = {
+    val conf = spark.conf
+    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = rows
+      .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
+      .getOrElse(defaultParts)
+    try {
+      conf.set("spark.sql.shuffle.partitions", loopParts)
+      body
+    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+  }
+}

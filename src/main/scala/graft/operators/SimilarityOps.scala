@@ -263,7 +263,7 @@ object SimilarityOps {
     val (asg, _) = KMeans.fit(q, nlist = nlist)
     val blocked = q.join(asg.hint("shuffle_hash"), "vec_id")
     val scored = DedupOps.saltedBlockCosines(
-        capSplit(blocked, voronoiCap(n, nlist)), "blk")
+        capSplit(blocked, voronoiCap(n, nlist), narrow = asg), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
     mutualize(scored)
   }
@@ -291,11 +291,23 @@ object SimilarityOps {
     * broadcast back as a planning table for the Voronoi family (nlist
     * rows) but CO-SHUFFLED for the bit-signature family, whose block-key
     * cardinality is ~n/[[BitsTargetList]] — corpus-order, an OOM the
-    * first time the corpus outgrows the driver if broadcast. */
-  private def capSplit(blocked: DataFrame, cap: Long,
+    * first time the corpus outgrows the driver if broadcast.
+    *
+    * `narrow` is the (vec_id, cl) assignment BEHIND `blocked` — already
+    * checkpointed by every caller — and feeds the size count so the
+    * counting branch never re-derives the expensive blocking lineage
+    * (signature dots / probe scoring) a third time. The packed block
+    * key reserves 20 bits for the sub-block index; a list that would
+    * need ≥ 2²⁰ sub-blocks (≳ 2.7e8 rows in ONE cell at the constant
+    * bits cap) fails loudly via raise_error instead of silently
+    * colliding with the next cl's key space. */
+  private def capSplit(blocked: DataFrame, cap: Long, narrow: DataFrame,
                        broadcastSizes: Boolean = true): DataFrame = {
-    val sizes = blocked.groupBy("cl").agg(count(lit(1)).as("m"))
-      .select(col("cl"), expr(s"(m + ${cap - 1}) DIV $cap").as("nsplit"))
+    val sizes = narrow.groupBy("cl").agg(count(lit(1)).as("m"))
+      .select(col("cl"), expr(
+        s"""CASE WHEN (m + ${cap - 1}) DIV $cap >= ${1L << 20}
+           | THEN CAST(raise_error('capSplit: nsplit >= 2^20 overflows the packed block key') AS BIGINT)
+           | ELSE (m + ${cap - 1}) DIV $cap END""".stripMargin).as("nsplit"))
     val attached =
       if (broadcastSizes) blocked.join(broadcast(sizes), "cl")
       else blocked.join(sizes.hint("shuffle_hash"), "cl")
@@ -320,12 +332,16 @@ object SimilarityOps {
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     val nlist = KMeans.autoNlist(n)
     val (_, cents) = KMeans.fit(q, nlist = nlist)
-    val probes = KMeans.assignTop2(q, cents)
+    // checkpoint the 2-probe assignment: it is a NARROW (vec_id, cl)
+    // frame whose lineage holds two corpus-wide centroid-scoring
+    // aggregates, and un-barriered it would re-evaluate three times
+    // (the size count + the salted join's probe and build sides)
+    val probes = KMeans.assignTop2(q, cents).localCheckpoint()
     val blocked = q.join(probes.hint("shuffle_hash"), "vec_id")
     // list populations here are probe-EXPANDED (≤ 2n rows), which is the
     // actual pair-space driver, so the cap sees the doubled occupancy
     val scored = DedupOps.saltedBlockCosines(
-        capSplit(blocked, voronoiCap(n, nlist)), "blk")
+        capSplit(blocked, voronoiCap(n, nlist), narrow = probes), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
       .distinct()
     mutualize(scored)
@@ -385,20 +401,27 @@ object SimilarityOps {
   def knnGraphBits(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
-    val blocked = bitBlocked(q, n)
+    // checkpoint the NARROW (vec_id, cl) signature assignment: the
+    // b·BitsTables plane dot products per row run exactly ONCE here,
+    // instead of once per consumer branch (size count + salted probe +
+    // salted build = 3×); the pair join re-attaches qv/nrm from the
+    // cached quantized frame
+    val narrow = bitAssign(q, n).localCheckpoint()
+    val blocked = q.join(narrow.hint("shuffle_hash"), "vec_id")
     val scored = DedupOps.saltedBlockCosines(
-        capSplit(blocked, CapFactor * BitsTargetList, broadcastSizes = false), "blk")
+        capSplit(blocked, CapFactor * BitsTargetList, narrow = narrow,
+          broadcastSizes = false), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
       .distinct()
     mutualize(scored)
   }
 
-  /** (vec_id, qv, nrm, cl) with cl = table · 2^b + signature bucket, one
-    * row per (vector, table). The b·[[BitsTables]] plane dot products run
-    * once per row in the native codegen'd loop; sign bits assemble the
-    * bucket id per table, and the table explode carries ids + vectors
-    * (the downstream pair join needs qv/nrm on both sides). */
-  private def bitBlocked(q: DataFrame, n: Long): DataFrame = {
+  /** (vec_id, cl) with cl = table · 2^b + signature bucket, one row per
+    * (vector, table). The b·[[BitsTables]] plane dot products run once
+    * per row in the native codegen'd loop; sign bits assemble the
+    * bucket id per table. Ids only — consumers re-attach vectors from
+    * the cached quantized frame, so the checkpoint stores 2 columns. */
+  private def bitAssign(q: DataFrame, n: Long): DataFrame = {
     val b = autoPlanes(n)
     val dots = (0 until BitsTables).flatMap { t =>
       (0 until b).map { h =>
@@ -408,8 +431,7 @@ object SimilarityOps {
           .as(s"dot_${t}_$h")
       }
     }
-    val withDots = q.select(
-      Seq(col("vec_id"), col("qv"), col("nrm")) ++ dots: _*)
+    val withDots = q.select(col("vec_id") +: dots: _*)
     val tables = (0 until BitsTables).map { t =>
       val bucket = (0 until b).map { h =>
         when(col(s"dot_${t}_$h") >= 0, lit(1L << h)).otherwise(lit(0L))
@@ -418,7 +440,7 @@ object SimilarityOps {
     }
     withDots
       .withColumn("cl", explode(array(tables: _*)))
-      .select(col("vec_id"), col("qv"), col("nrm"), col("cl"))
+      .select(col("vec_id"), col("cl"))
   }
 
   /** Shared mutual-top-k tail: mirror the undirected scored pairs, rank
@@ -610,32 +632,23 @@ object SimilarityOps {
     // loop scope below.
     val out = edges.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
     val nodeIds = nodes.select(col("vec_id")).localCheckpoint()
-    val conf = nodes.sparkSession.conf
-    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
-    // node-sized loop frames plan under a DATA-derived partition count
-    // (~100k rows/partition, capped at the session default so a real
-    // cluster keeps its configured parallelism)
-    val loopParts = nodeCount
-      .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
-      .getOrElse(defaultParts)
-    var ranks = nodeIds.withColumn("rank_ppm", lit(1000000L))
-    try {
-      conf.set("spark.sql.shuffle.partitions", loopParts)
-      // the rounds chain LAZILY — each is referenced exactly once by the
-      // next, so nothing re-evaluates — and the single checkpoint at the
-      // end materializes the whole chain INSIDE the reduced-parallelism
-      // scope (laziness would otherwise defer planning past the finally)
+    // the rounds chain LAZILY — each is referenced exactly once by the
+    // next, so nothing re-evaluates — and the single checkpoint at the
+    // end materializes the whole chain INSIDE the reduced-parallelism
+    // scope (laziness would otherwise defer planning past the restore)
+    val ranks = IterLoop.withLoopPartitions(nodes.sparkSession, nodeCount) {
+      var r = nodeIds.withColumn("rank_ppm", lit(1000000L))
       (1 to iters).foreach { _ =>
-        val sums = ranks.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
+        val sums = r.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
           .select(col("dst"), expr("rank_ppm DIV deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("s"))
-        ranks = nodeIds.join(sums.hint("shuffle_hash"),
+        r = nodeIds.join(sums.hint("shuffle_hash"),
             col("vec_id") === col("dst"), "left")
           .select(col("vec_id"),
             expr("150000L + (850000L * coalesce(s, 0L)) DIV 1000000L").as("rank_ppm"))
       }
-      ranks = ranks.localCheckpoint()
-    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+      r.localCheckpoint()
+    }
     ranks.join(deg.hint("shuffle_hash"), col("vec_id") === col("src"), "left")
       .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
         col("rank_ppm"))
@@ -773,12 +786,8 @@ object SimilarityOps {
       .select(col("i"), col("j"),
         expr("CASE WHEN c < 0 THEN -((-c) div cscale) ELSE c div cscale END").as("c"))
       .localCheckpoint()
-    val spark2 = spark
-    val conf = spark2.conf
-    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
-    var v = spark2.range(dim).select(col("id").as("vi"), lit(1000000L).as("v"))
-    try {
-      conf.set("spark.sql.shuffle.partitions", 1)
+    val result = IterLoop.withLoopPartitions(spark, Some(dim.toLong)) {
+      var v = spark.range(dim).select(col("id").as("vi"), lit(1000000L).as("v"))
       def matvec(vt: DataFrame): DataFrame =
         scaled.join(vt, col("j") === col("vi"))
           .groupBy(col("i"))
@@ -806,8 +815,9 @@ object SimilarityOps {
             (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
             .as("eigenvalue"))
         .localCheckpoint()
-    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
-    v.orderBy("i")
+      v
+    }
+    result.orderBy("i")
   }
 
   /** Projection of EVERY vector onto the top principal component — the

@@ -28,8 +28,7 @@ object EmbeddingStream {
     * the batch `quantized` projection. */
   def momentsState(vectors: DataFrame): DataFrame = {
     val q = vectors.select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000000).cast("long")).as("qv"))
+      graft.operators.DedupOps.quantizeExpr.as("qv"))
     q.groupBy(pmod(col("vec_id"), lit(64L)).as("shard"))
       .agg(graft.functions.VectorFunctions.vectorMoments(col("qv"), Dim).as("m"))
       .select(col("shard"), col("m.n").as("n"),

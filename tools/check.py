@@ -53,7 +53,16 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import os
     for name in sorted(oracle):
+        # a failure marker always loses: Verify scrubs the dir before
+        # writing it, but treat its presence as authoritative so stale
+        # parquet from an earlier run can never mask a regression
+        if os.path.exists(f"{out}/{name}/_ERROR.txt"):
+            msg = open(f"{out}/{name}/_ERROR.txt").read().strip()[:200]
+            print(f"FAIL {name}: spark error: {msg}")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"MISSING {name}: no spark output")
