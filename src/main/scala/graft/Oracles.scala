@@ -1017,9 +1017,9 @@ object Oracles {
        |  sum(qv[CAST(i AS INT) + 1] * qv[CAST(j AS INT) + 1]) AS s_ij_h
        |  FROM q, ij GROUP BY i, j)
        |SELECT i, j, n_vectors,
-       | CAST(s_i_h AS DECIMAL(38,0)) AS s_i,
-       | CAST(s_j_h AS DECIMAL(38,0)) AS s_j,
-       | CAST(s_ij_h AS DECIMAL(38,0)) AS s_ij,
+       | CAST(s_i_h AS VARCHAR) AS s_i,
+       | CAST(s_j_h AS VARCHAR) AS s_j,
+       | CAST(s_ij_h AS VARCHAR) AS s_ij,
        | CAST(CAST(n_vectors * s_ij_h - s_i_h * s_j_h AS VARCHAR) AS DOUBLE)
        |   / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE) * 1e12) AS cov
        |FROM s ORDER BY i, j""".stripMargin

@@ -68,6 +68,14 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Run manifest: the names this invocation actually executed. A
+    // filtered run (names-csv) followed by a checker pass would
+    // otherwise score the UNSELECTED names against stale parquet from
+    // an earlier full run — the checker restricts itself to this list.
+    val ranNames = SparkEntry.queries.keys
+      .filter(n => only.forall(_.contains(n))).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      ranNames.map(q).mkString("[", ",", "]"))
     // the one-line summary a log tail can't miss
     val selectedN = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
     println(s"[verify] ${selectedN - failures.size} dumped, " +

@@ -694,7 +694,7 @@ object SimilarityOps {
     * groupBy) multiplies the corpus ×2080 before the shuffle; here only
     * O(dim²) numbers leave each partition, the map-side-combine shape
     * that survives 100 TB. Output: one row per (i ≤ j) with the exact
-    * DECIMAL moments and the covariance of the ORIGINAL float vectors
+    * moments as digit strings and the covariance of the ORIGINAL float vectors
     * (de-quantized: cov = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n²·10¹²)) as the single
     * final float op, division order fixed for oracle hash-stability. */
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
@@ -708,13 +708,23 @@ object SimilarityOps {
         explode(sequence(col("i"), lit(dim - 1))).as("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n").as("n_vectors"),
-        element_at(col("s1"), col("i") + 1).as("s_i"),
-        element_at(col("s1"), col("j") + 1).as("s_j"),
+        element_at(col("s1"), col("i") + 1).as("s_i_d"),
+        element_at(col("s1"), col("j") + 1).as("s_j_d"),
         element_at(col("s2"),
-          expr(s"CAST($dim * i - (i * (i - 1)) DIV 2 + (j - i) + 1 AS INT)")).as("s_ij"))
+          expr(s"CAST($dim * i - (i * (i - 1)) DIV 2 + (j - i) + 1 AS INT)")).as("s_ij_d"))
       .withColumn("cov",
-        (col("n_vectors") * col("s_ij") - col("s_i") * col("s_j")).cast("double") /
+        (col("n_vectors") * col("s_ij_d") - col("s_i_d") * col("s_j_d")).cast("double") /
           (col("n_vectors").cast("double") * col("n_vectors").cast("double") * 1e12))
+      // Contract: the exact moments travel as digit STRINGS, not
+      // DECIMAL(38,0) — these are the only unbounded-precision columns
+      // in the suite and downstream hashers canonicalize big decimals
+      // inconsistently across engines; a digit string has exactly one
+      // representation everywhere. The double `cov` stays numeric.
+      .select(col("i"), col("j"), col("n_vectors"),
+        col("s_i_d").cast("string").as("s_i"),
+        col("s_j_d").cast("string").as("s_j"),
+        col("s_ij_d").cast("string").as("s_ij"),
+        col("cov"))
       .orderBy("i", "j")
   }
 

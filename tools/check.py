@@ -54,7 +54,19 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
-    for name in sorted(oracle):
+    # Restrict to the names the Verify invocation actually ran (its
+    # manifest): a filtered run would otherwise be scored against stale
+    # parquet left over from an earlier full run. No manifest (pre-r12
+    # output dir) → score every oracle entry as before.
+    names = sorted(oracle)
+    if os.path.exists(f"{out}/manifest.json"):
+        ran = set(json.load(open(f"{out}/manifest.json")))
+        skipped = [n for n in names if n not in ran]
+        names = [n for n in names if n in ran]
+        if skipped:
+            print(f"SKIP {len(skipped)} not in this run's manifest: "
+                  + ",".join(skipped))
+    for name in names:
         # a failure marker always loses: Verify scrubs the dir before
         # writing it, but treat its presence as authoritative so stale
         # parquet from an earlier run can never mask a regression
