@@ -312,7 +312,9 @@ object Oracles {
        |m AS (SELECT n.*, g.cl FROM n JOIN a2 g USING (vec_id)),
        |ms AS (SELECT cl, count(*) AS m FROM m GROUP BY cl),
        |mb AS (SELECT m.*,
-       |  (ms.m + (SELECT cap FROM cp) - 1) // (SELECT cap FROM cp) AS nsplit
+       |  CASE WHEN (ms.m + (SELECT cap FROM cp) - 1) // (SELECT cap FROM cp) >= 1048576
+       |    THEN CAST(error('capSplit: nsplit >= 2^20 overflows the packed block key') AS BIGINT)
+       |    ELSE (ms.m + (SELECT cap FROM cp) - 1) // (SELECT cap FROM cp) END AS nsplit
        |  FROM m JOIN ms USING (cl)),
        |sc AS (SELECT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
        |  FROM mb x JOIN mb y ON x.cl = y.cl
@@ -347,7 +349,9 @@ object Oracles {
        |    // (SELECT nlist FROM nl)) AS cap),
        |ms2 AS (SELECT cl, count(*) AS m FROM m2 GROUP BY cl),
        |mb2 AS (SELECT m2.*,
-       |  (ms2.m + (SELECT cap FROM cp2) - 1) // (SELECT cap FROM cp2) AS nsplit
+       |  CASE WHEN (ms2.m + (SELECT cap FROM cp2) - 1) // (SELECT cap FROM cp2) >= 1048576
+       |    THEN CAST(error('capSplit: nsplit >= 2^20 overflows the packed block key') AS BIGINT)
+       |    ELSE (ms2.m + (SELECT cap FROM cp2) - 1) // (SELECT cap FROM cp2) END AS nsplit
        |  FROM m2 JOIN ms2 USING (cl)),
        |sc2 AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
        |  FROM mb2 x JOIN mb2 y ON x.cl = y.cl
@@ -409,7 +413,11 @@ object Oracles {
        |mbt AS (SELECT n.*, CAST(t AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT b FROM bpb)) + bucket AS cl
        |  FROM n JOIN lbb USING (vec_id)),
        |msb AS (SELECT cl, count(*) AS m FROM mbt GROUP BY cl),
-       |mbb AS (SELECT mbt.*, (msb.m + 255) // 256 AS nsplit FROM mbt JOIN msb USING (cl)),
+       |mbb AS (SELECT mbt.*,
+       |  CASE WHEN (msb.m + 255) // 256 >= 1048576
+       |    THEN CAST(error('capSplit: nsplit >= 2^20 overflows the packed block key') AS BIGINT)
+       |    ELSE (msb.m + 255) // 256 END AS nsplit
+       |  FROM mbt JOIN msb USING (cl)),
        |scb AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
        |  FROM mbb x JOIN mbb y ON x.cl = y.cl
        |    AND x.vec_id % x.nsplit = y.vec_id % y.nsplit
@@ -436,7 +444,76 @@ object Oracles {
     * truth — the DuckDB twin of SimilarityOps.knnRecallBits. */
   val simKnnRecallBits: String = knnRecallSql(KNNB_PIPE, "mkb")
 
-  private def knnRecallSql(pipe: String, mk: String): String =
+  /** Descent-refined graph pipe — the DuckDB twin of
+    * SimilarityOps.knnGraphRefined: seed sd0 = directed top-8 over the
+    * bit-signature candidates (scb, from KNNB_PIPE), then 3 unrolled
+    * NN-Descent rounds. Per round t: u = each node's out-edges plus its
+    * top-8 in-edges (cosine DESC, id ASC — the deterministic reverse
+    * bound), c = distinct friend-of-a-friend pairs through a shared
+    * center plus the current edges, s = exact cosine over c, sd =
+    * directed top-8 of s mirrored. Tail = the shared mutual-top-3.
+    * MATERIALIZED per round: sd{t-1} is referenced three times and u/c
+    * twice — inlining doubles the tree per round (same rationale as
+    * TOPC_PIPE). */
+  private val KNNR_PIPE: String = {
+    val kd = graft.operators.SimilarityOps.DescentK
+    val nr = graft.operators.SimilarityOps.DescentRounds
+    def topCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (SELECT src, dst, cosine FROM (
+         |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src
+         |    ORDER BY cosine DESC, dst ASC) AS rnk
+         |  FROM (SELECT ida AS src, idb AS dst, cosine FROM $src
+         |        UNION ALL SELECT idb, ida, cosine FROM $src) d_$name) t_$name
+         | WHERE rnk <= $kd)""".stripMargin
+    val rounds = (1 to nr).map { t =>
+      val p = s"sd${t - 1}"
+      s"""u$t AS MATERIALIZED (SELECT DISTINCT center, nbr FROM (
+         |  SELECT src AS center, dst AS nbr FROM $p
+         |  UNION ALL
+         |  SELECT dst AS center, src AS nbr FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY dst
+         |      ORDER BY cosine DESC, src ASC) AS irnk FROM $p) i$t
+         |  WHERE irnk <= $kd) uu$t),
+         |c$t AS MATERIALIZED (SELECT DISTINCT ida, idb FROM (
+         |  SELECT x.nbr AS ida, y.nbr AS idb FROM u$t x JOIN u$t y
+         |    ON x.center = y.center AND x.nbr < y.nbr
+         |  UNION ALL SELECT LEAST(src, dst), GREATEST(src, dst) FROM $p) cc$t),
+         |s$t AS (SELECT ida, idb, ${cosine("a", "b")} AS cosine
+         |  FROM c$t JOIN n a ON ida = a.vec_id JOIN n b ON idb = b.vec_id),
+         |${topCte(s"sd$t", s"s$t")}""".stripMargin
+    }.mkString(",\n")
+    s"""$KNNB_PIPE,
+       |${topCte("sd0", "scb")},
+       |$rounds,
+       |fr AS (SELECT DISTINCT LEAST(src, dst) AS ida, GREATEST(src, dst) AS idb, cosine
+       |  FROM sd$nr),
+       |drr AS (SELECT ida AS src, idb AS dst, cosine FROM fr
+       |  UNION ALL SELECT idb, ida, cosine FROM fr),
+       |tkr AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rnk
+       |  FROM drr),
+       |mkr AS (SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
+       |  f.rnk AS rnk_a, r.rnk AS rnk_b
+       |  FROM tkr f JOIN tkr r ON f.src = r.dst AND f.dst = r.src
+       |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
+  }
+
+  /** Descent-refined mutual k-NN graph — the DuckDB twin of
+    * SimilarityOps.knnGraphRefined. */
+  val simKnnGraphRefined: String =
+    s"""WITH $QN,
+       |$KNNR_PIPE
+       |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mkr
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Recall of the refined graph vs the exact mutual ground truth —
+    * the DuckDB twin of SimilarityOps.knnRecallRefined. */
+  val simKnnRecallRefined: String = knnRecallSql(KNNR_PIPE, "mkr")
+
+  /** The graph recall gates evaluate 100 queries (vec_id < 100), not
+    * the 10 the top-k demos use — SimilarityOps.EvalQueries' twin; 10
+    * queries resolved recall in ~7-point increments. */
+  private def knnRecallSql(pipe: String, mk: String, nq: Int = 100): String =
     s"""WITH $QN,
        |$pipe,
        |bd AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosine("a", "b")} AS cosine
@@ -445,7 +522,7 @@ object Oracles {
        |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
        |  FROM bd) WHERE rnk <= 3),
        |bm AS (SELECT x.src AS query_id, x.dst AS nbr FROM bt x
-       |  JOIN bt y ON x.src = y.dst AND x.dst = y.src WHERE x.src < 10),
+       |  JOIN bt y ON x.src = y.dst AND x.dst = y.src WHERE x.src < $nq),
        |h AS (SELECT bm.query_id, bm.nbr,
        |  CASE WHEN $mk.ida IS NOT NULL THEN 1 ELSE 0 END AS hit
        |  FROM bm LEFT JOIN $mk ON $mk.ida = LEAST(bm.query_id, bm.nbr)
@@ -455,7 +532,7 @@ object Oracles {
        | CAST(coalesce(sum(h.hit), 0) AS BIGINT) AS hits,
        | CAST(CASE WHEN count(h.nbr) = 0 THEN 1.0
        |  ELSE CAST(coalesce(sum(h.hit), 0) AS DOUBLE) / count(h.nbr) END AS DOUBLE) AS recall
-       |FROM (SELECT vec_id FROM n WHERE vec_id < 10) q
+       |FROM (SELECT vec_id FROM n WHERE vec_id < $nq) q
        |LEFT JOIN h ON q.vec_id = h.query_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -510,7 +587,14 @@ object Oracles {
     * SimilarityOps.clusterExemplars: the same mutual-kNN graph feeding
     * both the recursive component reach and the unrolled PageRank
     * rounds; exemplar = top rank per cluster, ties to the smaller id. */
-  val simClusterExemplars: String = {
+  val simClusterExemplars: String = exemplarsSql(KNN2_PIPE, "mk2")
+
+  /** Cluster exemplars over the LINEAR bit-signature graph — the DuckDB
+    * twin of SimilarityOps.clusterExemplarsBits (same fixpoint and rank
+    * rounds, KNNB edges). */
+  val simClusterExemplarsBits: String = exemplarsSql(KNNB_PIPE, "mkb")
+
+  private def exemplarsSql(pipe: String, mk: String): String = {
     val rounds = (1 to 10).map { t =>
       s"""r$t AS (SELECT nd.vec_id,
          |  150000 + (850000 * coalesce(s.c, 0)) // 1000000 AS rank_ppm
@@ -521,9 +605,9 @@ object Oracles {
          |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH RECURSIVE $QN,
-       |$KNN2_PIPE,
-       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM mk2
-       |  UNION ALL SELECT idb, ida FROM mk2),
+       |$pipe,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM $mk
+       |  UNION ALL SELECT idb, ida FROM $mk),
        |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |nd AS MATERIALIZED (SELECT vec_id FROM n),
        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nd),

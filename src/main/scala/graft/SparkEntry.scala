@@ -85,6 +85,8 @@ object SparkEntry {
     "sim_knn_recall2" -> (SimilarityOps.knnRecall2 _),
     "sim_knn_graph_bits" -> (SimilarityOps.knnGraphBits _),
     "sim_knn_recall_bits" -> (SimilarityOps.knnRecallBits _),
+    "sim_knn_graph_refined" -> (SimilarityOps.knnGraphRefined _),
+    "sim_knn_recall_refined" -> (SimilarityOps.knnRecallRefined _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "sim_component_scores" -> (SimilarityOps.componentScores _),
     "sim_pagerank" -> ((s: SparkSession, d: String) => SimilarityOps.pageRank(s, d)),
     "sim_cluster_exemplars" -> (SimilarityOps.clusterExemplars _),
+    "sim_cluster_exemplars_bits" -> (SimilarityOps.clusterExemplarsBits _),
     "evt_value_quantiles" -> (EventOps.valueQuantiles _),
   )
 
@@ -223,6 +226,8 @@ object SparkEntry {
     "sim_knn_recall2" -> Oracles.simKnnRecall2,
     "sim_knn_graph_bits" -> Oracles.simKnnGraphBits,
     "sim_knn_recall_bits" -> Oracles.simKnnRecallBits,
+    "sim_knn_graph_refined" -> Oracles.simKnnGraphRefined,
+    "sim_knn_recall_refined" -> Oracles.simKnnRecallRefined,
     "text_chunk_dedup" -> Oracles.textChunkDedup,
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,
@@ -230,6 +235,7 @@ object SparkEntry {
     "sim_component_scores" -> Oracles.simComponentScores,
     "sim_pagerank" -> Oracles.simPagerank,
     "sim_cluster_exemplars" -> Oracles.simClusterExemplars,
+    "sim_cluster_exemplars_bits" -> Oracles.simClusterExemplarsBits,
     "evt_value_quantiles" -> Oracles.evtValueQuantiles,
   )
 }

@@ -15,7 +15,17 @@ import org.apache.spark.sql.SparkSession
   * evaluated inside would run under the reduced parallelism. */
 private[graft] object IterLoop {
 
+  /** Guards the session-global conf mutation below: the override is
+    * only sound while exactly one loop scope is active (a concurrent
+    * query would plan under the reduced count; a nested scope would
+    * "restore" the outer scope's reduced value as the default). Fail
+    * loudly instead of silently mis-planning. */
+  private val active = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def withLoopPartitions[T](spark: SparkSession, rows: Option[Long])(body: => T): T = {
+    require(active.compareAndSet(false, true),
+      "IterLoop.withLoopPartitions: concurrent or nested loop scopes — " +
+        "the session-global shuffle-partition override would leak between them")
     val conf = spark.conf
     val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = rows
@@ -24,6 +34,9 @@ private[graft] object IterLoop {
     try {
       conf.set("spark.sql.shuffle.partitions", loopParts)
       body
-    } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", defaultParts)
+      active.set(false)
+    }
   }
 }

@@ -29,6 +29,18 @@ object SimilarityOps {
   private val NPlanes = 4
   private val NTables = 4
 
+  /** Eval-set size for the mutual-graph recall gates ([[knnRecall]] /
+    * [[knnRecall2]] / [[knnRecallBits]] / [[knnRecallRefined]]): 100
+    * queries, not the 10 the top-k demos use — 10 queries carry only
+    * 14-23 true mutual edges, so the gate resolved recall in ~7-point
+    * increments (an r11 verdict finding; the sf10 zeros were partly
+    * instrument, not only graph). Decoupled from [[NQueries]] because
+    * that constant doubles as the k-means seed-window offset
+    * ([[ivfTopK]]'s firstSeed) — moving it would retrain every learned
+    * quantizer in the suite. The gates stay O(|eval|·n): 100 broadcast
+    * rows against the corpus, linear at any scale. */
+  private val EvalQueries = 100
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < 10). */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopKFrom(graft.Caches.cached(DedupOps.quantized(spark, dir)))
@@ -401,6 +413,14 @@ object SimilarityOps {
   def knnGraphBits(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
+    mutualize(bitsScored(q, n))
+  }
+
+  /** The bit-signature candidate relation behind [[knnGraphBits]] —
+    * distinct scored same-bucket pairs (ida < idb, exact cosine).
+    * Factored out because [[knnGraphRefined]] seeds its descent from
+    * exactly these candidates. */
+  private def bitsScored(q: DataFrame, n: Long): DataFrame = {
     // checkpoint the NARROW (vec_id, cl) signature assignment: the
     // b·BitsTables plane dot products per row run exactly ONCE here,
     // instead of once per consumer branch (size count + salted probe +
@@ -408,12 +428,108 @@ object SimilarityOps {
     // cached quantized frame
     val narrow = bitAssign(q, n).localCheckpoint()
     val blocked = q.join(narrow.hint("shuffle_hash"), "vec_id")
-    val scored = DedupOps.saltedBlockCosines(
+    DedupOps.saltedBlockCosines(
         capSplit(blocked, CapFactor * BitsTargetList, narrow = narrow,
           broadcastSizes = false), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
       .distinct()
-    mutualize(scored)
+  }
+
+  /** Internal neighbor-list width and round count for
+    * [[knnGraphRefined]]'s descent. k' bounds every per-node
+    * neighborhood (out-edges AND the top-k' in-edges) at 2k', so a
+    * round generates ≤ min(C(2k',2)·n, C(n,2)) candidate pairs — the
+    * LINEAR per-round budget (at gate/bench corpus sizes the distinct
+    * cap C(n,2) binds instead, so small-scale cost does not grow with
+    * k'). k' is THE recall dial and it has a threshold: measured
+    * eval recall at sf1 (20k vectors, 100-query gate, 5 rounds) is
+    * 0.25 at k'=16, 0.68 at k'=24, 0.905 at k'=32 — the last matching
+    * the n^1.5 2-probe Voronoi graph (0.925) at linear cost. Rounds
+    * help monotonically (k'=16: 0.25 @3 → 0.35 @5) but width is the
+    * binding constraint below the threshold — classic NN-Descent
+    * behavior on high-intrinsic-dimension data. Budget at the chosen
+    * point: ≤ C(64,2)·5 ≈ 10k exact dots per vector, ~10× the bits
+    * seed, independent of n. (Oracle twin unrolls the same k'/rounds —
+    * keep the two in sync via these [[graft]]-visible constants.) */
+  private[graft] val DescentK = 32
+  private[graft] val DescentRounds = 5
+
+  /** Graph-refined mutual k-NN — the demonstrated-recall-at-scale path.
+    * The blocked builds ([[knnGraph]]/[[knnGraph2]]/[[knnGraphBits]])
+    * all lose recall as the corpus grows: a true neighbor pair must
+    * collide under the partition (same Voronoi cell, same b-bit
+    * signature), and collision probability decays with cell count /
+    * plane count. This operator REFINES instead of partitioning better:
+    * NN-Descent's observation (Dong, Moses, Li — WWW 2011) that a
+    * neighbor of a neighbor is likely a neighbor, made deterministic
+    * and oracle-replayable:
+    *
+    *  1. seed: each node's top-k' ([[DescentK]]) candidates from the
+    *     linear bit-signature blocking ([[bitsScored]]);
+    *  2. round: each node's neighborhood = its k' out-edges plus its
+    *     top-k' in-edges (the bounded reverse sample — full NN-Descent
+    *     samples reverse neighbors; ranking by cosine with id
+    *     tie-break makes the bound deterministic). Every pair of nodes
+    *     sharing a neighborhood member becomes a candidate, is scored
+    *     by exact cosine, and each node keeps its new top-k' —
+    *     [[DescentRounds]] fixed rounds, no convergence test (the
+    *     oracle replays a known round count);
+    *  3. the standard mutual-top-[[KGraph]] tail over the final
+    *     candidate set.
+    *
+    * Scale shape: every round is node-local arithmetic on ≤ 2k'-sized
+    * neighborhoods — candidates ≤ n·C(2k',2), cosine scoring re-attaches
+    * vectors from the cached quantized frame by co-shuffled join, and
+    * the directed relation is a narrow (src, dst, cosine)
+    * localCheckpoint per round. Total cost is O(n) per round with a
+    * k'²-sized constant — the SAME linear class as the bits seed, but
+    * the descent recovers the cross-bucket edges blocking loses (the
+    * gate measures the recovery every round; the bits seed alone
+    * measured 0.00 eval recall at sf10, r11). */
+  def knnGraphRefined(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val n = graft.Tables.load(spark, dir, "embeddings").count()
+    var sd = directedTopFrom(bitsScored(q, n), DescentK).localCheckpoint()
+    (1 to DescentRounds).foreach { _ =>
+      // bounded neighborhood: out-edges + top-k' in-edges per node
+      val inTop = sd.withColumn("irnk", row_number().over(
+          Window.partitionBy("dst").orderBy(col("cosine").desc, col("src").asc)))
+        .filter(col("irnk") <= DescentK)
+        .select(col("dst").as("center"), col("src").as("nbr"))
+      val und = sd.select(col("src").as("center"), col("dst").as("nbr"))
+        .unionByName(inTop).distinct()
+      // friend-of-a-friend candidates through each shared center, plus
+      // the current edges themselves (so a found neighbor is never lost
+      // to a round that happens not to re-generate it)
+      val twoHop = und.as("x").join(und.as("y").hint("shuffle_hash"),
+          col("x.center") === col("y.center") && col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("ida"), col("y.nbr").as("idb"))
+      val cand = twoHop.unionByName(
+          sd.select(least(col("src"), col("dst")).as("ida"),
+            greatest(col("src"), col("dst")).as("idb")))
+        .distinct()
+      val scored = cand
+        .join(q.as("a").hint("shuffle_hash"), col("ida") === col("a.vec_id"))
+        .join(q.as("b").hint("shuffle_hash"), col("idb") === col("b.vec_id"))
+        .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
+      sd = directedTopFrom(scored, DescentK).localCheckpoint()
+    }
+    mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
+        greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
+  }
+
+  /** Directed top-k per endpoint from an undirected scored pair
+    * relation — the descent's per-round contraction (same mirror-explode
+    * + rank shape as [[mutualize]]'s head, parameterized k). */
+  private def directedTopFrom(scored: DataFrame, k: Int): DataFrame = {
+    val directed = scored.select(explode(array(
+        struct(col("ida").as("src"), col("idb").as("dst"), col("cosine")),
+        struct(col("idb").as("src"), col("ida").as("dst"), col("cosine")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.cosine"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    directed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("src", "dst", "cosine")
   }
 
   /** (vec_id, cl) with cl = table · 2^b + signature bucket, one row per
@@ -509,6 +625,13 @@ object SimilarityOps {
   def knnRecallBits(spark: SparkSession, dir: String): DataFrame =
     knnRecallOf(spark, dir, knnGraphBits(spark, dir))
 
+  /** [[knnRecall]] for the descent-refined graph — the gate that has to
+    * show the refinement actually recovering the cross-bucket edges the
+    * bits seed loses (same eval set, same ground truth, directly
+    * comparable to [[knnRecallBits]] row by row). */
+  def knnRecallRefined(spark: SparkSession, dir: String): DataFrame =
+    knnRecallOf(spark, dir, knnGraphRefined(spark, dir))
+
   private def knnRecallOf(spark: SparkSession, dir: String,
                           graph: DataFrame): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
@@ -521,7 +644,7 @@ object SimilarityOps {
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= KGraph)
     }
-    val qset = q.filter(col("vec_id") < NQueries)
+    val qset = q.filter(col("vec_id") < EvalQueries)
     val fwd = graft.Caches.cached(directedTopK(qset))
     val nbrs = q.join(broadcast(fwd.select(col("dst").as("vec_id")).distinct()), "vec_id")
     val rev = directedTopK(nbrs)
@@ -664,8 +787,23 @@ object SimilarityOps {
     * component fixpoint and the rank recurrence; the final exemplar pick
     * is a per-cluster window (bounded by cluster size), never a global
     * sort. */
-  def clusterExemplars(spark: SparkSession, dir: String): DataFrame = {
-    val g = graft.Caches.cached(knnGraph2(spark, dir).select(col("ida"), col("idb")))
+  def clusterExemplars(spark: SparkSession, dir: String): DataFrame =
+    clusterExemplarsFrom(spark, dir,
+      knnGraph2(spark, dir).select(col("ida"), col("idb")))
+
+  /** [[clusterExemplars]] over the LINEAR bit-signature graph — the
+    * consumer composition for corpora where the Voronoi build's n^1.5
+    * pair space is unpayable (at 10⁹ vectors: ~3×10¹³ candidate dots vs
+    * the bit graph's ~2.6×10¹¹). Same fixpoint, same rank recurrence,
+    * same output contract; only the edge supplier changes — the whole
+    * point of the shared (ida, idb) edge-list seam. */
+  def clusterExemplarsBits(spark: SparkSession, dir: String): DataFrame =
+    clusterExemplarsFrom(spark, dir,
+      knnGraphBits(spark, dir).select(col("ida"), col("idb")))
+
+  private def clusterExemplarsFrom(spark: SparkSession, dir: String,
+                                   graph: DataFrame): DataFrame = {
+    val g = graft.Caches.cached(graph)
     val comp = DedupOps.starComponents(
         g.select(col("ida").as("doc_a"), col("idb").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))

@@ -273,12 +273,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     val n = Tables.load(spark, sf, "embeddings").count()
     assert(edges.length <= 3 * n / 2)
     // the recall gate prices the linear-cost trade: per-query rows for
-    // the full eval set, hits never exceeding ground truth
+    // the full 100-query eval set, hits never exceeding ground truth
     val rec = SimilarityOps.knnRecallBits(spark, sf).collect()
-    assert(rec.length === 10)
+    assert(rec.length === 100)
     rec.foreach { r =>
       assert(r.getLong(r.fieldIndex("hits")) <= r.getLong(r.fieldIndex("n_true")))
     }
+  }
+
+  test("similarity: descent-refined graph recovers edges the bits blocking loses") {
+    def totals(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.collect()
+      assert(rows.length === 100)
+      (rows.map(_.getLong(rows.head.fieldIndex("n_true"))).sum,
+        rows.map(_.getLong(rows.head.fieldIndex("hits"))).sum)
+    }
+    val (ntB, hB) = totals(SimilarityOps.knnRecallBits(spark, sf))
+    val (ntR, hR) = totals(SimilarityOps.knnRecallRefined(spark, sf))
+    // same ground truth on both gates, and the refinement must strictly
+    // improve aggregate recall over its own seed (measured 0.63 → 0.78
+    // at sf0.01 with k'=8; ≥ is the contract, > the current reality)
+    assert(ntB === ntR)
+    assert(hR >= hB, s"refined hits $hR below bits seed $hB")
   }
 
   test("similarity: top principal component is unit-scaled and its eigenvalue sits in (0, trace]") {
@@ -327,6 +343,16 @@ class ExtensionOpsSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(s"$dir/long")
     msVals.map(ms => (1L, new java.sql.Timestamp(ms))).toDF("event_id", "ts")
       .write.mode("overwrite").parquet(s"$dir/stamp")
+    // third physical encoding: INT96, the legacy (pre-parquet-2) layout
+    // Impala/old Hive lakes still carry — written by pinning Spark's
+    // output type, read back through the same timestamp dispatch branch
+    val tsType = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.get(tsType)
+    try {
+      spark.conf.set(tsType, "INT96")
+      msVals.map(ms => (1L, new java.sql.Timestamp(ms))).toDF("event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/int96")
+    } finally spark.conf.set(tsType, prevTsType)
     def read(p: String) = spark.read.parquet(p)
     def ms(p: String) = {
       val df = read(p)
@@ -341,10 +367,14 @@ class ExtensionOpsSpec extends SparkTestBase {
       org.apache.spark.sql.types.LongType)
     assert(read(s"$dir/stamp").schema("ts").dataType !==
       org.apache.spark.sql.types.LongType)
+    assert(read(s"$dir/int96").schema("ts").dataType !==
+      org.apache.spark.sql.types.LongType)
     assert(ms(s"$dir/long") === msVals.sorted)
     assert(ms(s"$dir/stamp") === msVals.sorted)
+    assert(ms(s"$dir/int96") === msVals.sorted)
     assert(us(s"$dir/long") === msVals.map(_ * 1000L).sorted)
     assert(us(s"$dir/stamp") === msVals.map(_ * 1000L).sorted)
+    assert(us(s"$dir/int96") === msVals.map(_ * 1000L).sorted)
   }
 
   test("dedup: exact groups cover all docs, canonical is group min") {
