@@ -445,13 +445,14 @@ object Oracles {
   val simKnnRecallBits: String = knnRecallSql(KNNB_PIPE, "mkb")
 
   /** Descent-refined graph pipe — the DuckDB twin of
-    * SimilarityOps.knnGraphRefined: seed sd0 = directed top-8 over the
-    * bit-signature candidates (scb, from KNNB_PIPE), then 3 unrolled
-    * NN-Descent rounds. Per round t: u = each node's out-edges plus its
-    * top-8 in-edges (cosine DESC, id ASC — the deterministic reverse
-    * bound), c = distinct friend-of-a-friend pairs through a shared
-    * center plus the current edges, s = exact cosine over c, sd =
-    * directed top-8 of s mirrored. Tail = the shared mutual-top-3.
+    * SimilarityOps.knnGraphRefined: seed sd0 = directed top-k'
+    * (k' = SimilarityOps.DescentK, interpolated below) over the
+    * bit-signature candidates (scb, from KNNB_PIPE), then DescentRounds
+    * unrolled NN-Descent rounds. Per round t: u = each node's out-edges
+    * plus its top-k' in-edges (cosine DESC, id ASC — the deterministic
+    * reverse bound), c = distinct friend-of-a-friend pairs through a
+    * shared center plus the current edges, s = exact cosine over c,
+    * sd = directed top-k' of s mirrored. Tail = the shared mutual-top-3.
     * MATERIALIZED per round: sd{t-1} is referenced three times and u/c
     * twice — inlining doubles the tree per round (same rationale as
     * TOPC_PIPE). */
@@ -542,11 +543,17 @@ object Oracles {
     * edge CTE is MATERIALIZED: the recursive reach re-references it per
     * iteration, and inlining the whole KNN2 pipeline into every round
     * measured 59 s vs 3 s materialized at sf0.01. */
-  val simKnnComponents: String =
+  val simKnnComponents: String = componentsSql(KNN2_PIPE, "mk2")
+
+  /** Components over the DESCENT-REFINED graph — the DuckDB twin of
+    * SimilarityOps.knnComponentsRefined (same reach, KNNR edges). */
+  val simKnnComponentsRefined: String = componentsSql(KNNR_PIPE, "mkr")
+
+  private def componentsSql(pipe: String, mk: String): String =
     s"""WITH RECURSIVE $QN,
-       |$KNN2_PIPE,
-       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM mk2
-       |  UNION ALL SELECT idb, ida FROM mk2),
+       |$pipe,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM $mk
+       |  UNION ALL SELECT idb, ida FROM $mk),
        |reach(node, label) AS (
        |  SELECT src, src FROM e
        |  UNION
@@ -558,7 +565,14 @@ object Oracles {
     * SimilarityOps.pageRank: the same fixed 10 rounds of the ppm
     * recurrence unrolled as chained CTEs, every operation integer floor
     * division on non-negatives. */
-  val simPagerank: String = {
+  val simPagerank: String = pagerankSql(KNN2_PIPE, "mk2")
+
+  /** PageRank over the DESCENT-REFINED graph — the DuckDB twin of
+    * SimilarityOps.pageRankRefined (same 10 unrolled rounds, KNNR
+    * edges). */
+  val simPagerankRefined: String = pagerankSql(KNNR_PIPE, "mkr")
+
+  private def pagerankSql(pipe: String, mk: String): String = {
     val rounds = (1 to 10).map { t =>
       s"""r$t AS (SELECT nd.vec_id,
          |  150000 + (850000 * coalesce(s.c, 0)) // 1000000 AS rank_ppm
@@ -569,9 +583,9 @@ object Oracles {
          |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH $QN,
-       |$KNN2_PIPE,
-       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM mk2
-       |  UNION ALL SELECT idb, ida FROM mk2),
+       |$pipe,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM $mk
+       |  UNION ALL SELECT idb, ida FROM $mk),
        |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |nd AS MATERIALIZED (SELECT vec_id FROM n),
        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nd),
@@ -593,6 +607,11 @@ object Oracles {
     * twin of SimilarityOps.clusterExemplarsBits (same fixpoint and rank
     * rounds, KNNB edges). */
   val simClusterExemplarsBits: String = exemplarsSql(KNNB_PIPE, "mkb")
+
+  /** Cluster exemplars over the DESCENT-REFINED graph — the DuckDB twin
+    * of SimilarityOps.clusterExemplarsRefined (same fixpoint and rank
+    * rounds, KNNR edges). */
+  val simClusterExemplarsRefined: String = exemplarsSql(KNNR_PIPE, "mkr")
 
   private def exemplarsSql(pipe: String, mk: String): String = {
     val rounds = (1 to 10).map { t =>

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** First-class recall artifact generator for the k-NN graph family —
+  * the measurement the at-scale ANN claims stand on (RECALL_rN.json).
+  *
+  * For each (sf dir, graph spec) it builds the graph, scores it with the
+  * shared 100-query mutual-edge gate ([[SimilarityOps.knnRecallOf]] —
+  * identical ground truth and eval set as the oracle-checked
+  * sim_knn_recall* queries), and appends one JSONL row:
+  *
+  *   {"graph":…, "sf":…, "n_vectors":…, "config":…, "n_queries":100,
+  *    "true_edges":…, "hits":…, "recall":…, "build_secs":…,
+  *    "gate_secs":…}
+  *
+  * `recall` is the micro-average hits/true_edges over the eval set —
+  * the same cell definition as ARCHITECTURE.md's recall table. Rounds
+  * 11-12 proved prose recall tables mislead (a 10-query gate read 0.00
+  * where the graph held 0.90); this artifact makes the at-scale quality
+  * claims auditable per round the way BENCH/CORRECTNESS already are.
+  *
+  * Usage: runMain graft.RecallGate <outJsonl> <sfDir> [sfDir …]
+  * Env:   SPARK_GRAFT_RECALL_GRAPHS — csv of graph specs (default
+  *        "2probe,bits,refined"); each spec is one of
+  *          1probe | 2probe | bits | refined
+  *        or a tuned refined sweep point
+  *          refined@kd=48,rounds=7,tables=8,target=128
+  *        (omitted dials default to the shipped constants; tuned points
+  *        exist to PRICE the dials — only the default config is
+  *        oracle-checked).
+  */
+object RecallGate {
+
+  private[graft] def parseSpec(spec: String): (String, Map[String, Long]) =
+    spec.split("@", 2) match {
+      case Array(name) => (name, Map.empty)
+      case Array(name, dials) =>
+        (name, dials.split(",").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> v.trim.toLong
+        }.toMap)
+    }
+
+  private def build(spark: SparkSession, dir: String, spec: String): DataFrame = {
+    val (name, d) = parseSpec(spec)
+    name match {
+      case "1probe" => SimilarityOps.knnGraph(spark, dir)
+      case "2probe" => SimilarityOps.knnGraph2(spark, dir)
+      case "bits"   => SimilarityOps.knnGraphBits(spark, dir)
+      case "refined" => SimilarityOps.knnGraphRefinedTuned(spark, dir,
+        kd = d.getOrElse("kd", SimilarityOps.DescentK.toLong).toInt,
+        rounds = d.getOrElse("rounds", SimilarityOps.DescentRounds.toLong).toInt,
+        seedTables = d.getOrElse("tables", 4L).toInt,
+        seedTargetList = d.getOrElse("target", 64L))
+      case other => sys.error(s"RecallGate: unknown graph spec '$other'")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RecallGate <outJsonl> <sfDir> [sfDir ...]")
+    val outPath = java.nio.file.Paths.get(args(0))
+    val sfDirs = args.drop(1).toSeq
+    val graphs = sys.env.getOrElse("SPARK_GRAFT_RECALL_GRAPHS", "2probe,bits,refined")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = Tables.session("recall-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- sfDirs; spec <- graphs) {
+      val n = Tables.load(spark, dir, "embeddings").count()
+      // build and gate timed separately: the build is the graph's cost
+      // story; the gate is the fixed O(|eval|·n) harness
+      val t0 = System.nanoTime()
+      // localCheckpoint (eager) materializes the edge relation so the
+      // gate's two references don't rebuild the descent
+      val g = build(spark, dir, spec)
+        .select(col("ida"), col("idb")).localCheckpoint()
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val agg = SimilarityOps.knnRecallOf(spark, dir, g)
+        .agg(sum("n_true").as("t"), sum("hits").as("h"),
+          count(lit(1)).as("q")).collect()(0)
+      val gateSecs = (System.nanoTime() - t1) / 1e9
+      val (t, h, q) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val recall = if (t == 0) 1.0 else h.toDouble / t
+      val (name, dials) = parseSpec(spec)
+      val cfg = if (dials.isEmpty) "default"
+        else dials.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+      val row = f"""{"graph":"$name","config":"$cfg","sf":"$dir","n_vectors":$n,""" +
+        f""""n_queries":$q,"true_edges":$t,"hits":$h,"recall":$recall%.4f,""" +
+        f""""build_secs":$buildSecs%.2f,"gate_secs":$gateSecs%.2f}"""
+      java.nio.file.Files.writeString(outPath, row + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(row)
+      Caches.release()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -87,6 +87,9 @@ object SparkEntry {
     "sim_knn_recall_bits" -> (SimilarityOps.knnRecallBits _),
     "sim_knn_graph_refined" -> (SimilarityOps.knnGraphRefined _),
     "sim_knn_recall_refined" -> (SimilarityOps.knnRecallRefined _),
+    "sim_knn_components_refined" -> (SimilarityOps.knnComponentsRefined _),
+    "sim_pagerank_refined" -> (SimilarityOps.pageRankRefined _),
+    "sim_cluster_exemplars_refined" -> (SimilarityOps.clusterExemplarsRefined _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
@@ -228,6 +231,9 @@ object SparkEntry {
     "sim_knn_recall_bits" -> Oracles.simKnnRecallBits,
     "sim_knn_graph_refined" -> Oracles.simKnnGraphRefined,
     "sim_knn_recall_refined" -> Oracles.simKnnRecallRefined,
+    "sim_knn_components_refined" -> Oracles.simKnnComponentsRefined,
+    "sim_pagerank_refined" -> Oracles.simPagerankRefined,
+    "sim_cluster_exemplars_refined" -> Oracles.simClusterExemplarsRefined,
     "text_chunk_dedup" -> Oracles.textChunkDedup,
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,

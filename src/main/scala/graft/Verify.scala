@@ -23,6 +23,13 @@ object Verify {
     // queries (same rationale as Bench)
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // Scrub any PREVIOUS run's manifest before the query loop: a run
+    // that dies hard mid-suite (OOM/kill) must not leave a stale
+    // manifest describing the earlier run — the checker would restrict
+    // scoring to that stale name list against stale parquet and pass
+    // vacuously (r12 advice). No manifest at all makes the checker
+    // score every oracle entry, which fails loudly on missing output.
+    Files.deleteIfExists(Paths.get(s"$outDir/manifest.json"))
     // An erroring query must leave a visible artifact, not a silent gap:
     // r10's correctness JSON shrank 69→59 rows because failed queries
     // wrote no parquet and the driver omitted them. Every failure now

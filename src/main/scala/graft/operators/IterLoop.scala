@@ -26,17 +26,20 @@ private[graft] object IterLoop {
     require(active.compareAndSet(false, true),
       "IterLoop.withLoopPartitions: concurrent or nested loop scopes — " +
         "the session-global shuffle-partition override would leak between them")
-    val conf = spark.conf
-    val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = rows
-      .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
-      .getOrElse(defaultParts)
+    // EVERYTHING after the successful CAS sits inside the try: a throw
+    // from the conf reads below would otherwise latch active=true for
+    // the rest of the session and fail every later loop with a
+    // misleading concurrency error (r12 advice)
     try {
-      conf.set("spark.sql.shuffle.partitions", loopParts)
-      body
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", defaultParts)
-      active.set(false)
-    }
+      val conf = spark.conf
+      val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
+      val loopParts = rows
+        .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
+        .getOrElse(defaultParts)
+      try {
+        conf.set("spark.sql.shuffle.partitions", loopParts)
+        body
+      } finally conf.set("spark.sql.shuffle.partitions", defaultParts)
+    } finally active.set(false)
   }
 }

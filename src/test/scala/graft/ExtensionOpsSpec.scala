@@ -297,6 +297,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(hR >= hB, s"refined hits $hR below bits seed $hB")
   }
 
+  test("similarity: refined-graph consumers compose consistently over one shared build") {
+    // one shared edge relation through the same From-seams Bench's
+    // shared-build attribution uses — the composed outputs must agree
+    // with each other (components partition the edge-connected nodes,
+    // exemplar = member with the cluster-max rank, member counts add up)
+    val g = SimilarityOps.knnGraphRefined(spark, sf)
+      .select(col("ida"), col("idb")).localCheckpoint()
+    val edges = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = SimilarityOps.knnComponentsFrom(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"edge ($a,$b) split across clusters")
+    }
+    val rank = SimilarityOps.pageRankOverGraph(spark, sf, g).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ex = SimilarityOps.clusterExemplarsFrom(spark, sf, g).collect()
+    assert(ex.nonEmpty)
+    val members = comp.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    assert(ex.map(_.getLong(3)).sum === comp.size.toLong)
+    assert(ex.map(_.getLong(0)).toSet === members.keySet)
+    ex.foreach { r =>
+      val (cl, id, rp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(comp(id) === cl, s"exemplar $id not a member of cluster $cl")
+      assert(rp === members(cl).map(rank).max,
+        s"exemplar rank $rp below a member of cluster $cl")
+    }
+    Caches.release()
+  }
+
   test("similarity: top principal component is unit-scaled and its eigenvalue sits in (0, trace]") {
     val rows = SimilarityOps.topComponent(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === (0L until 64L))

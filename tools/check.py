@@ -66,6 +66,11 @@ def main():
         if skipped:
             print(f"SKIP {len(skipped)} not in this run's manifest: "
                   + ",".join(skipped))
+        if not names:
+            # manifest ∩ oracle empty (e.g. a names-csv typo selected
+            # nothing): scoring zero queries must not read as green
+            print("ERROR: manifest selects zero oracle queries — nothing scored")
+            sys.exit(2)
     for name in names:
         # a failure marker always loses: Verify scrubs the dir before
         # writing it, but treat its presence as authoritative so stale
