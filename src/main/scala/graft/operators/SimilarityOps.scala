@@ -507,6 +507,9 @@ object SimilarityOps {
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     var sd = directedTopFrom(bitsScored(q, n, seedTables, seedTargetList), kd)
       .localCheckpoint()
+    // previous round's neighborhood relation, for the incremental FoF
+    // cut below (empty before round 1 — everything is new)
+    var prevU: Option[DataFrame] = None
     (1 to rounds).foreach { _ =>
       // bounded neighborhood: out-edges + top-k' in-edges per node
       val inTop = sd.withColumn("irnk", row_number().over(
@@ -514,13 +517,35 @@ object SimilarityOps {
         .filter(col("irnk") <= kd)
         .select(col("dst").as("center"), col("src").as("nbr"))
       val und = sd.select(col("src").as("center"), col("dst").as("nbr"))
-        .unionByName(inTop).distinct()
-      // friend-of-a-friend candidates through each shared center, plus
-      // the current edges themselves (so a found neighbor is never lost
-      // to a round that happens not to re-generate it)
-      val twoHop = und.as("x").join(und.as("y").hint("shuffle_hash"),
-          col("x.center") === col("y.center") && col("x.nbr") < col("y.nbr"))
+        .unionByName(inTop).distinct().localCheckpoint()
+      // Incremental FoF (NN-Descent's "new/old" cut — Dong, Moses, Li,
+      // WWW 2011 §2.3, made exact here): only pairs with at least one
+      // NEW neighborhood entry are generated. An old-old pair through
+      // center c was generated in the previous round (both entries sat
+      // in c's neighborhood then) and scored; since every node's
+      // candidate set always contains its current top-k' (the retained
+      // current edges below), a per-node k'-th-best cosine is monotone
+      // non-decreasing across rounds — a pair that failed the cut once
+      // can never pass it later. The cut is therefore OUTPUT-EXACT —
+      // the oracle twin deliberately unrolls the FULL FoF rounds
+      // without it, so every refined-family correctness row doubles as
+      // an equivalence proof — while the generated pair volume
+      // collapses as the graph converges (see ARCHITECTURE.md for the
+      // measured per-round volumes).
+      val flagged = prevU match {
+        case None => und.withColumn("is_new", lit(true))
+        case Some(p) => und.join(
+            p.withColumn("seen", lit(true)).hint("shuffle_hash"),
+            Seq("center", "nbr"), "left")
+          .select(col("center"), col("nbr"), col("seen").isNull.as("is_new"))
+      }
+      val twoHop = flagged.as("x").join(flagged.as("y").hint("shuffle_hash"),
+          col("x.center") === col("y.center") && col("x.nbr") < col("y.nbr") &&
+            (col("x.is_new") || col("y.is_new")))
         .select(col("x.nbr").as("ida"), col("y.nbr").as("idb"))
+      // plus the current edges themselves (so a found neighbor is never
+      // lost to a round that happens not to re-generate it — also the
+      // retention the exactness argument above stands on)
       val cand = twoHop.unionByName(
           sd.select(least(col("src"), col("dst")).as("ida"),
             greatest(col("src"), col("dst")).as("idb")))
@@ -530,6 +555,7 @@ object SimilarityOps {
         .join(q.as("b").hint("shuffle_hash"), col("idb") === col("b.vec_id"))
         .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
       sd = directedTopFrom(scored, kd).localCheckpoint()
+      prevU = Some(und)
     }
     mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
         greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
