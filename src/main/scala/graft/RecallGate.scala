@@ -27,8 +27,9 @@ import graft.operators.SimilarityOps
   * Env:   SPARK_GRAFT_RECALL_GRAPHS — csv of graph specs (default
   *        "2probe,bits,refined"); each spec is one of
   *          1probe | 2probe | bits | refined
-  *        or a tuned refined sweep point
-  *          refined@kd=48,rounds=7,tables=8,target=128
+  *        or a tuned refined sweep point ('+'-separated dials — ','
+  *        already separates the spec list)
+  *          refined@kd=48+rounds=7+tables=8+target=128
   *        (omitted dials default to the shipped constants; tuned points
   *        exist to PRICE the dials — only the default config is
   *        oracle-checked).
@@ -39,7 +40,7 @@ object RecallGate {
     spec.split("@", 2) match {
       case Array(name) => (name, Map.empty)
       case Array(name, dials) =>
-        (name, dials.split(",").filter(_.nonEmpty).map { kv =>
+        (name, dials.split("\\+").filter(_.nonEmpty).map { kv =>
           val Array(k, v) = kv.split("=", 2)
           k.trim -> v.trim.toLong
         }.toMap)
