@@ -400,28 +400,41 @@ object Oracles {
     * bucket, the same cap-split skew guard with the CONSTANT cap
     * 256 = CapFactor·BitsTargetList, DISTINCT same-block pairs, and the
     * shared mutual-top-3 tail. */
-  private val KNNB_PIPE: String =
+  /** The bit-signature candidate stage (…, scb) parameterized over the
+    * seed dials — instantiated at the SHIPPED constants (4 tables,
+    * target list 64, cap 4·64) for the bits graph itself, and at the
+    * refined graph's own seed constants (SimilarityOps.DescentSeed*)
+    * for KNNR_PIPE: the sf10 sweep showed the descent's at-scale recall
+    * is seed-bound, so the two families' seeds are dialed
+    * independently. */
+  private def knnbCandidates(tables: Int, target: Long): String = {
+    val cap = 4 * target
+    val tlist = (0 until tables).mkString(",")
     s"""nbb AS (SELECT count(*) AS n FROM n),
        |bpb AS (SELECT min(b) AS b FROM range(1, 41) tb(b)
-       |  WHERE (CAST(1 AS BIGINT) << b) >= (SELECT (n + 63) // 64 FROM nbb)),
+       |  WHERE (CAST(1 AS BIGINT) << b) >= (SELECT (n + ${target - 1}) // $target FROM nbb)),
        |lbb AS (SELECT vec_id, t,
        |  CAST(list_sum(list_transform(generate_series(0, (SELECT b FROM bpb) - 1), h ->
        |    CASE WHEN CAST(list_sum(list_transform(generate_series(1,64), d ->
        |      qv[d] * ((((d*131 + (t*64+h)*37 + d*(t*64+h)*59 + d*d*(t*64+h)*17) % 1009) % 7) - 3))) AS BIGINT) >= 0
        |    THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-       |  FROM n, UNNEST([0,1,2,3]) AS tt(t)),
+       |  FROM n, UNNEST([$tlist]) AS tt(t)),
        |mbt AS (SELECT n.*, CAST(t AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT b FROM bpb)) + bucket AS cl
        |  FROM n JOIN lbb USING (vec_id)),
        |msb AS (SELECT cl, count(*) AS m FROM mbt GROUP BY cl),
        |mbb AS (SELECT mbt.*,
-       |  CASE WHEN (msb.m + 255) // 256 >= 1048576
+       |  CASE WHEN (msb.m + ${cap - 1}) // $cap >= 1048576
        |    THEN CAST(error('capSplit: nsplit >= 2^20 overflows the packed block key') AS BIGINT)
-       |    ELSE (msb.m + 255) // 256 END AS nsplit
+       |    ELSE (msb.m + ${cap - 1}) // $cap END AS nsplit
        |  FROM mbt JOIN msb USING (cl)),
        |scb AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
        |  FROM mbb x JOIN mbb y ON x.cl = y.cl
        |    AND x.vec_id % x.nsplit = y.vec_id % y.nsplit
-       |    AND x.vec_id < y.vec_id),
+       |    AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  private val KNNB_PIPE: String =
+    s"""${knnbCandidates(4, 64L)},
        |dbb AS (SELECT ida AS src, idb AS dst, cosine FROM scb
        |  UNION ALL SELECT idb, ida, cosine FROM scb),
        |tkb AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
@@ -483,7 +496,8 @@ object Oracles {
          |  FROM c$t JOIN n a ON ida = a.vec_id JOIN n b ON idb = b.vec_id),
          |${topCte(s"sd$t", s"s$t")}""".stripMargin
     }.mkString(",\n")
-    s"""$KNNB_PIPE,
+    s"""${knnbCandidates(graft.operators.SimilarityOps.DescentSeedTables,
+           graft.operators.SimilarityOps.DescentSeedTarget)},
        |${topCte("sd0", "scb")},
        |$rounds,
        |fr AS (SELECT DISTINCT LEAST(src, dst) AS ida, GREATEST(src, dst) AS idb, cosine

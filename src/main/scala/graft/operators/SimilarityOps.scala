@@ -459,6 +459,16 @@ object SimilarityOps {
   private[graft] val DescentK = 32
   private[graft] val DescentRounds = 5
 
+  /** The refined graph's OWN seed dials — decoupled from the bits
+    * graph's [[BitsTables]]/[[BitsTargetList]] because the sf10 sweep
+    * showed the descent's at-scale recall is SEED-bound (kd=32 → 0.31,
+    * kd=48 → 0.60 over the default 4×64 seed at 200k vectors; the k'
+    * ladder alone flattens out well short of 0.9), while the bits
+    * graph's dials are its own cost/recall trade. The oracle's KNNR
+    * pipe interpolates these same constants. */
+  private[graft] val DescentSeedTables = BitsTables
+  private[graft] val DescentSeedTarget: Long = BitsTargetList
+
   /** Graph-refined mutual k-NN — the demonstrated-recall-at-scale path.
     * The blocked builds ([[knnGraph]]/[[knnGraph2]]/[[knnGraphBits]])
     * all lose recall as the corpus grows: a true neighbor pair must
@@ -501,8 +511,8 @@ object SimilarityOps {
     * configuration is oracle-checked. */
   private[graft] def knnGraphRefinedTuned(spark: SparkSession, dir: String,
       kd: Int = DescentK, rounds: Int = DescentRounds,
-      seedTables: Int = BitsTables,
-      seedTargetList: Long = BitsTargetList): DataFrame = {
+      seedTables: Int = DescentSeedTables,
+      seedTargetList: Long = DescentSeedTarget): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     var sd = directedTopFrom(bitsScored(q, n, seedTables, seedTargetList), kd)
