@@ -56,7 +56,8 @@ object RecallGate {
         kd = d.getOrElse("kd", SimilarityOps.DescentK.toLong).toInt,
         rounds = d.getOrElse("rounds", SimilarityOps.DescentRounds.toLong).toInt,
         seedTables = d.getOrElse("tables", 4L).toInt,
-        seedTargetList = d.getOrElse("target", 64L))
+        seedTargetList = d.getOrElse("target", 64L),
+        mix = d.getOrElse("mix", SimilarityOps.DescentMix.toLong).toInt)
       case other => sys.error(s"RecallGate: unknown graph spec '$other'")
     }
   }

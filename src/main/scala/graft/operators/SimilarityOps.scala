@@ -469,6 +469,23 @@ object SimilarityOps {
   private[graft] val DescentSeedTables = BitsTables
   private[graft] val DescentSeedTarget: Long = BitsTargetList
 
+  /** Long-range exploration partners per node (0 = none): the descent's
+    * third dial. Every locality-blocked seed (Voronoi or signature)
+    * feeds each node only SAME-REGION candidates, so friend-of-a-friend
+    * diffusion widens the search radius additively per round — at 200k
+    * vectors, 5-8 rounds from a local seed stall below the recall the
+    * same machinery reaches at 20k (the sf10 sweep's 0.31-0.76
+    * plateau). Classic NN-Descent avoids this by RANDOM initialization:
+    * every neighborhood starts with global samples. Here the same
+    * mixing is deterministic and oracle-replayable: each node's dense
+    * rank r (one narrow global sort) gets partners at ranks
+    * (r·48271 + j·104729) mod n, j = 1..mix — fixed pseudo-random
+    * permutation hops that join every round's NEIGHBORHOOD relation
+    * (never the scored graph itself), so FoF generation always pairs
+    * each region's candidates with a few far-away nodes' candidates.
+    * Cost: the neighborhood grows 2k' → 2k'+2·mix. */
+  private[graft] val DescentMix = 0
+
   /** Graph-refined mutual k-NN — the demonstrated-recall-at-scale path.
     * The blocked builds ([[knnGraph]]/[[knnGraph2]]/[[knnGraphBits]])
     * all lose recall as the corpus grows: a true neighbor pair must
@@ -512,22 +529,45 @@ object SimilarityOps {
   private[graft] def knnGraphRefinedTuned(spark: SparkSession, dir: String,
       kd: Int = DescentK, rounds: Int = DescentRounds,
       seedTables: Int = DescentSeedTables,
-      seedTargetList: Long = DescentSeedTarget): DataFrame = {
+      seedTargetList: Long = DescentSeedTarget,
+      mix: Int = DescentMix): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     var sd = directedTopFrom(bitsScored(q, n, seedTables, seedTargetList), kd)
       .localCheckpoint()
+    // static long-range partners (see [[DescentMix]]): symmetrized rank
+    // hops, built once and unioned into every round's neighborhood. The
+    // dense rank is ONE narrow global sort of the id column — at real
+    // cluster scale this window becomes a range-partitioned rank, but
+    // the relation it feeds stays n·mix rows either way.
+    val mixEdges: Option[DataFrame] = if (mix <= 0) None else Some {
+      val ranked = q.select(col("vec_id"))
+        .withColumn("r", row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+        .localCheckpoint()
+      val hops = ranked.select(col("vec_id"), col("r"),
+          explode(sequence(lit(1), lit(mix))).as("j"))
+        .withColumn("pr", (col("r") * lit(48271L) + col("j") * lit(104729L)) % lit(n))
+      val paired = hops.join(ranked.select(col("r").as("pr"), col("vec_id").as("pid"))
+            .hint("shuffle_hash"), "pr")
+        .filter(col("pid") =!= col("vec_id"))
+        .select(col("vec_id").as("center"), col("pid").as("nbr"))
+      paired.unionByName(paired.select(col("nbr").as("center"), col("center").as("nbr")))
+        .distinct().localCheckpoint()
+    }
     // previous round's neighborhood relation, for the incremental FoF
     // cut below (empty before round 1 — everything is new)
     var prevU: Option[DataFrame] = None
     (1 to rounds).foreach { _ =>
-      // bounded neighborhood: out-edges + top-k' in-edges per node
+      // bounded neighborhood: out-edges + top-k' in-edges per node,
+      // plus the static mix partners when configured
       val inTop = sd.withColumn("irnk", row_number().over(
           Window.partitionBy("dst").orderBy(col("cosine").desc, col("src").asc)))
         .filter(col("irnk") <= kd)
         .select(col("dst").as("center"), col("src").as("nbr"))
-      val und = sd.select(col("src").as("center"), col("dst").as("nbr"))
-        .unionByName(inTop).distinct().localCheckpoint()
+      val und = mixEdges.foldLeft(
+          sd.select(col("src").as("center"), col("dst").as("nbr"))
+            .unionByName(inTop))(_ unionByName _)
+        .distinct().localCheckpoint()
       // Incremental FoF (NN-Descent's "new/old" cut — Dong, Moses, Li,
       // WWW 2011 §2.3, made exact here): only pairs with at least one
       // NEW neighborhood entry are generated. An old-old pair through
