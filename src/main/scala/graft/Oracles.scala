@@ -466,12 +466,31 @@ object Oracles {
     * reverse bound), c = distinct friend-of-a-friend pairs through a
     * shared center plus the current edges, s = exact cosine over c,
     * sd = directed top-k' of s mirrored. Tail = the shared mutual-top-3.
+    * When SimilarityOps.DescentMix > 0 the pipe also carries the static
+    * long-range partner relation (mx): dense 0-based rank r over
+    * vec_id, partners at (r·48271 + j·104729) mod n for j = 1..mix,
+    * symmetrized and distinct — unioned into every round's
+    * neighborhood, exactly the Scala's mixEdges.
     * MATERIALIZED per round: sd{t-1} is referenced three times and u/c
     * twice — inlining doubles the tree per round (same rationale as
     * TOPC_PIPE). */
   private val KNNR_PIPE: String = {
     val kd = graft.operators.SimilarityOps.DescentK
     val nr = graft.operators.SimilarityOps.DescentRounds
+    val mix = graft.operators.SimilarityOps.DescentMix
+    val mixCtes = if (mix <= 0) "" else
+      s"""rkm AS MATERIALIZED (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS r FROM n),
+         |mxh AS (SELECT a.vec_id AS center, b.vec_id AS nbr
+         |  FROM rkm a CROSS JOIN range(1, ${mix + 1}) jj(j) JOIN rkm b
+         |    ON b.r = (a.r * 48271 + j * 104729) % (SELECT n FROM nbb)
+         |  WHERE b.vec_id <> a.vec_id),
+         |mx AS MATERIALIZED (SELECT DISTINCT center, nbr FROM (
+         |  SELECT center, nbr FROM mxh
+         |  UNION ALL SELECT nbr, center FROM mxh) mxu),
+         |""".stripMargin
+    val mixUnion = if (mix <= 0) ""
+      else "\n  UNION ALL SELECT center, nbr FROM mx"
     def topCte(name: String, src: String): String =
       s"""$name AS MATERIALIZED (SELECT src, dst, cosine FROM (
          |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src
@@ -487,7 +506,7 @@ object Oracles {
          |  SELECT dst AS center, src AS nbr FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY dst
          |      ORDER BY cosine DESC, src ASC) AS irnk FROM $p) i$t
-         |  WHERE irnk <= $kd) uu$t),
+         |  WHERE irnk <= $kd$mixUnion) uu$t),
          |c$t AS MATERIALIZED (SELECT DISTINCT ida, idb FROM (
          |  SELECT x.nbr AS ida, y.nbr AS idb FROM u$t x JOIN u$t y
          |    ON x.center = y.center AND x.nbr < y.nbr
@@ -498,7 +517,7 @@ object Oracles {
     }.mkString(",\n")
     s"""${knnbCandidates(graft.operators.SimilarityOps.DescentSeedTables,
            graft.operators.SimilarityOps.DescentSeedTarget)},
-       |${topCte("sd0", "scb")},
+       |$mixCtes${topCte("sd0", "scb")},
        |$rounds,
        |fr AS (SELECT DISTINCT LEAST(src, dst) AS ida, GREATEST(src, dst) AS idb, cosine
        |  FROM sd$nr),
