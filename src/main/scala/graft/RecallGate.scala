@@ -55,8 +55,8 @@ object RecallGate {
       case "refined" => SimilarityOps.knnGraphRefinedTuned(spark, dir,
         kd = d.getOrElse("kd", SimilarityOps.DescentK.toLong).toInt,
         rounds = d.getOrElse("rounds", SimilarityOps.DescentRounds.toLong).toInt,
-        seedTables = d.getOrElse("tables", 4L).toInt,
-        seedTargetList = d.getOrElse("target", 64L),
+        seedTables = d.getOrElse("tables", SimilarityOps.DescentSeedTables.toLong).toInt,
+        seedTargetList = d.getOrElse("target", SimilarityOps.DescentSeedTarget),
         mix = d.getOrElse("mix", SimilarityOps.DescentMix.toLong).toInt)
       case other => sys.error(s"RecallGate: unknown graph spec '$other'")
     }

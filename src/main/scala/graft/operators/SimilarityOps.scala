@@ -452,22 +452,36 @@ object SimilarityOps {
     * the n^1.5 2-probe Voronoi graph (0.925) at linear cost. Rounds
     * help monotonically (k'=16: 0.25 @3 → 0.35 @5) but width is the
     * binding constraint below the threshold — classic NN-Descent
-    * behavior on high-intrinsic-dimension data. Budget at the chosen
-    * point: ≤ C(64,2)·5 ≈ 10k exact dots per vector, ~10× the bits
-    * seed, independent of n. (Oracle twin unrolls the same k'/rounds —
-    * keep the two in sync via these [[graft]]-visible constants.) */
-  private[graft] val DescentK = 32
-  private[graft] val DescentRounds = 5
+    * behavior on high-intrinsic-dimension data. The r13 sf10 sweep
+    * (200k vectors, RECALL_r13.json) moved the shipped point: k' stays
+    * primary at scale (0.31 → 0.60 for k' 32 → 48 on the narrow seed)
+    * but flattens short of 0.9 alone; over the widened 8×256 seed the
+    * ladder reads 0.48 (k'=32) / 0.76 (k'=48) / 0.895 (k'=64, 5
+    * rounds), and extending rounds 5 → 8 adds ~+0.04 (measured at
+    * k'=48: 0.762 → 0.797) — the shipped k'=64 × 8-round point is the
+    * measured ≥0.9 configuration at 200k vectors. Budget: ≤
+    * C(2k',2)·rounds ≈ 65k exact dots per vector, independent of n —
+    * the constant is ~6× the r12 point, still the linear class (the
+    * incremental FoF cut collapses converged rounds, so the realized
+    * per-round volume falls sharply after round ~3). (Oracle twin
+    * unrolls the same k'/rounds — keep the two in sync via these
+    * [[graft]]-visible constants.) */
+  private[graft] val DescentK = 64
+  private[graft] val DescentRounds = 8
 
   /** The refined graph's OWN seed dials — decoupled from the bits
     * graph's [[BitsTables]]/[[BitsTargetList]] because the sf10 sweep
     * showed the descent's at-scale recall is SEED-bound (kd=32 → 0.31,
-    * kd=48 → 0.60 over the default 4×64 seed at 200k vectors; the k'
+    * kd=48 → 0.60 over the narrow 4×64 seed at 200k vectors; the k'
     * ladder alone flattens out well short of 0.9), while the bits
-    * graph's dials are its own cost/recall trade. The oracle's KNNR
-    * pipe interpolates these same constants. */
-  private[graft] val DescentSeedTables = BitsTables
-  private[graft] val DescentSeedTarget: Long = BitsTargetList
+    * graph's dials are its own cost/recall trade. The shipped 8×256
+    * seed lifts every measured k' cell ~+0.16 at sf10 at near-flat
+    * seed cost (assignment is O(n·b·tables) and b shrinks as the
+    * target grows; the same-bucket pair space stays n·target·tables/2
+    * — linear in n). The oracle's KNNR pipe interpolates these same
+    * constants. */
+  private[graft] val DescentSeedTables = 8
+  private[graft] val DescentSeedTarget: Long = 256L
 
   /** Long-range exploration partners per node (0 = none): the descent's
     * third dial. Every locality-blocked seed (Voronoi or signature)
@@ -483,7 +497,17 @@ object SimilarityOps {
     * permutation hops that join every round's NEIGHBORHOOD relation
     * (never the scored graph itself), so FoF generation always pairs
     * each region's candidates with a few far-away nodes' candidates.
-    * Cost: the neighborhood grows 2k' → 2k'+2·mix. */
+    *
+    * PRICED AND REJECTED (r13, kept at 0): the nominal cost is only
+    * 2k' → 2k'+2·mix neighborhood growth, but the measured cost is the
+    * candidate CHURN it induces — cross-region FoF pairs are unique
+    * per center (distinct can't collapse them) and keep every round's
+    * top-k' lists moving, so the incremental new/old cut stops biting.
+    * Measured at sf1, k'=16: recall 0.348 → 0.368 (+0.02) for 8.6×
+    * build time (48.6 s → 417 s); at sf10 the shuffle volume exceeded
+    * the harness's disk twice. Widening k' and the seed buys recall
+    * strictly cheaper (RECALL_r13.json); the dial and its oracle
+    * mirror stay for the record. */
   private[graft] val DescentMix = 0
 
   /** Graph-refined mutual k-NN — the demonstrated-recall-at-scale path.
