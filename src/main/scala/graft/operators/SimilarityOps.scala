@@ -510,6 +510,17 @@ object SimilarityOps {
     * mirror stay for the record. */
   private[graft] val DescentMix = 0
 
+  /** Corpus-size ceiling for broadcasting the quantized vector frame
+    * into the descent's scoring joins. At 500k vectors the (vec_id, qv,
+    * nrm) projection is ~350 MB unsafe-row — comfortably a broadcast on
+    * the harness and any real executor — and broadcasting keeps the
+    * k'²·n-sized candidate relation from being re-shuffled twice per
+    * round (the measured sf10 disk killer). Beyond the ceiling the
+    * frame is corpus-sized and the joins co-shuffle instead; the
+    * output is identical either way, so this dial is invisible to the
+    * oracle. */
+  private[graft] val DescentBroadcastVecs = 500000L
+
   /** Graph-refined mutual k-NN — the demonstrated-recall-at-scale path.
     * The blocked builds ([[knnGraph]]/[[knnGraph2]]/[[knnGraphBits]])
     * all lose recall as the corpus grows: a true neighbor pair must
@@ -554,7 +565,8 @@ object SimilarityOps {
       kd: Int = DescentK, rounds: Int = DescentRounds,
       seedTables: Int = DescentSeedTables,
       seedTargetList: Long = DescentSeedTarget,
-      mix: Int = DescentMix): DataFrame = {
+      mix: Int = DescentMix,
+      broadcastVecs: Long = DescentBroadcastVecs): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     var sd = directedTopFrom(bitsScored(q, n, seedTables, seedTargetList), kd)
@@ -624,9 +636,24 @@ object SimilarityOps {
           sd.select(least(col("src"), col("dst")).as("ida"),
             greatest(col("src"), col("dst")).as("idb")))
         .distinct()
+      // Re-attaching vectors to the candidate relation is the round's
+      // volume cliff: cand is k'²·n-sized (≈1.6e9 pairs in round 1 at
+      // 200k vectors) while the quantized frame is only n rows. A
+      // shuffle_hash join here re-shuffles the GIANT side twice (once
+      // by ida, once by idb) — at sf10 that tripled the round's spill
+      // and exhausted the harness disk. Below [[DescentBroadcastVecs]]
+      // the vector frame broadcasts (both joins reuse one exchange) and
+      // cand never moves; above it, co-shuffled joins — a corpus-sized
+      // broadcast would not fit executors (same dispatch rationale as
+      // DedupOps.embeddingBlocked's assignment join).
+      val qn = q.select(col("vec_id"), col("qv"), col("nrm"))
+      val (qa, qb) =
+        if (n <= broadcastVecs)
+          (broadcast(qn).as("a"), broadcast(qn).as("b"))
+        else (qn.as("a").hint("shuffle_hash"), qn.as("b").hint("shuffle_hash"))
       val scored = cand
-        .join(q.as("a").hint("shuffle_hash"), col("ida") === col("a.vec_id"))
-        .join(q.as("b").hint("shuffle_hash"), col("idb") === col("b.vec_id"))
+        .join(qa, col("ida") === col("a.vec_id"))
+        .join(qb, col("idb") === col("b.vec_id"))
         .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
       sd = directedTopFrom(scored, kd).localCheckpoint()
       prevU = Some(und)

@@ -297,6 +297,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(hR >= hB, s"refined hits $hR below bits seed $hB")
   }
 
+  test("similarity: descent scoring joins produce the identical graph on both physical paths") {
+    // the broadcast/co-shuffle dispatch on the candidate-scoring joins
+    // (SimilarityOps.DescentBroadcastVecs) is a pure physical-plan
+    // choice — forcing the corpus-scale shuffle_hash path must yield
+    // byte-identical edges to the shipped broadcast path, otherwise the
+    // sf-graded correctness runs (all under the threshold) would never
+    // exercise what a real corpus executes
+    def edges(bv: Long): Set[(Long, Long)] =
+      SimilarityOps.knnGraphRefinedTuned(spark, sf, broadcastVecs = bv)
+        .select(col("ida"), col("idb")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = edges(Long.MaxValue) // always broadcast
+    val s = edges(0L)            // always co-shuffle
+    assert(b === s, "broadcast and shuffle_hash scoring paths disagree")
+    assert(b.nonEmpty)
+    Caches.release()
+  }
+
   test("similarity: refined-graph consumers compose consistently over one shared build") {
     // one shared edge relation through the same From-seams Bench's
     // shared-build attribution uses — the composed outputs must agree
