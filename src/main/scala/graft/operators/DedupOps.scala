@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Caches, Tables}
@@ -48,7 +48,7 @@ object DedupOps {
     * shuffle + sort per query). `shingles` applies array_distinct within
     * the doc, so no distinct shuffle is needed either, and hashing to
     * 8-byte longs happens before the explode leaves the scan stage. */
-  private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toks = Caches.cached(docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     toks.select(col("doc_id"),
@@ -139,12 +139,40 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifiedJaccard(cand, sh, sigs.select(col("doc_id"), col("n_sh")))
+  }
+
+  /** Per-document LSH band keys as a single STATELESS expression — the
+    * same 16 permutation minhashes and 8×2 banding as [[minhashLsh]]'s
+    * signature aggregation, but folded per row with array HOFs so a
+    * STREAMING projection can compute it without a shuffle (a streaming
+    * groupBy-min would be an update-mode aggregate and could not feed
+    * the append-mode candidate operator downstream). Value-identity
+    * with the batch band table is spec-pinned (StreamingLshSpec).
+    * Null for documents too short to shingle — callers must filter,
+    * since concat_ws would silently skip null signature slots. */
+  private[graft] def bandsExpr(text: Column): Column = {
+    val hs = transform(shingles(tokens(text), 3),
+      s => pmod(baseHash60(s), lit(P)))
+    val sig = (0 until 16).map(i =>
+      array_min(transform(hs, h0 =>
+        pmod(h0 * lit(31L * i + 7L) + lit(17L * i + 3L), lit(P)))))
+    when(hs.isNotNull,
+      array((0 until 8).map(b =>
+        concat_ws("_", lit(b), sig(2 * b), sig(2 * b + 1))): _*))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair relation against the
+    * corpus shingle store — the tail shared by the batch [[minhashLsh]]
+    * and the streaming twin's rollup (graft.streaming.DedupStream), so
+    * the two surfaces cannot drift. `counts` carries (doc_id, n_sh). */
+  private[graft] def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+      counts: DataFrame): DataFrame = {
     // exact verification restricted to candidates, joined on hashed keys
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val counts = sigs.select(col("doc_id"), col("n_sh"))
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
