@@ -22,33 +22,16 @@ private[graft] object IterLoop {
     * loudly instead of silently mis-planning. */
   private val active = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  def withLoopPartitions[T](spark: SparkSession, rows: Option[Long])(body: => T): T =
-    scoped(spark, "withLoopPartitions") { defaultParts =>
-      rows
-        .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
-        .getOrElse(defaultParts)
-    }(body)
-
-  /** The RAISING twin of [[withLoopPartitions]], for iterative builds
-    * whose per-round relations EXCEED memory at the session default
-    * (the descent's k'²·n candidate space): scope a row-volume-derived
-    * HIGHER partition count so each shuffle task's sort/aggregate fits
-    * in memory instead of cascading through the external sorter's
-    * multi-pass spill. Never goes below the session default (small
-    * volumes are a no-op) and caps at 1024; AQE re-coalesces the
-    * loop's small exchanges, so only the giant stages keep the width.
-    * Same single-scope guard — the two scope kinds share it, which is
-    * correct because neither may run inside the other. */
-  def withWideShuffle[T](spark: SparkSession, rows: Long,
-      rowsPerPartition: Long = 8000000L)(body: => T): T =
-    scoped(spark, "withWideShuffle") { defaultParts =>
-      math.min(1024L, math.max(defaultParts.toLong, rows / rowsPerPartition)).toInt
-    }(body)
-
-  private def scoped[T](spark: SparkSession, label: String)
-      (pick: Int => Int)(body: => T): T = {
+  // NOTE: a RAISING twin (withWideShuffle — widen the descent's k'²·n
+  // candidate shuffles to a volume-derived partition count) was built
+  // and A/B'd at sf10: 1308 s vs 932 s for a bit-identical edge set
+  // (tools/recall_r13_{wideshuffle,defaultwidth}.jsonl). Rejected —
+  // fat partitions through single-pass spill beat skinny partitions'
+  // per-task overhead on this harness, and on a real cluster the
+  // width is the deployment's dial, not an operator scope.
+  def withLoopPartitions[T](spark: SparkSession, rows: Option[Long])(body: => T): T = {
     require(active.compareAndSet(false, true),
-      s"IterLoop.$label: concurrent or nested loop scopes — " +
+      "IterLoop.withLoopPartitions: concurrent or nested loop scopes — " +
         "the session-global shuffle-partition override would leak between them")
     // EVERYTHING after the successful CAS sits inside the try: a throw
     // from the conf reads below would otherwise latch active=true for
@@ -57,7 +40,9 @@ private[graft] object IterLoop {
     try {
       val conf = spark.conf
       val defaultParts = conf.get("spark.sql.shuffle.partitions").toInt
-      val loopParts = pick(defaultParts)
+      val loopParts = rows
+        .map(n => math.max(1L, math.min(defaultParts.toLong, n / 100000L + 1)).toInt)
+        .getOrElse(defaultParts)
       try {
         conf.set("spark.sql.shuffle.partitions", loopParts)
         body

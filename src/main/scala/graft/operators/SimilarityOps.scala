@@ -569,19 +569,15 @@ object SimilarityOps {
       broadcastVecs: Long = DescentBroadcastVecs): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
-    // Width the whole build to its dominant shuffle volume: the larger
-    // of the seed's same-bucket pair space (n·target·tables/2) and a
-    // round's FoF candidate space (min(n·C(2k',2), C(n,2)), doubled by
-    // the rank contraction's mirror-explode). At the session default
-    // (32 partitions) a round-1 sf10 window task sorted ~100M rows
-    // through multi-pass external spill; widening keeps each task's
-    // sort in memory. No-op below ~8M rows/partition, so small scales
-    // keep their plans; eager checkpoints pin every round inside the
-    // scope, and the final mutualize tail (k'·n rows) stays outside.
-    val seedPairs = 2L * (n * seedTargetList * seedTables / 2)
-    val fofPairs = 2L * math.min(
-      n * (2L * kd * (2L * kd - 1) / 2), n * (n - 1) / 2)
-    val refined = IterLoop.withWideShuffle(spark, math.max(seedPairs, fofPairs)) {
+    // Shuffle width stays at the session default DELIBERATELY: a
+    // volume-derived raising scope (rows/8M ≈ 400 partitions for the
+    // round-1 k'²·n candidate space at sf10) was built and A/B'd on an
+    // idle machine — 1308 s vs 932 s for the identical 0.9231-recall
+    // edge set (tools/recall_r13_{wideshuffle,defaultwidth}.jsonl).
+    // Fat partitions streaming through single-pass spill beat skinny
+    // partitions' per-task overhead here; on a real cluster the width
+    // is the deployment's dial (spark.sql.shuffle.partitions / AQE
+    // initialPartitionNum), not something this operator should scope.
     var sd = directedTopFrom(bitsScored(q, n, seedTables, seedTargetList), kd)
       .localCheckpoint()
     // static long-range partners (see [[DescentMix]]): symmetrized rank
@@ -671,10 +667,8 @@ object SimilarityOps {
       sd = directedTopFrom(scored, kd).localCheckpoint()
       prevU = Some(und)
     }
-    sd
-    }
-    mutualize(refined.select(least(col("src"), col("dst")).as("ida"),
-      greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
+    mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
+        greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
   }
 
   /** Directed top-k per endpoint from an undirected scored pair

@@ -2,9 +2,8 @@ package graft
 
 import graft.operators.IterLoop
 
-/** Behavioral pins for the session-global shuffle-partition scopes: the
-  * lowering scope (iterative tails on node-sized frames) and its raising
-  * twin (the descent's k'²·n candidate volume), plus the single-scope
+/** Behavioral pins for the session-global shuffle-partition scope used
+  * by iterative tails on node-sized frames, plus the single-scope
   * guard's reset-on-failure semantics — a latched guard would fail every
   * later loop in the session with a misleading concurrency error. */
 class IterLoopSpec extends SparkTestBase {
@@ -19,20 +18,10 @@ class IterLoopSpec extends SparkTestBase {
     assert(parts === default)
   }
 
-  test("withWideShuffle raises for giant volumes, caps at 1024, restores") {
+  test("the scope never raises above the session default") {
     val default = parts
-    val seen = IterLoop.withWideShuffle(spark, rows = 1600000000L)(parts)
-    assert(seen === 1600000000L / 8000000L) // 200 > session default
-    assert(parts === default)
-    val capped = IterLoop.withWideShuffle(spark, rows = Long.MaxValue / 2)(parts)
-    assert(capped === 1024)
-    assert(parts === default)
-  }
-
-  test("withWideShuffle is a no-op below rowsPerPartition·default") {
-    val default = parts
-    val seen = IterLoop.withWideShuffle(spark, rows = 1000L)(parts)
-    assert(seen === default) // never goes below the session default
+    val seen = IterLoop.withLoopPartitions(spark, Some(Long.MaxValue / 2))(parts)
+    assert(seen === default)
     assert(parts === default)
   }
 
@@ -40,14 +29,14 @@ class IterLoopSpec extends SparkTestBase {
     val default = parts
     val ex = intercept[IllegalArgumentException] {
       IterLoop.withLoopPartitions(spark, None) {
-        IterLoop.withWideShuffle(spark, 1L)(())
+        IterLoop.withLoopPartitions(spark, Some(1L))(())
       }
     }
-    assert(ex.getMessage.contains("withWideShuffle"))
+    assert(ex.getMessage.contains("withLoopPartitions"))
     assert(parts === default)
     // the outer scope exited through the inner throw — a later scope
     // must still be admitted (the r12-advice latch regression)
-    assert(IterLoop.withWideShuffle(spark, 1L)(42) === 42)
+    assert(IterLoop.withLoopPartitions(spark, Some(1L))(42) === 42)
     assert(parts === default)
   }
 
