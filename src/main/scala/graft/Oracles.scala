@@ -84,6 +84,45 @@ object Oracles {
        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS DOUBLE) / len(ws) AS subword_ratio
        |FROM w JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Bit-quantized unigram self-information — the DuckDB twin of
+    * TextOps.selfInformation. `length(bin(count))` is the exact integer
+    * bit length in both engines (no leading zeros, no float log), so
+    * every score component is integer-exact; only the final mean is a
+    * double. */
+  val textSelfInformation: String =
+    s"""WITH $W,
+       |tok AS (SELECT doc_id, t.tok FROM w, UNNEST(ws) AS t(tok)),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |cf AS (SELECT tok, count(*) AS cf FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |r AS (SELECT doc_id, tf,
+       |  CAST(length(bin(n_total)) - length(bin(cf)) AS BIGINT) AS bits
+       |  FROM tf JOIN cf USING (tok), tot)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       | CAST(sum(tf * bits) AS BIGINT) AS sum_rarity_bits,
+       | CAST(sum(tf * bits) AS DOUBLE) / sum(tf) AS mean_rarity_bits,
+       | CASE WHEN sum(tf * bits) >= 2 * sum(tf) THEN 'rare'
+       |      WHEN sum(tf * bits) >= sum(tf) THEN 'mixed'
+       |      ELSE 'common' END AS rarity_class
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Zipf head coverage — the DuckDB twin of TextOps.vocabCoverage
+    * (top-32 tokens, exact integer ppm, lexicographic ties). */
+  val textVocabCoverage: String =
+    s"""WITH $W,
+       |tok AS (SELECT t.tok FROM w, UNNEST(ws) AS t(tok)),
+       |cf AS (SELECT tok, count(*) AS cf FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |r AS (SELECT tok, cf,
+       |  CAST(row_number() OVER (ORDER BY cf DESC, tok ASC) AS BIGINT) AS rnk
+       |  FROM cf),
+       |h AS (SELECT rnk, tok, cf,
+       |  CAST(sum(cf) OVER (ORDER BY rnk) AS BIGINT) AS cum_cf
+       |  FROM r WHERE rnk <= 32)
+       |SELECT rnk, tok AS term, cf, cum_cf,
+       | CAST((cum_cf * 1000000) // n_total AS BIGINT) AS coverage_ppm
+       |FROM h, tot ORDER BY rnk""".stripMargin
+
   val textFingerprint: String =
     s"""WITH $W,
        |nrm AS (SELECT doc_id, array_to_string(ws, ' ') AS norm FROM w)

@@ -44,6 +44,8 @@ object SparkEntry {
     "text_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "text_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "text_winnow_fingerprint" -> ((s: SparkSession, d: String) => TextOps.winnowFingerprint(s, d)),
+    "text_self_information" -> (TextOps.selfInformation _),
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
@@ -185,6 +187,8 @@ object SparkEntry {
     "text_stratified_sample" -> Oracles.textStratifiedSample,
     "text_pack_sequences" -> Oracles.textPackSequences,
     "text_winnow_fingerprint" -> Oracles.textWinnowFingerprint,
+    "text_self_information" -> Oracles.textSelfInformation,
+    "text_vocab_coverage" -> Oracles.textVocabCoverage,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupJaccardPairsCapped,
     "dedup_minhash_lsh" -> Oracles.dedupJaccardPairs,

@@ -621,4 +621,66 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
+
+  /** Per-document self-information quality score — the CCNet-style LM
+    * perplexity gate (Wenzek et al. 2020, public) collapsed to its
+    * unigram core and QUANTIZED TO WHOLE BITS so the contract is exact
+    * across engines: a token's information is
+    * `bitlen(N) - bitlen(cf)` (= floor-log2 of N/cf up to ±1), where
+    * bitlen is `length(bin(count))` — an integer both Spark and DuckDB
+    * compute identically, with no float log anywhere (the same
+    * cross-engine-exactness motive as distinctiveTerms' linear idf and
+    * the covariance digit strings). Rare-token-dense documents score
+    * high; boilerplate scores low. The class thresholds compare exact
+    * integers (sum vs 2n / n), so the only double in the output is the
+    * final mean. Shuffles: one corpus-frequency aggregate, one per-doc
+    * tf aggregate, a tf⋈cf attach CO-SHUFFLED on the token (a 100 TB
+    * vocabulary is unbounded — never a broadcast build side), one
+    * per-doc roll-up. The 1-row total broadcasts. */
+  def selfInformation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = graft.Caches.cached(
+      docs.select(col("doc_id"), explode(Texty.tokens(col("text"))).as("tok")))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tok.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(cf.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        (length(bin(col("n_total"))) - length(bin(col("cf")))).cast("long").as("bits"))
+    scored.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_rarity_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_rarity_bits"),
+        (col("sum_rarity_bits").cast("double") / col("n_tokens")).as("mean_rarity_bits"),
+        when(col("sum_rarity_bits") >= col("n_tokens") * 2, "rare")
+          .when(col("sum_rarity_bits") >= col("n_tokens"), "mixed")
+          .otherwise("common").as("rarity_class"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf head coverage — the tokenizer/mixture-planning statistic: how
+    * much of the corpus the top-K tokens cover. One vocabulary-sized
+    * aggregate, then a DISTRIBUTED top-K (orderBy+limit — TakeOrdered,
+    * never a global window over the unbounded 100 TB vocabulary), and
+    * the running coverage is a window over the K surviving rows only.
+    * Coverage is exact integer ppm (cum·1e6 floor-div total), ties
+    * break lexicographically. */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = graft.Caches.cached(
+      docs.select(explode(Texty.tokens(col("text"))).as("tok")))
+    val cf = tok.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val head = cf.orderBy(col("cf").desc, col("tok").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("tok").asc)
+    head
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_cf", sum(col("cf")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("tok").as("term"), col("cf"), col("cum_cf"),
+        expr("cum_cf * 1000000 DIV n_total").as("coverage_ppm"))
+      .orderBy("rnk")
+  }
 }

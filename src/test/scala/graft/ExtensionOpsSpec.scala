@@ -510,6 +510,38 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows.length === Tables.load(spark, sf, "documents").count())
   }
 
+  test("text: self-information bits match a driver-side recomputation") {
+    val rows = TextOps.selfInformation(spark, sf).collect()
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+    // independent truth: token frequencies from the raw text
+    val texts = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val cf = texts.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val totalBits = java.lang.Long.toBinaryString(cf.values.sum).length
+    val truth = texts.map { case (id, toks) =>
+      id -> toks.map(t => (totalBits - java.lang.Long.toBinaryString(cf(t)).length).toLong).sum
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      assert(r.getLong(r.fieldIndex("sum_rarity_bits")) === truth(id))
+      val mean = r.getDouble(r.fieldIndex("mean_rarity_bits"))
+      assert(mean >= 0.0 && mean === truth(id).toDouble / r.getLong(r.fieldIndex("n_tokens")))
+    }
+  }
+
+  test("text: vocab coverage is monotone and ends at the head's true mass") {
+    val rows = TextOps.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    val cums = rows.map(_.getLong(rows.head.fieldIndex("cum_cf")))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    val ppm = rows.map(_.getLong(rows.head.fieldIndex("coverage_ppm")))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b })
+    assert(ppm.last <= 1000000L)
+    // counts are ranked: cf non-increasing down the head
+    val cfs = rows.map(_.getLong(rows.head.fieldIndex("cf")))
+    assert(cfs.zip(cfs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("events: sessionization partitions all events, durations non-negative") {
     val sess = EventOps.sessionize(spark, sf)
     val totalEvents = sess.agg(sum("n_events")).head.getLong(0)
