@@ -16,7 +16,8 @@ object PlanAudit {
       "text_stratified_sample", "text_pack_sequences",
       "dedup_embedding_cosine", "dedup_embedding_auto",
       "evt_asof_join",
-      "text_distinctive_terms", "text_lang_id").map { name =>
+      "text_distinctive_terms", "text_lang_id",
+      "text_self_information", "text_vocab_coverage").map { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.explain("formatted")
@@ -98,6 +99,22 @@ object PlanAudit {
       "lang-id profile attach must be a shuffled hash join")
     assert(!lidPlan.contains("BroadcastExchange"),
       "lang-id must not broadcast the corpus-vocabulary profile")
+    // self-information: the tf⋈cf attach co-shuffles on the token (the
+    // vocabulary is unbounded — same discipline as the two above); the
+    // only broadcast is the 1-row corpus total, which planners compile
+    // to a BroadcastNestedLoopJoin cross, never a BroadcastHashJoin of
+    // anything vocabulary- or corpus-sized
+    val siPlan = frames("text_self_information").queryExecution.executedPlan.toString
+    assert(siPlan.contains("ShuffledHashJoin"),
+      "self-information cf attach must be a shuffled hash join")
+    assert(!siPlan.contains("BroadcastHashJoin"),
+      "self-information must not broadcast-hash-join the vocabulary")
+    // vocab coverage: the head extraction must be the DISTRIBUTED top-K
+    // (TakeOrderedAndProject), never a global sort or a window over the
+    // full unbounded vocabulary
+    val vcPlan = frames("text_vocab_coverage").queryExecution.executedPlan.toString
+    assert(vcPlan.contains("TakeOrderedAndProject"),
+      "vocab coverage head must be a distributed TakeOrdered, not a global sort")
     // decontamination is the DELIBERATE broadcast: the eval index is
     // fixed-size by construction (a benchmark suite does not grow with the
     // corpus), so the right 100 TB shape is a map-side broadcast join —
