@@ -120,7 +120,7 @@ object Oracles {
        |  CAST(sum(cf) OVER (ORDER BY rnk) AS BIGINT) AS cum_cf
        |  FROM r WHERE rnk <= 32)
        |SELECT rnk, tok AS term, cf, cum_cf,
-       | CAST((cum_cf * 1000000) // n_total AS BIGINT) AS coverage_ppm
+       | CAST((CAST(cum_cf AS HUGEINT) * 1000000) // n_total AS BIGINT) AS coverage_ppm
        |FROM h, tot ORDER BY rnk""".stripMargin
 
   val textFingerprint: String =

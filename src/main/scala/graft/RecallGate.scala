@@ -36,15 +36,36 @@ import graft.operators.SimilarityOps
   */
 object RecallGate {
 
-  private[graft] def parseSpec(spec: String): (String, Map[String, Long]) =
-    spec.split("@", 2) match {
-      case Array(name) => (name, Map.empty)
-      case Array(name, dials) =>
-        (name, dials.split("\\+").filter(_.nonEmpty).map { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          k.trim -> v.trim.toLong
+  /** Dial names each graph accepts — a tuned spec carrying anything
+    * else (a typo like `round=7`, or dials on a graph that ignores
+    * them) must FAIL LOUDLY: silently building the default config
+    * while stamping the requested dials into the artifact row is the
+    * 35-minute wrong-measurement failure mode this parser exists to
+    * prevent. */
+  private val AcceptedDials: Map[String, Set[String]] = Map(
+    "1probe" -> Set.empty, "2probe" -> Set.empty, "bits" -> Set.empty,
+    "refined" -> Set("kd", "rounds", "tables", "target", "mix"))
+
+  private[graft] def parseSpec(spec: String): (String, Map[String, Long]) = {
+    val (name, dials) = spec.split("@", 2) match {
+      case Array(n) => (n, Map.empty[String, Long])
+      case Array(n, ds) =>
+        (n, ds.split("\\+").filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if v.trim.nonEmpty => k.trim -> v.trim.toLong
+            case _ => sys.error(
+              s"RecallGate: malformed dial '$kv' in spec '$spec' (want key=value)")
+          }
         }.toMap)
     }
+    val accepted = AcceptedDials.getOrElse(name,
+      sys.error(s"RecallGate: unknown graph spec '$name'"))
+    val unknown = dials.keySet -- accepted
+    require(unknown.isEmpty,
+      s"RecallGate: spec '$spec' carries dial(s) ${unknown.mkString(",")} " +
+        s"that '$name' does not accept — the build would silently ignore them")
+    (name, dials)
+  }
 
   private def build(spark: SparkSession, dir: String, spec: String): DataFrame = {
     val (name, d) = parseSpec(spec)
@@ -58,7 +79,7 @@ object RecallGate {
         seedTables = d.getOrElse("tables", SimilarityOps.DescentSeedTables.toLong).toInt,
         seedTargetList = d.getOrElse("target", SimilarityOps.DescentSeedTarget),
         mix = d.getOrElse("mix", SimilarityOps.DescentMix.toLong).toInt)
-      case other => sys.error(s"RecallGate: unknown graph spec '$other'")
+      case other => sys.error(s"RecallGate: unknown graph spec '$other'") // unreachable: parseSpec validates
     }
   }
 
@@ -90,13 +111,22 @@ object RecallGate {
       val (name, dials) = parseSpec(spec)
       val cfg = if (dials.isEmpty) "default"
         else dials.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
-      val row = f"""{"graph":"$name","config":"$cfg","sf":"$dir","n_vectors":$n,""" +
-        f""""n_queries":$q,"true_edges":$t,"hits":$h,"recall":$recall%.4f,""" +
-        f""""build_secs":$buildSecs%.2f,"gate_secs":$gateSecs%.2f}"""
+      // Locale.ROOT: a comma-decimal default locale would emit invalid
+      // JSON through the f-interpolator and break the artifact build
+      val row = String.format(java.util.Locale.ROOT,
+        """{"graph":"%s","config":"%s","sf":"%s","n_vectors":%d,""" +
+          """"n_queries":%d,"true_edges":%d,"hits":%d,"recall":%.4f,""" +
+          """"build_secs":%.2f,"gate_secs":%.2f}""",
+        name, cfg, dir, Long.box(n), Long.box(q), Long.box(t), Long.box(h),
+        Double.box(recall), Double.box(buildSecs), Double.box(gateSecs))
       java.nio.file.Files.writeString(outPath, row + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       println(row)
+      // the checkpointed edge relation is outside the cache registry —
+      // without this, a 14-point sweep leaks one graph-sized RDD per
+      // row and late points measure under artificial memory pressure
+      graft.operators.DedupOps.unpersistCheckpoint(g)
       Caches.release()
       spark.catalog.clearCache()
     }

@@ -28,8 +28,10 @@ object DedupOps {
   private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
 
   /** Drop the storage behind an eagerly-localCheckpointed frame once the
-    * iterative loops below have advanced past it. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+    * iterative loops below have advanced past it. (Dataset.unpersist
+    * only clears CacheManager entries — checkpoint blocks belong to the
+    * underlying RDD.) */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
@@ -149,15 +151,19 @@ object DedupOps {
     * groupBy-min would be an update-mode aggregate and could not feed
     * the append-mode candidate operator downstream). Value-identity
     * with the batch band table is spec-pinned (StreamingLshSpec).
-    * Null for documents too short to shingle — callers must filter,
-    * since concat_ws would silently skip null signature slots. */
+    * Null for documents too short to shingle (shingles() yields an
+    * EMPTY array for those, so the guard is on size, not nullity —
+    * an empty-array min is null and concat_ws would silently skip it,
+    * colliding every short doc into the same degenerate buckets);
+    * callers must filter, matching the batch operator, where short
+    * docs produce zero shingle rows and zero bands. */
   private[graft] def bandsExpr(text: Column): Column = {
     val hs = transform(shingles(tokens(text), 3),
       s => pmod(baseHash60(s), lit(P)))
     val sig = (0 until 16).map(i =>
       array_min(transform(hs, h0 =>
         pmod(h0 * lit(31L * i + 7L) + lit(17L * i + 3L), lit(P)))))
-    when(hs.isNotNull,
+    when(size(hs) > 0,
       array((0 until 8).map(b =>
         concat_ws("_", lit(b), sig(2 * b), sig(2 * b + 1))): _*))
   }

@@ -664,9 +664,19 @@ object SimilarityOps {
         .join(qa, col("ida") === col("a.vec_id"))
         .join(qb, col("idb") === col("b.vec_id"))
         .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
+      val prevSd = sd
       sd = directedTopFrom(scored, kd).localCheckpoint()
+      // the new sd is materialized (localCheckpoint is eager), so the
+      // superseded round's checkpoints are dead: without this the build
+      // pins 2·rounds graph-sized block sets (several GB at sf10) for
+      // the session — storage pressure during exactly the stages whose
+      // spill is the build's cost center. The FINAL sd must survive
+      // (the returned plan reads it); everything else is released.
+      DedupOps.unpersistCheckpoint(prevSd)
+      prevU.foreach(DedupOps.unpersistCheckpoint)
       prevU = Some(und)
     }
+    prevU.foreach(DedupOps.unpersistCheckpoint)
     mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
         greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
   }

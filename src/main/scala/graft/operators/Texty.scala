@@ -680,7 +680,10 @@ object TextOps {
       .withColumn("cum_cf", sum(col("cf")).over(w))
       .crossJoin(broadcast(total))
       .select(col("rnk"), col("tok").as("term"), col("cf"), col("cum_cf"),
-        expr("cum_cf * 1000000 DIV n_total").as("coverage_ppm"))
+        // DECIMAL(38,0) keeps cum·1e6 exact past ~9.2e12 corpus tokens
+        // (long arithmetic would wrap silently where the DuckDB twin
+        // errors); IntegralDivide on decimals is an exact floor
+        expr("CAST(cum_cf AS DECIMAL(38,0)) * 1000000 DIV n_total").as("coverage_ppm"))
       .orderBy("rnk")
   }
 }

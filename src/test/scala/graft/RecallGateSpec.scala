@@ -17,4 +17,24 @@ class RecallGateSpec extends AnyFunSuite {
     assert(RecallGate.parseSpec("refined@rounds=7") ===
       ("refined", Map("rounds" -> 7L)))
   }
+
+  test("spec parser: unknown dials, dials on dial-less graphs, and malformed tokens fail loudly") {
+    // a typo'd dial must never silently build the default while the
+    // artifact row records the requested config
+    val typo = intercept[IllegalArgumentException] {
+      RecallGate.parseSpec("refined@round=7")
+    }
+    assert(typo.getMessage.contains("round"))
+    intercept[IllegalArgumentException] {
+      RecallGate.parseSpec("bits@tables=8") // bits ignores dials — reject
+    }
+    val malformed = intercept[RuntimeException] {
+      RecallGate.parseSpec("refined@kd48") // dropped '='
+    }
+    assert(malformed.getMessage.contains("kd48"))
+    val unknown = intercept[RuntimeException] {
+      RecallGate.parseSpec("voronoi3") // not a graph name
+    }
+    assert(unknown.getMessage.contains("voronoi3"))
+  }
 }

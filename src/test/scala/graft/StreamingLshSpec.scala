@@ -43,6 +43,17 @@ class StreamingLshSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("documents too short to shingle produce no bands (no degenerate-bucket collisions)") {
+    import spark.implicits._
+    // shingles() yields an EMPTY array below 3 tokens — the band guard
+    // must be on size, not nullity, or every short doc collides in the
+    // same 8 buckets the batch operator never creates
+    val short = Seq((1L, "one two"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    assert(DedupStream.bandedDocs(short).count() === 0)
+    val ok = Seq((4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(DedupStream.bandedDocs(ok).count() === 8)
+  }
+
   test("a late near-duplicate emits only its new pairs; redelivery emits nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
