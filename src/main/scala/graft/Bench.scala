@@ -91,21 +91,29 @@ object Bench {
     // Correctness is unaffected — Verify runs the queries map's full
     // builds, and the consumers' outputs are identical either way.
     import org.apache.spark.sql.functions.col
-    var refinedShared: Option[DataFrame] = None
+    // keyed by dir (r13 advice): a first build for one sf must never be
+    // served to a later call for another — Bench handles one
+    // SPARK_GRAFT_SF_DIR per process today, but the cache was a latent
+    // cross-sf contamination trap
+    var refinedShared: Option[(String, DataFrame)] = None
     def refinedGraph(s: SparkSession, d: String): DataFrame = {
+      refinedShared.foreach { case (dir, _) =>
+        require(dir == d, s"shared refined graph was built for $dir, requested for $d")
+      }
       if (refinedShared.isEmpty)
-        refinedShared = Some(graft.operators.SimilarityOps.knnGraphRefined(s, d)
-          .select(col("ida"), col("idb")).localCheckpoint())
-      refinedShared.get
+        refinedShared = Some((d, graft.operators.SimilarityOps.knnGraphRefined(s, d)
+          .select(col("ida"), col("idb")).localCheckpoint()))
+      refinedShared.get._2
     }
+    // unsuffixed consumer names are refined-backed as of r14 (SparkEntry)
     val derived: Map[String, (SparkSession, String) => DataFrame] = Map(
       "sim_knn_recall_refined" -> ((s, d) =>
         graft.operators.SimilarityOps.knnRecallOf(s, d, refinedGraph(s, d))),
-      "sim_knn_components_refined" -> ((s, d) =>
+      "sim_knn_components" -> ((s, d) =>
         graft.operators.SimilarityOps.knnComponentsFrom(refinedGraph(s, d))),
-      "sim_pagerank_refined" -> ((s, d) =>
+      "sim_pagerank" -> ((s, d) =>
         graft.operators.SimilarityOps.pageRankOverGraph(s, d, refinedGraph(s, d))),
-      "sim_cluster_exemplars_refined" -> ((s, d) =>
+      "sim_cluster_exemplars" -> ((s, d) =>
         graft.operators.SimilarityOps.clusterExemplarsFrom(s, d, refinedGraph(s, d))))
 
     val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Option[String])]
@@ -147,6 +155,14 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       java.nio.file.Files.writeString(outPath,
         resultLine(done.toSeq, partial = done.size < selected.size) + "\n")
+      // release the shared refined-edge checkpoint as soon as the last
+      // refined consumer has run — it previously occupied block-manager
+      // storage for the remainder of the suite (r13 advice)
+      val refinedLeft = (derived.keySet intersect selected.keySet) -- done.map(_._1)
+      if (refinedLeft.isEmpty && refinedShared.nonEmpty) {
+        graft.operators.DedupOps.unpersistCheckpoint(refinedShared.get._2)
+        refinedShared = None
+      }
     }
     // the stdout route stays: the driver parses the ONE printed JSON line —
     // compact totals only (per-query numbers live in SPARK_GRAFT_BENCH_OUT)

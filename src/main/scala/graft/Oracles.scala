@@ -107,7 +107,8 @@ object Oracles {
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Zipf head coverage — the DuckDB twin of TextOps.vocabCoverage
-    * (top-32 tokens, exact integer ppm, lexicographic ties). */
+    * (top-K tokens with K = TextOps.VocabCoverageK, exact integer ppm,
+    * lexicographic ties). */
   val textVocabCoverage: String =
     s"""WITH $W,
        |tok AS (SELECT t.tok FROM w, UNNEST(ws) AS t(tok)),
@@ -118,7 +119,7 @@ object Oracles {
        |  FROM cf),
        |h AS (SELECT rnk, tok, cf,
        |  CAST(sum(cf) OVER (ORDER BY rnk) AS BIGINT) AS cum_cf
-       |  FROM r WHERE rnk <= 32)
+       |  FROM r WHERE rnk <= ${graft.operators.TextOps.VocabCoverageK})
        |SELECT rnk, tok AS term, cf, cum_cf,
        | CAST((CAST(cum_cf AS HUGEINT) * 1000000) // n_total AS BIGINT) AS coverage_ppm
        |FROM h, tot ORDER BY rnk""".stripMargin
@@ -339,41 +340,15 @@ object Oracles {
        |FROM bt LEFT JOIN lt ON bt.query_id = lt.query_id AND bt.neighbor = lt.neighbor
        |GROUP BY bt.query_id ORDER BY bt.query_id""".stripMargin
 
-  /** Mutual k-NN graph pipe (k=3) over learned-Voronoi-list candidates —
-    * shared by the knn-graph and knn-components oracles (same KM
-    * training replay as dedupEmbeddingAuto; same-list undirected
-    * candidates; both-directions top-k; `mk` = the mutual edge
-    * relation). */
-  private val KNN_PIPE: String =
-    s"""$KM,
-       |cp AS (SELECT 4 * ((count(*) + (SELECT nlist FROM nl) - 1)
-       |    // (SELECT nlist FROM nl)) AS cap FROM n),
-       |m AS (SELECT n.*, g.cl FROM n JOIN a2 g USING (vec_id)),
-       |ms AS (SELECT cl, count(*) AS m FROM m GROUP BY cl),
-       |mb AS (SELECT m.*,
-       |  CASE WHEN (ms.m + (SELECT cap FROM cp) - 1) // (SELECT cap FROM cp) >= 1048576
-       |    THEN CAST(error('capSplit: nsplit >= 2^20 overflows the packed block key') AS BIGINT)
-       |    ELSE (ms.m + (SELECT cap FROM cp) - 1) // (SELECT cap FROM cp) END AS nsplit
-       |  FROM m JOIN ms USING (cl)),
-       |sc AS (SELECT x.vec_id AS ida, y.vec_id AS idb, ${cosine("x", "y")} AS cosine
-       |  FROM mb x JOIN mb y ON x.cl = y.cl
-       |    AND x.vec_id % x.nsplit = y.vec_id % y.nsplit
-       |    AND x.vec_id < y.vec_id),
-       |d AS (SELECT ida AS src, idb AS dst, cosine FROM sc
-       |  UNION ALL SELECT idb, ida, cosine FROM sc),
-       |tk AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
-       |    ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rnk
-       |  FROM d),
-       |mk AS (SELECT f.src AS ida, f.dst AS idb, f.cosine AS cosine,
-       |  f.rnk AS rnk_a, r.rnk AS rnk_b
-       |  FROM tk f JOIN tk r ON f.src = r.dst AND f.dst = r.src
-       |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
+  // (the 1-probe KNN_PIPE and its simKnnGraph/simKnnRecall twins were
+  // deleted in r14 when the 1-probe build left the suite — the 2-probe
+  // pipe below is the surviving Voronoi calibration twin)
 
   /** 2-probe pipeline: every vector's top-2 centroid lists under the
     * FINAL trained centroids k2 (rn <= 2 replays assignTop2's two-pass
     * argmax — same (scos DESC, cl ASC) tie rule), DISTINCT same-list
-    * pairs (a pair sharing both lists scores once), then the same
-    * mutual-top-3 tail as KNN_PIPE. */
+    * pairs (a pair sharing both lists scores once), then the
+    * mutual-top-3 tail. */
   private val KNN2_PIPE: String =
     s"""$KM,
        |p30 AS (SELECT v.vec_id, k.cl,
@@ -406,13 +381,6 @@ object Oracles {
        |  FROM tk2 f JOIN tk2 r ON f.src = r.dst AND f.dst = r.src
        |  WHERE f.rnk <= 3 AND r.rnk <= 3 AND f.src < f.dst)""".stripMargin
 
-  /** Mutual k-NN graph — the DuckDB twin of SimilarityOps.knnGraph. */
-  val simKnnGraph: String =
-    s"""WITH $QN,
-       |$KNN_PIPE
-       |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mk
-       |ORDER BY ida, idb""".stripMargin
-
   /** 2-probe mutual k-NN graph — the DuckDB twin of
     * SimilarityOps.knnGraph2. */
   val simKnnGraph2: String =
@@ -421,14 +389,12 @@ object Oracles {
        |SELECT ida, idb, cosine, rnk_a, rnk_b FROM mk2
        |ORDER BY ida, idb""".stripMargin
 
-  /** Blocked-graph recall vs exact mutual k-NN ground truth — the DuckDB
-    * twin of SimilarityOps.knnRecall. The oracle can afford the full
-    * all-pairs directed ranking at verification scale; restricted to
-    * query-incident edges it is exactly the Spark side's two linear
-    * broadcast passes (global ranks both ways). */
-  val simKnnRecall: String = knnRecallSql(KNN_PIPE, "mk")
-
-  /** Same recall query over the 2-probe graph. */
+  /** Blocked-graph recall vs exact mutual k-NN ground truth over the
+    * 2-probe graph — the DuckDB twin of SimilarityOps.knnRecall2. The
+    * oracle can afford the full all-pairs directed ranking at
+    * verification scale; restricted to query-incident edges it is
+    * exactly the Spark side's two linear broadcast passes (global ranks
+    * both ways). */
   val simKnnRecall2: String = knnRecallSql(KNN2_PIPE, "mk2")
 
   /** Bit-signature graph pipe — the DuckDB twin of
@@ -447,10 +413,13 @@ object Oracles {
     * is seed-bound, so the two families' seeds are dialed
     * independently. */
   private def knnbCandidates(tables: Int, target: Long): String = {
+    // coalesce(min(b), 40) mirrors the Scala autoPlanes clamp at b = 40:
+    // without it, an n/target ratio beyond 2^40 yields NULL planes and a
+    // silently empty candidate set where the engine clamps (r13 advice)
     val cap = 4 * target
     val tlist = (0 until tables).mkString(",")
     s"""nbb AS (SELECT count(*) AS n FROM n),
-       |bpb AS (SELECT min(b) AS b FROM range(1, 41) tb(b)
+       |bpb AS (SELECT coalesce(min(b), 40) AS b FROM range(1, 41) tb(b)
        |  WHERE (CAST(1 AS BIGINT) << b) >= (SELECT (n + ${target - 1}) // $target FROM nbb)),
        |lbb AS (SELECT vec_id, t,
        |  CAST(list_sum(list_transform(generate_series(0, (SELECT b FROM bpb) - 1), h ->
@@ -609,16 +578,13 @@ object Oracles {
        |LEFT JOIN h ON q.vec_id = h.query_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Connected components over the mutual-kNN edges — the DuckDB twin of
-    * SimilarityOps.knnComponents (same reach CTE as dedupClusters). The
-    * consumers run on the 2-probe graph, so the pipe here is KNN2. The
-    * edge CTE is MATERIALIZED: the recursive reach re-references it per
-    * iteration, and inlining the whole KNN2 pipeline into every round
-    * measured 59 s vs 3 s materialized at sf0.01. */
-  val simKnnComponents: String = componentsSql(KNN2_PIPE, "mk2")
-
-  /** Components over the DESCENT-REFINED graph — the DuckDB twin of
-    * SimilarityOps.knnComponentsRefined (same reach, KNNR edges). */
+  /** Connected components over the DESCENT-REFINED mutual-kNN edges —
+    * the DuckDB twin of SimilarityOps.knnComponentsRefined (same reach
+    * CTE as dedupClusters; the suite's sim_knn_components is
+    * refined-backed as of r14). The edge CTE is MATERIALIZED: the
+    * recursive reach re-references it per iteration, and inlining the
+    * whole graph pipeline into every round measured 59 s vs 3 s
+    * materialized at sf0.01. */
   val simKnnComponentsRefined: String = componentsSql(KNNR_PIPE, "mkr")
 
   private def componentsSql(pipe: String, mk: String): String =
@@ -633,15 +599,10 @@ object Oracles {
        |SELECT node AS vec_id, min(label) AS cluster_id
        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
-  /** Integer PageRank over the mutual-kNN graph — the DuckDB twin of
-    * SimilarityOps.pageRank: the same fixed 10 rounds of the ppm
-    * recurrence unrolled as chained CTEs, every operation integer floor
-    * division on non-negatives. */
-  val simPagerank: String = pagerankSql(KNN2_PIPE, "mk2")
-
-  /** PageRank over the DESCENT-REFINED graph — the DuckDB twin of
-    * SimilarityOps.pageRankRefined (same 10 unrolled rounds, KNNR
-    * edges). */
+  /** Integer PageRank over the DESCENT-REFINED mutual-kNN graph — the
+    * DuckDB twin of SimilarityOps.pageRankRefined: the same fixed 10
+    * rounds of the ppm recurrence unrolled as chained CTEs, every
+    * operation integer floor division on non-negatives. */
   val simPagerankRefined: String = pagerankSql(KNNR_PIPE, "mkr")
 
   private def pagerankSql(pipe: String, mk: String): String = {
@@ -669,20 +630,11 @@ object Oracles {
        |ORDER BY 1""".stripMargin
   }
 
-  /** Cluster exemplars — the DuckDB twin of
-    * SimilarityOps.clusterExemplars: the same mutual-kNN graph feeding
-    * both the recursive component reach and the unrolled PageRank
-    * rounds; exemplar = top rank per cluster, ties to the smaller id. */
-  val simClusterExemplars: String = exemplarsSql(KNN2_PIPE, "mk2")
-
-  /** Cluster exemplars over the LINEAR bit-signature graph — the DuckDB
-    * twin of SimilarityOps.clusterExemplarsBits (same fixpoint and rank
-    * rounds, KNNB edges). */
-  val simClusterExemplarsBits: String = exemplarsSql(KNNB_PIPE, "mkb")
-
   /** Cluster exemplars over the DESCENT-REFINED graph — the DuckDB twin
-    * of SimilarityOps.clusterExemplarsRefined (same fixpoint and rank
-    * rounds, KNNR edges). */
+    * of SimilarityOps.clusterExemplarsRefined: the same mutual-kNN graph
+    * feeding both the recursive component reach and the unrolled
+    * PageRank rounds; exemplar = top rank per cluster, ties to the
+    * smaller id. */
   val simClusterExemplarsRefined: String = exemplarsSql(KNNR_PIPE, "mkr")
 
   private def exemplarsSql(pipe: String, mk: String): String = {

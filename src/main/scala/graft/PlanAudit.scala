@@ -174,8 +174,11 @@ object PlanAudit {
     // at cluster scale. The ONE legitimate broadcast is the nlist-row
     // per-list-size table that attaches the skew-split factor (nsplit):
     // it is an aggregate over the list key, bounded by √n rows.
-    println("\n===== sim_knn_graph =====")
-    val knnDf = SparkEntry.queries("sim_knn_graph")(spark, dir)
+    // direct call: the 1-probe build left the suite in r14 (refined is the
+    // default edge supplier) but stays the Voronoi family's plan template —
+    // keep auditing it so the calibration path can't silently regress
+    println("\n===== sim_knn_graph (calibration, direct) =====")
+    val knnDf = graft.operators.SimilarityOps.knnGraph(spark, dir)
     knnDf.explain("formatted")
     val knnPlan = knnDf.queryExecution.executedPlan.toString
     assert(knnPlan.contains("ShuffledHashJoin"),
@@ -359,8 +362,10 @@ object PlanAudit {
     // (ranks ⋈ edges, nodes ⋈ sums) — hinted shuffle_hash like every
     // other corpus join; the final plan (last round over checkpointed
     // leaves) must show co-shuffled equi-joins and no nested loop
-    println("\n===== sim_pagerank =====")
-    val prDf = SparkEntry.queries("sim_pagerank")(spark, dir)
+    // direct call: the suite's sim_pagerank is refined-backed as of r14;
+    // this audit pins the 2-probe-supplied composition (calibration path)
+    println("\n===== pageRank over 2-probe graph (calibration, direct) =====")
+    val prDf = graft.operators.SimilarityOps.pageRank(spark, dir)
     prDf.explain("formatted")
     val prPlan = prDf.queryExecution.executedPlan.toString
     assert(prPlan.contains("ShuffledHashJoin"),
@@ -390,7 +395,7 @@ object PlanAudit {
     // cluster exemplars: composition of audited pieces — still assert
     // the composed plan never degenerates to a nested loop / cartesian
     // and the exemplar pick window is cluster-partitioned
-    val ceDf = SparkEntry.queries("sim_cluster_exemplars")(spark, dir)
+    val ceDf = graft.operators.SimilarityOps.clusterExemplars(spark, dir)
     val cePlan = ceDf.queryExecution.executedPlan.toString
     // same 2-probe allowance as pagerank: the cached graph lineage
     // carries the nlist-row centroid broadcast cross-score

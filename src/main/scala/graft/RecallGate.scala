@@ -107,7 +107,14 @@ object RecallGate {
           count(lit(1)).as("q")).collect()(0)
       val gateSecs = (System.nanoTime() - t1) / 1e9
       val (t, h, q) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-      val recall = if (t == 0) 1.0 else h.toDouble / t
+      // zero true edges means the gate itself is degenerate (empty/tiny
+      // embeddings table, broken eval set) — writing recall=1.0 would put
+      // a perfect-recall row into the artifact of record, the inverse of
+      // the r11 misleading-gate failure this tool exists to prevent
+      if (t == 0) sys.error(
+        s"RecallGate: 0 true edges for $spec at $dir ($n vectors, $q queries) — " +
+          "degenerate gate, refusing to record a vacuous recall row")
+      val recall = h.toDouble / t
       val (name, dials) = parseSpec(spec)
       val cfg = if (dials.isEmpty) "default"
         else dials.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")

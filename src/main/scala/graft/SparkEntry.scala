@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
+import graft.query.DatsGen
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,27 +81,43 @@ object SparkEntry {
     "evt_stickiness" -> (EventOps.stickiness _),
     "evt_anomaly" -> (EventOps.anomaly _),
     "evt_transition_matrix" -> (EventOps.transitionMatrix _),
-    "sim_knn_graph" -> (SimilarityOps.knnGraph _),
-    "sim_knn_components" -> (SimilarityOps.knnComponents _),
-    "sim_knn_recall" -> (SimilarityOps.knnRecall _),
+    // k-NN graph family, r14 default switch: the DESCENT-REFINED build is
+    // the edge supplier behind the unsuffixed consumer names — it is the
+    // only build that is simultaneously linear-cost (×10.3/decade measured,
+    // benchmarks_sf1/sf10.jsonl) and high-recall (0.9231 at sf10,
+    // RECALL_r13/14). The legacy suppliers stay reachable for calibration:
+    // sim_knn_graph2 (2-probe Voronoi — exact-leaning but n^1.5, the
+    // recall/exactness reference) and sim_knn_graph_bits (linear seed whose
+    // standalone recall decays at scale — seed diagnostics only). The
+    // 1-probe Voronoi build and the bits-edge exemplar composition are
+    // retired from the suite (still in SimilarityOps + RecallGate specs);
+    // nobody should run an n^1.5 build or summarize 0.09-recall edges at
+    // 100× when a measured linear twin exists.
     "sim_knn_graph2" -> (SimilarityOps.knnGraph2 _),
     "sim_knn_recall2" -> (SimilarityOps.knnRecall2 _),
     "sim_knn_graph_bits" -> (SimilarityOps.knnGraphBits _),
     "sim_knn_recall_bits" -> (SimilarityOps.knnRecallBits _),
     "sim_knn_graph_refined" -> (SimilarityOps.knnGraphRefined _),
     "sim_knn_recall_refined" -> (SimilarityOps.knnRecallRefined _),
-    "sim_knn_components_refined" -> (SimilarityOps.knnComponentsRefined _),
-    "sim_pagerank_refined" -> (SimilarityOps.pageRankRefined _),
-    "sim_cluster_exemplars_refined" -> (SimilarityOps.clusterExemplarsRefined _),
+    "sim_knn_components" -> (SimilarityOps.knnComponentsRefined _),
+    "sim_pagerank" -> (SimilarityOps.pageRankRefined _),
+    "sim_cluster_exemplars" -> (SimilarityOps.clusterExemplarsRefined _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextOps.chunkDedup(s, d)),
     "text_corpus_shuffle" -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "sim_embedding_covariance" -> (SimilarityOps.embeddingCovariance _),
     "sim_top_component" -> (SimilarityOps.topComponent _),
     "sim_component_scores" -> (SimilarityOps.componentScores _),
-    "sim_pagerank" -> ((s: SparkSession, d: String) => SimilarityOps.pageRank(s, d)),
-    "sim_cluster_exemplars" -> (SimilarityOps.clusterExemplars _),
-    "sim_cluster_exemplars_bits" -> (SimilarityOps.clusterExemplarsBits _),
     "evt_value_quantiles" -> (EventOps.valueQuantiles _),
+    // the reference's seven canonical queries (SURVEY.md §2.9) over the
+    // DATS entity graph, derived deterministically from the base tables
+    // (graft.query.DatsGen) so the DuckDB twin can replay the derivation
+    "q1_second_level" -> (DatsGen.q1 _),
+    "q2_dataset_variables" -> (DatsGen.q2 _),
+    "q3_study_group_members" -> (DatsGen.q3 _),
+    "q4_subject_samples" -> (DatsGen.q4 _),
+    "q5_subject_characteristics" -> (DatsGen.q5 _),
+    "q6_sample_characteristics" -> (DatsGen.q6 _),
+    "q7_tabular_dump" -> (DatsGen.q7 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,26 +243,29 @@ object SparkEntry {
     "evt_stickiness" -> Oracles.evtStickiness,
     "evt_anomaly" -> Oracles.evtAnomaly,
     "evt_transition_matrix" -> Oracles.evtTransitionMatrix,
-    "sim_knn_graph" -> Oracles.simKnnGraph,
-    "sim_knn_components" -> Oracles.simKnnComponents,
-    "sim_knn_recall" -> Oracles.simKnnRecall,
+    // unsuffixed k-NN consumer names are refined-backed as of r14 (see the
+    // queries-map note) — their oracles are the refined twins
     "sim_knn_graph2" -> Oracles.simKnnGraph2,
     "sim_knn_recall2" -> Oracles.simKnnRecall2,
     "sim_knn_graph_bits" -> Oracles.simKnnGraphBits,
     "sim_knn_recall_bits" -> Oracles.simKnnRecallBits,
     "sim_knn_graph_refined" -> Oracles.simKnnGraphRefined,
     "sim_knn_recall_refined" -> Oracles.simKnnRecallRefined,
-    "sim_knn_components_refined" -> Oracles.simKnnComponentsRefined,
-    "sim_pagerank_refined" -> Oracles.simPagerankRefined,
-    "sim_cluster_exemplars_refined" -> Oracles.simClusterExemplarsRefined,
+    "sim_knn_components" -> Oracles.simKnnComponentsRefined,
+    "sim_pagerank" -> Oracles.simPagerankRefined,
+    "sim_cluster_exemplars" -> Oracles.simClusterExemplarsRefined,
     "text_chunk_dedup" -> Oracles.textChunkDedup,
     "text_corpus_shuffle" -> Oracles.textCorpusShuffle,
     "sim_embedding_covariance" -> Oracles.simEmbeddingCovariance,
     "sim_top_component" -> Oracles.simTopComponent,
     "sim_component_scores" -> Oracles.simComponentScores,
-    "sim_pagerank" -> Oracles.simPagerank,
-    "sim_cluster_exemplars" -> Oracles.simClusterExemplars,
-    "sim_cluster_exemplars_bits" -> Oracles.simClusterExemplarsBits,
     "evt_value_quantiles" -> Oracles.evtValueQuantiles,
+    "q1_second_level" -> Oracles.datsQ1,
+    "q2_dataset_variables" -> Oracles.datsQ2,
+    "q3_study_group_members" -> Oracles.datsQ3,
+    "q4_subject_samples" -> Oracles.datsQ4,
+    "q5_subject_characteristics" -> Oracles.datsQ5,
+    "q6_sample_characteristics" -> Oracles.datsQ6,
+    "q7_tabular_dump" -> Oracles.datsQ7,
   )
 }

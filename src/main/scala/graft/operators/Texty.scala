@@ -666,13 +666,19 @@ object TextOps {
     * the running coverage is a window over the K surviving rows only.
     * Coverage is exact integer ppm (cum·1e6 floor-div total), ties
     * break lexicographically. */
-  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+  /** Head size for [[vocabCoverage]] — ONE graft-visible constant shared
+    * with the DuckDB twin (Oracles.textVocabCoverage interpolates it), so
+    * the two engines cannot silently diverge the way a free `k` parameter
+    * against a hard-coded oracle literal could (r13 advice). */
+  val VocabCoverageK: Int = 32
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val tok = graft.Caches.cached(
       docs.select(explode(Texty.tokens(col("text"))).as("tok")))
     val cf = tok.groupBy("tok").agg(count(lit(1)).as("cf"))
     val total = tok.agg(count(lit(1)).as("n_total"))
-    val head = cf.orderBy(col("cf").desc, col("tok").asc).limit(k)
+    val head = cf.orderBy(col("cf").desc, col("tok").asc).limit(VocabCoverageK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cf").desc, col("tok").asc)
     head

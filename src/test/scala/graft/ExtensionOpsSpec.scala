@@ -763,7 +763,9 @@ class ExtensionOpsSpec extends SparkTestBase {
     // checked against sim_knn_graph2's edge set
     val edges = SparkEntry.queries("sim_knn_graph2")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val comps = SparkEntry.queries("sim_knn_components")(spark, sf).collect()
+    // direct call: the suite's sim_knn_components is refined-backed as of
+    // r14; this contract test pins the 2-probe-supplied composition
+    val comps = SimilarityOps.knnComponents(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
     // both endpoints of every edge share a label

@@ -3,24 +3,47 @@
 
 Usage: python3 tools/recall_artifact.py RECALL_r13.json in1.jsonl [in2.jsonl ...]
 
-Keeps every row (sweep points included); the shipped configuration is
-whichever row carries config == "default" for each (graph, sf). Rows are
-sorted by (graph, sf, config) for stable diffs.
+Keeps every distinct measurement (sweep points included); the shipped
+configuration is whichever row carries config == "default" for each
+(graph, sf). Rows are sorted by (graph, sf, config) for stable diffs.
+
+RecallGate appends (CREATE+APPEND), so a rerun against an existing JSONL
+duplicates rows byte-for-byte; exact duplicates are dropped here (with a
+stderr note) so reruns cannot inflate the artifact of record. Rows that
+share (graph, config, sf) but DISAGREE on the measurement are kept — two
+honest re-measures are evidence, not noise — and flagged on stderr.
 """
 import json, sys
 
+
 def main():
     out, ins = sys.argv[1], sys.argv[2:]
-    rows = []
+    rows, seen_exact, keyed = [], set(), {}
+    n_dupes = 0
     for f in ins:
         for line in open(f):
             line = line.strip()
-            if line:
-                rows.append(json.loads(line))
+            if not line:
+                continue
+            if line in seen_exact:
+                n_dupes += 1
+                continue
+            seen_exact.add(line)
+            r = json.loads(line)
+            key = (r["graph"], r["config"], r["sf"])
+            if key in keyed and keyed[key] != r.get("recall"):
+                print(f"NOTE: {key} re-measured: recall {keyed[key]} vs "
+                      f"{r.get('recall')} (both kept)", file=sys.stderr)
+            keyed.setdefault(key, r.get("recall"))
+            rows.append(r)
+    if n_dupes:
+        print(f"NOTE: dropped {n_dupes} byte-identical duplicate rows "
+              "(rerun against an existing JSONL)", file=sys.stderr)
     rows.sort(key=lambda r: (r["graph"], r["sf"], r["config"]))
     with open(out, "w") as fh:
         json.dump({"rows": rows}, fh, indent=1)
     print(f"{out}: {len(rows)} rows")
+
 
 if __name__ == "__main__":
     main()
