@@ -1234,4 +1234,138 @@ object Oracles {
       | CASE WHEN max(rk) = 2 THEN 'yes' ELSE 'no' END AS status
       |FROM s GROUP BY material_id HAVING max(rk) > 0
       |ORDER BY material_id""".stripMargin
+
+  // ---- the seven canonical DATS queries (SURVEY.md §2.9) ----
+  // Each twin replays graft.query.DatsGen's derivation COLLAPSED to the
+  // base tables (the entity tables are pure views, so substituting them
+  // into the query plans yields these direct joins) — a green row proves
+  // the derivation and the DataFrame plan together.
+
+  /** Region/nation id fragments shared by the twins. */
+  private val phsAcc = "'phs' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0')"
+
+  /** DatsGen's deterministic per-order line sequence ((l_orderkey,
+    * l_linenumber) is not unique in the synthetic lineitem) — must be
+    * selected from a subquery exposing `l_seq`. */
+  private val lSeq =
+    """row_number() OVER (PARTITION BY l_orderkey
+      |   ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)""".stripMargin
+  private val fid =
+    "'F' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_seq AS VARCHAR)"
+
+  /** Q1 — 2nd-level datasets under the ASIA/EUROPE project roots:
+    * children of the top datasets, accession-or-title + title, ordered. */
+  val datsQ1: String =
+    s"""SELECT $phsAcc AS dataset_acc, n_name AS title
+       |FROM nation JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name IN ('ASIA', 'EUROPE')
+       |ORDER BY dataset_acc""".stripMargin
+
+  /** Q2 — dataset variables for study phs000003 (nation 3): the per-study
+    * Dimension block, 2-key ORDER BY. */
+  val datsQ2: String =
+    s"""SELECT $phsAcc AS study_acc,
+       | 'phv' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') || v.suffix AS var_acc,
+       | v.vname AS var_name, v.vdesc AS description
+       |FROM nation, (VALUES
+       |  ('01', 'Gender', 'Subject gender'),
+       |  ('02', 'Age_Range', 'Subject age range'),
+       |  ('03', 'Market_Segment', 'Customer market segment'),
+       |  ('04', 'Order_Priority', 'Sample order priority'),
+       |  ('05', 'Order_Status', 'Sample order status')) v(suffix, vname, vdesc)
+       |WHERE n_nationkey = 3
+       |ORDER BY study_acc, var_acc""".stripMargin
+
+  /** Q3 — members of study group AUTOMOBILE in dataset phs000000 (nation 0):
+    * the group is the (nation, mktsegment) pair, members its customers. */
+  val datsQ3: String =
+    s"""SELECT n_name || ' study' AS study_name, c_mktsegment AS group_name,
+       | c_name AS member_name
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_nationkey = 0 AND c_mktsegment = 'AUTOMOBILE'
+       |ORDER BY study_name, group_name, member_name""".stripMargin
+
+  /** Q4 — DISTINCT subject/sample/extract-role triples via the
+    * extract→specimen→donor derivesFrom chain. */
+  val datsQ4: String =
+    s"""SELECT DISTINCT c_name AS subject_name,
+       | 'SM-' || CAST(o_orderkey AS VARCHAR) AS sample_name,
+       | CASE WHEN l_linenumber % 2 = 0 THEN 'DNA extract' ELSE 'RNA extract' END
+       |   AS extract_role
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       |ORDER BY subject_name, sample_name, extract_role""".stripMargin
+
+  /** Subject-level characteristic long-form (DatsGen's 3 donor rows). */
+  private val subjChars: String =
+    """SELECT c_name, 'phv00001' AS var_acc, 'Gender' AS name,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS value
+      | FROM customer
+      |UNION ALL SELECT c_name, 'phv00002', 'Age_Range',
+      |  CAST(20 + (c_custkey % 6) * 10 AS VARCHAR) || '-' ||
+      |  CAST(29 + (c_custkey % 6) * 10 AS VARCHAR) FROM customer
+      |UNION ALL SELECT c_name, 'phv00003', 'Market_Segment', c_mktsegment
+      | FROM customer""".stripMargin
+
+  /** Q5 — donor characteristics, DISTINCT, 3-key ORDER BY. */
+  val datsQ5: String =
+    s"""WITH ch AS ($subjChars)
+       |SELECT DISTINCT c_name AS material_name, var_acc, name AS char_name, value
+       |FROM ch ORDER BY material_name, char_name, value""".stripMargin
+
+  /** Q6 — specimen characteristics (per-order priority/status rows). */
+  val datsQ6: String =
+    s"""WITH ch AS (
+       | SELECT 'SM-' || CAST(o_orderkey AS VARCHAR) AS material_name,
+       |  'phv00004' AS var_acc, 'Order_Priority' AS name, o_orderpriority AS value
+       | FROM orders
+       | UNION ALL SELECT 'SM-' || CAST(o_orderkey AS VARCHAR),
+       |  'phv00005', 'Order_Status', o_orderstatus FROM orders)
+       |SELECT DISTINCT material_name, var_acc, name AS char_name, value
+       |FROM ch ORDER BY material_name, char_name, value""".stripMargin
+
+  /** Q7 — the denormalizing tabular dump: (study × group × subject × file)
+    * grain, fixed pivot header, subjects without files padded by the LEFT
+    * join, the reference's column set/order and sort keys (NULLS FIRST
+    * mirrors Spark's asc_nulls_first). */
+  val datsQ7: String =
+    s"""WITH pvt AS (SELECT c_custkey,
+       |  CAST(20 + (c_custkey % 6) * 10 AS VARCHAR) || '-' ||
+       |   CAST(29 + (c_custkey % 6) * 10 AS VARCHAR) AS age_range,
+       |  CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'positive'
+       |   WHEN c_custkey % 3 = 1 THEN 'negative' ELSE 'unknown' END AS hypertension,
+       |  c_mktsegment AS market_segment FROM customer),
+       |li AS (SELECT *, $lSeq AS l_seq FROM lineitem),
+       |f AS (SELECT c.c_name AS subject_name,
+       |  ap.aname AS anatomical_part, ap.uberon AS anatomical_part_id,
+       |  CASE WHEN l_linenumber % 2 = 0 THEN 'WGS' ELSE 'RNA-Seq' END AS datatype,
+       |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS file_size,
+       |  md5($fid) AS md5c,
+       |  's3://graft-bucket/' || $fid || '.cram' AS aws_uri,
+       |  'gs://graft-bucket/' || $fid || '.cram' AS gcp_uri,
+       |  '10.0000/' || $fid AS doi,
+       |  '10.0000/idx.' || $fid AS index_doi
+       | FROM li JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer c ON o_custkey = c.c_custkey
+       |  JOIN (VALUES (0, 'Blood', 'UBERON:0000178'), (1, 'Brain', 'UBERON:0000955'),
+       |   (2, 'Heart', 'UBERON:0000948'), (3, 'Liver', 'UBERON:0002107'),
+       |   (4, 'Lung', 'UBERON:0002048')) ap(k, aname, uberon)
+       |  ON l_partkey % 5 = ap.k)
+       |SELECT r_name AS "Project", $phsAcc AS "dbGaP_Study",
+       | c_mktsegment AS "Study_Group", c_name AS "Subject_ID",
+       | p.age_range AS "Age_Range", p.gender AS "Gender",
+       | p.hypertension AS "Hypertension", p.market_segment AS "Market_Segment",
+       | f.anatomical_part AS "Anatomical_Part",
+       | f.anatomical_part_id AS "Anatomical_Part_ID",
+       | f.datatype AS "Datatype", f.file_size AS "File_Size",
+       | f.md5c AS "MD5_Checksum", f.aws_uri AS "AWS_URI", f.gcp_uri AS "GCP_URI",
+       | f.doi AS "DOI", f.index_doi AS "INDEX_DOI"
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       | JOIN pvt p ON p.c_custkey = customer.c_custkey
+       | LEFT JOIN f ON f.subject_name = c_name
+       |ORDER BY "dbGaP_Study", "Study_Group", "Subject_ID",
+       | "Anatomical_Part" ASC NULLS FIRST, "Datatype" ASC NULLS FIRST,
+       | "AWS_URI" ASC NULLS FIRST""".stripMargin
 }

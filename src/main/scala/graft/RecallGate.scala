@@ -91,6 +91,10 @@ object RecallGate {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = Tables.session("recall-gate")
     spark.sparkContext.setLogLevel("ERROR")
+    // a degenerate point must not abort the remaining sweep (r14 advice:
+    // sys.error here silently discarded every later spec/sf) — record it
+    // as an explicit error row and keep sweeping, then exit non-zero
+    var degenerate = 0
     for (dir <- sfDirs; spec <- graphs) {
       val n = Tables.load(spark, dir, "embeddings").count()
       // build and gate timed separately: the build is the graph's cost
@@ -107,25 +111,35 @@ object RecallGate {
           count(lit(1)).as("q")).collect()(0)
       val gateSecs = (System.nanoTime() - t1) / 1e9
       val (t, h, q) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-      // zero true edges means the gate itself is degenerate (empty/tiny
-      // embeddings table, broken eval set) — writing recall=1.0 would put
-      // a perfect-recall row into the artifact of record, the inverse of
-      // the r11 misleading-gate failure this tool exists to prevent
-      if (t == 0) sys.error(
-        s"RecallGate: 0 true edges for $spec at $dir ($n vectors, $q queries) — " +
-          "degenerate gate, refusing to record a vacuous recall row")
-      val recall = h.toDouble / t
       val (name, dials) = parseSpec(spec)
       val cfg = if (dials.isEmpty) "default"
         else dials.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
-      // Locale.ROOT: a comma-decimal default locale would emit invalid
-      // JSON through the f-interpolator and break the artifact build
-      val row = String.format(java.util.Locale.ROOT,
-        """{"graph":"%s","config":"%s","sf":"%s","n_vectors":%d,""" +
-          """"n_queries":%d,"true_edges":%d,"hits":%d,"recall":%.4f,""" +
-          """"build_secs":%.2f,"gate_secs":%.2f}""",
-        name, cfg, dir, Long.box(n), Long.box(q), Long.box(t), Long.box(h),
-        Double.box(recall), Double.box(buildSecs), Double.box(gateSecs))
+      // zero true edges means the gate itself is degenerate (empty/tiny
+      // embeddings table, broken eval set) — writing recall=1.0 would put
+      // a perfect-recall row into the artifact of record, the inverse of
+      // the r11 misleading-gate failure this tool exists to prevent. The
+      // point is recorded as an explicit ERROR row (consumers filter on
+      // the `error` key) and the sweep continues.
+      val row = if (t == 0) {
+        degenerate += 1
+        System.err.println(s"RecallGate: 0 true edges for $spec at $dir " +
+          s"($n vectors, $q queries) — degenerate gate, recording error row")
+        String.format(java.util.Locale.ROOT,
+          """{"graph":"%s","config":"%s","sf":"%s","n_vectors":%d,""" +
+            """"n_queries":%d,"true_edges":0,""" +
+            """"error":"degenerate gate: 0 true edges"}""",
+          name, cfg, dir, Long.box(n), Long.box(q))
+      } else {
+        val recall = h.toDouble / t
+        // Locale.ROOT: a comma-decimal default locale would emit invalid
+        // JSON through the f-interpolator and break the artifact build
+        String.format(java.util.Locale.ROOT,
+          """{"graph":"%s","config":"%s","sf":"%s","n_vectors":%d,""" +
+            """"n_queries":%d,"true_edges":%d,"hits":%d,"recall":%.4f,""" +
+            """"build_secs":%.2f,"gate_secs":%.2f}""",
+          name, cfg, dir, Long.box(n), Long.box(q), Long.box(t), Long.box(h),
+          Double.box(recall), Double.box(buildSecs), Double.box(gateSecs))
+      }
       java.nio.file.Files.writeString(outPath, row + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -138,5 +152,7 @@ object RecallGate {
       spark.catalog.clearCache()
     }
     spark.stop()
+    if (degenerate > 0)
+      sys.error(s"RecallGate: $degenerate degenerate point(s) recorded as error rows")
   }
 }

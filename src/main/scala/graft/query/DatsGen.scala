@@ -1,0 +1,245 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.GtexEtl.EntityGraph
+
+/** Deterministic DATS entity graph over the synthetic star schema, plus
+  * the seven canonical reference queries (SURVEY.md §2.9) bound to it.
+  *
+  * The reference runs its seven query scripts
+  * (sparql/v0.7/sparql_list_*.py:34-64, rdflib_tabular_dump.py:12-418)
+  * against a ~160 MB / ~663k-triple GTEx DATS instance. The driver's
+  * correctness harness only provides the TPC-H-ish base tables, so this
+  * object derives an entity graph of the same SHAPE from them with pure,
+  * SQL-replayable column arithmetic — every mapping below is mirrored
+  * line-for-line by the DuckDB twins in [[graft.Oracles.datsQ1]]–datsQ7,
+  * which makes each green row an end-to-end equivalence proof for the
+  * derivation AND the query plan.
+  *
+  * Mapping (one entity family per base table, so cardinalities scale with
+  * sf exactly like the reference's graph scales with release size):
+  *   - region   → top-level project Dataset  (`R<key>`)
+  *   - nation   → 2nd-level study Dataset (`N<key>`) + Identifier
+  *                (`phs<key zero-padded to 6>`) + Study (`ST<key>`)
+  *                + 5 Dimensions per study (`phv<key:3><01..05>`)
+  *   - customer → donor Material (`SUBJ<key>`), StudyGroup membership
+  *                keyed (nation, mktsegment), 3 characteristics
+  *                (Gender / Age_Range / Market_Segment) + 1 disease row
+  *                (Hypertension status)
+  *   - orders   → specimen Material (`SAMP<key>`, name `SM-<key>`)
+  *                deriving from its customer's donor, 2 characteristics
+  *                (Order_Priority / Order_Status)
+  *   - lineitem → DNA/RNA extract Material (`EXT<okey>_<line>`, role by
+  *                line parity) deriving from the specimen and carrying
+  *                subject_id + anatomy directly (as GTEx extracts do),
+  *                one file-level Dataset (`F<okey>_<line>`, WGS/RNA-Seq
+  *                by the same parity), its DataAcquisition, and one
+  *                s3:// + one gs:// Distribution (size/md5/DOIs derived
+  *                from the row key).
+  *
+  * At sf0.1 this yields ~600k extracts + 600k file datasets + 1.2M
+  * distributions + 150k samples — the same order of magnitude as the
+  * reference's 663k-triple instance, which is what BENCH_r{N}'s
+  * q1/q7 rows are compared against (BASELINE.md: Q1 ≤ 90 s, Q2 ≤ 5 s).
+  *
+  * Scale shape: every derivation is a projection or a key-equi-join of
+  * base tables (lineitem⋈orders⋈customer for extract subject attribution);
+  * nothing is collected to the driver. Catalyst prunes unused entity
+  * tables per query — e.g. Q1 compiles to a nation⋈region scan only.
+  */
+object DatsGen {
+
+  /** Q1 parameter — the reference queries its top dataset by title
+    * (sparql_list_2nd_level_datasets.py:34-40); here two project roots. */
+  val Q1TopTitles: Seq[String] = Seq("ASIA", "EUROPE")
+
+  /** Q2 parameter — study accession (nation 3's identifier). */
+  val Q2StudyAcc = "phs000003"
+
+  /** Q3 parameters — dataset accession (nation 1) + study-group name
+    * (a market segment, the group key). */
+  val Q3DatasetAcc = "phs000000"
+  val Q3GroupName = "AUTOMOBILE"
+
+  private def s(c: org.apache.spark.sql.Column) = c.cast("string")
+  private def nullStr = lit(null).cast("string")
+
+  /** The full entity graph. Pure view composition over the base parquet —
+    * building it per query costs nothing; only the branches a query
+    * touches are scanned, with column pruning pushed to parquet. */
+  def graph(spark: SparkSession, dir: String): EntityGraph = {
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    // the synthetic generator draws l_linenumber at random, so
+    // (l_orderkey, l_linenumber) is NOT unique (sf0.01: 60k rows, 45.8k
+    // distinct pairs) — entity ids minted from it would collide and fan
+    // every downstream join. l_seq is a deterministic per-order line
+    // sequence: the window is PARTITIONED by the order key (scales — no
+    // global sort), and its ORDER BY covers every column the derived
+    // entities read, so even a tie would swap ids between
+    // output-identical rows (multiset-equal; at sf0.1 the key is in fact
+    // tie-free). The DuckDB twins replay the same window.
+    val lineitem = Tables.load(spark, dir, "lineitem").withColumn("l_seq",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")))
+
+    val fileId = concat(lit("F"), s(col("l_orderkey")), lit("_"), s(col("l_seq")))
+    val extractId = concat(lit("EXT"), s(col("l_orderkey")), lit("_"), s(col("l_seq")))
+    val fileType = when(col("l_linenumber") % 2 === 0, "WGS").otherwise("RNA-Seq")
+
+    val datasets =
+      region.select(concat(lit("R"), s(col("r_regionkey"))).as("dataset_id"),
+          nullStr.as("parent_dataset_id"), col("r_name").as("title"),
+          nullStr.as("data_type"))
+        .unionByName(nation.select(
+          concat(lit("N"), s(col("n_nationkey"))).as("dataset_id"),
+          concat(lit("R"), s(col("n_regionkey"))).as("parent_dataset_id"),
+          col("n_name").as("title"), nullStr.as("data_type")))
+        .unionByName(lineitem.select(fileId.as("dataset_id"),
+          nullStr.as("parent_dataset_id"), fileId.as("title"),
+          fileType.as("data_type")))
+
+    val identifiers = nation.select(
+      concat(lit("N"), s(col("n_nationkey"))).as("entity_id"),
+      concat(lit("phs"), lpad(s(col("n_nationkey")), 6, "0")).as("identifier"))
+
+    val studies = nation.select(
+      concat(lit("ST"), s(col("n_nationkey"))).as("study_id"),
+      concat(lit("N"), s(col("n_nationkey"))).as("dataset_id"),
+      concat(col("n_name"), lit(" study")).as("name"))
+
+    val studyGroups = customer.select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .select(
+        concat(lit("G"), s(col("c_nationkey")), lit("_"), col("c_mktsegment")).as("group_id"),
+        concat(lit("ST"), s(col("c_nationkey"))).as("study_id"),
+        col("c_mktsegment").as("name"))
+
+    val groupMembers = customer.select(
+      concat(lit("G"), s(col("c_nationkey")), lit("_"), col("c_mktsegment")).as("group_id"),
+      concat(lit("SUBJ"), s(col("c_custkey"))).as("material_id"))
+
+    // extracts attach to subjects by name (the file_subject_key Q7 joins
+    // on) — the lineitem⋈orders⋈customer chain is the one real join in
+    // the derivation, keyed and shuffle-partitioned on the order key
+    val extracts = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(extractId.as("material_id"),
+        concat(lit("EX-"), s(col("l_orderkey")), lit("_"), s(col("l_seq"))).as("name"),
+        when(col("l_linenumber") % 2 === 0, "DNA extract").otherwise("RNA extract").as("role"),
+        concat(lit("SAMP"), s(col("l_orderkey"))).as("derives_from"),
+        col("c_name").as("subject_id"),
+        concat(lit("A"), s(col("l_partkey") % 5)).as("anatomy_id"))
+
+    val materials = customer.select(
+        concat(lit("SUBJ"), s(col("c_custkey"))).as("material_id"),
+        col("c_name").as("name"), lit("donor").as("role"),
+        nullStr.as("derives_from"), nullStr.as("subject_id"), nullStr.as("anatomy_id"))
+      .unionByName(orders.select(
+        concat(lit("SAMP"), s(col("o_orderkey"))).as("material_id"),
+        concat(lit("SM-"), s(col("o_orderkey"))).as("name"),
+        lit("specimen").as("role"),
+        concat(lit("SUBJ"), s(col("o_custkey"))).as("derives_from"),
+        nullStr.as("subject_id"), nullStr.as("anatomy_id")))
+      .unionByName(extracts)
+
+    val anatomicalParts = {
+      import spark.implicits._
+      Seq(("A0", "Blood", "UBERON:0000178"), ("A1", "Brain", "UBERON:0000955"),
+        ("A2", "Heart", "UBERON:0000948"), ("A3", "Liver", "UBERON:0002107"),
+        ("A4", "Lung", "UBERON:0002048"))
+        .toDF("anatomy_id", "name", "uberon_id")
+    }
+
+    val subjMid = concat(lit("SUBJ"), s(col("c_custkey")))
+    val sampMid = concat(lit("SAMP"), s(col("o_orderkey")))
+    val characteristics = customer.select(subjMid.as("material_id"),
+        lit("phv00001").as("var_acc"), lit("Gender").as("name"),
+        when(col("c_custkey") % 2 === 0, "female").otherwise("male").as("value"))
+      .unionByName(customer.select(subjMid.as("material_id"),
+        lit("phv00002").as("var_acc"), lit("Age_Range").as("name"),
+        concat(s(lit(20) + (col("c_custkey") % 6) * 10), lit("-"),
+          s(lit(29) + (col("c_custkey") % 6) * 10)).as("value")))
+      .unionByName(customer.select(subjMid.as("material_id"),
+        lit("phv00003").as("var_acc"), lit("Market_Segment").as("name"),
+        col("c_mktsegment").as("value")))
+      .unionByName(orders.select(sampMid.as("material_id"),
+        lit("phv00004").as("var_acc"), lit("Order_Priority").as("name"),
+        col("o_orderpriority").as("value")))
+      .unionByName(orders.select(sampMid.as("material_id"),
+        lit("phv00005").as("var_acc"), lit("Order_Status").as("name"),
+        col("o_orderstatus").as("value")))
+
+    val dimensions = {
+      import spark.implicits._
+      val vars = Seq(("01", "Gender", "Subject gender"),
+        ("02", "Age_Range", "Subject age range"),
+        ("03", "Market_Segment", "Customer market segment"),
+        ("04", "Order_Priority", "Sample order priority"),
+        ("05", "Order_Status", "Sample order status"))
+        .toDF("v_suffix", "v_name", "v_description")
+      nation.crossJoin(broadcast(vars)).select(
+        concat(lit("N"), s(col("n_nationkey"))).as("owner_id"),
+        concat(lit("phv"), lpad(s(col("n_nationkey")), 3, "0"), col("v_suffix")).as("var_acc"),
+        col("v_name").as("name"), col("v_description").as("description"))
+    }
+
+    val distributions = lineitem.select(fileId.as("dataset_id"),
+        concat(lit("s3://graft-bucket/"), fileId, lit(".cram")).as("access_url"),
+        floor(col("l_extendedprice")).cast("long").as("size"),
+        md5(fileId).as("md5"),
+        concat(lit("10.0000/"), fileId).as("doi"),
+        concat(lit("10.0000/idx."), fileId).as("index_doi"))
+      .unionByName(lineitem.select(fileId.as("dataset_id"),
+        concat(lit("gs://graft-bucket/"), fileId, lit(".cram")).as("access_url"),
+        lit(null).cast("long").as("size"), nullStr.as("md5"),
+        nullStr.as("doi"), nullStr.as("index_doi")))
+
+    val dataAcquisitions = lineitem.select(
+      extractId.as("input_material_id"), fileId.as("dataset_id"))
+
+    val diseases = customer.select(subjMid.as("material_id"),
+      lit("Hypertension").as("name"), lit("DOID:10763").as("disease_id"),
+      when(col("c_custkey") % 3 === 0, "positive")
+        .when(col("c_custkey") % 3 === 1, "negative")
+        .otherwise("unknown").as("status"))
+
+    EntityGraph(datasets, identifiers, studies, studyGroups, groupMembers,
+      materials, anatomicalParts, characteristics, dimensions, distributions,
+      dataAcquisitions, diseases)
+  }
+
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.listSecondLevelDatasets(graph(spark, dir), Q1TopTitles)
+
+  def q2(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.listDatasetVariables(graph(spark, dir), Some(Q2StudyAcc))
+
+  def q3(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.listStudyGroupMembers(graph(spark, dir), Q3DatasetAcc, Q3GroupName)
+
+  def q4(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.listSubjectSamples(graph(spark, dir))
+
+  def q5(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.listSubjectCharacteristics(graph(spark, dir))
+
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.listSampleCharacteristics(graph(spark, dir))
+
+  /** Q7 passes the pivot header explicitly — the derivation fixes the
+    * subject-level characteristic∪disease name set, so the distinct
+    * discovery pass (bounded but still a job) is skipped. */
+  def q7(spark: SparkSession, dir: String): DataFrame =
+    DatsQueries.tabularDump(graph(spark, dir),
+      Some(Seq("Age_Range", "Gender", "Hypertension", "Market_Segment")))
+}

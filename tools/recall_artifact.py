@@ -20,6 +20,10 @@ def main():
     out, ins = sys.argv[1], sys.argv[2:]
     rows, seen_exact, keyed = [], set(), {}
     n_dupes = 0
+    # compare the full measurement, not just recall (r14 advice: rows
+    # agreeing on recall but disagreeing on hits/true_edges/n_vectors went
+    # unflagged, and each new row was only checked against the FIRST seen)
+    MEASURE = ("recall", "hits", "true_edges", "n_vectors", "n_queries", "error")
     for f in ins:
         for line in open(f):
             line = line.strip()
@@ -31,10 +35,15 @@ def main():
             seen_exact.add(line)
             r = json.loads(line)
             key = (r["graph"], r["config"], r["sf"])
-            if key in keyed and keyed[key] != r.get("recall"):
-                print(f"NOTE: {key} re-measured: recall {keyed[key]} vs "
-                      f"{r.get('recall')} (both kept)", file=sys.stderr)
-            keyed.setdefault(key, r.get("recall"))
+            meas = tuple(r.get(k) for k in MEASURE)
+            prior = keyed.setdefault(key, [])
+            for p in prior:
+                if p != meas:
+                    print(f"NOTE: {key} re-measured: "
+                          f"{dict(zip(MEASURE, p))} vs {dict(zip(MEASURE, meas))} "
+                          "(both kept)", file=sys.stderr)
+            if meas not in prior:
+                prior.append(meas)
             rows.append(r)
     if n_dupes:
         print(f"NOTE: dropped {n_dupes} byte-identical duplicate rows "
