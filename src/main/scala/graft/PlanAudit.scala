@@ -403,6 +403,35 @@ object PlanAudit {
       "cluster exemplars' corpus-sized joins must stay equi-joins")
     assert(cePlan.contains("hashpartitioning(cluster_id"),
       "exemplar pick must window per cluster, never partition-less")
+    // DATS Q1: the top-dataset filter is an explicitly broadcast
+    // row-bounded frame (datasets matching two titles) — the plan must
+    // carry that broadcast and stay cartesian-free
+    println("\n===== q1_second_level =====")
+    val q1Df = SparkEntry.queries("q1_second_level")(spark, dir)
+    q1Df.explain("formatted")
+    val q1Plan = q1Df.queryExecution.executedPlan.toString
+    assert(q1Plan.contains("BroadcastHashJoin"),
+      "q1 must broadcast the title-filtered top-dataset frame")
+    assert(!q1Plan.contains("NestedLoop") && !q1Plan.contains("Cartesian"),
+      "q1 must stay equi-join only")
+    // DATS Q7 (tabular dump) — the reference's 410-LoC denormalizer.
+    // At 100 TB the subject-side frames (members, characteristics pivot,
+    // file chain) are all corpus-sized on both sides: with auto-broadcast
+    // off every join must stay a shuffled equi-join (no nested loop /
+    // cartesian anywhere), and the characteristics pivot must aggregate
+    // partitioned on the subject key, never partition-less. The explicit
+    // charNames header keeps the plan collect-free (one job, no driver
+    // distinct pass).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q7Df = SparkEntry.queries("q7_tabular_dump")(spark, dir)
+    println("\n===== q7_tabular_dump (auto-broadcast off) =====")
+    q7Df.explain("formatted")
+    val q7Plan = q7Df.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(!q7Plan.contains("NestedLoop") && !q7Plan.contains("Cartesian"),
+      "q7 must stay equi-join only at scale")
+    assert(q7Plan.contains("hashpartitioning(subject_mid"),
+      "q7's characteristics pivot must aggregate partitioned on the subject key")
     println("\n[plan-audit] machine checks passed")
     spark.stop()
   }
