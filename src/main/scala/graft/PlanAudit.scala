@@ -414,6 +414,12 @@ object PlanAudit {
       "q1 must broadcast the title-filtered top-dataset frame")
     assert(!q1Plan.contains("NestedLoop") && !q1Plan.contains("Cartesian"),
       "q1 must stay equi-join only")
+    // the corpus-sized file-dataset union branch must constant-fold away
+    // (file datasets are untitled, so the root-title filter folds false):
+    // a root lookup that scans the file branch is the 4 s-at-sf1 regression
+    // this pin exists to stop
+    assert(!q1Plan.contains("lineitem"),
+      "q1 must prune the file-dataset branch — no lineitem scan in a root-title lookup")
     // DATS Q7 (tabular dump) — the reference's 410-LoC denormalizer.
     // At 100 TB the subject-side frames (members, characteristics pivot,
     // file chain) are all corpus-sized on both sides: with auto-broadcast

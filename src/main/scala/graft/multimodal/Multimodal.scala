@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * grayscale rasters, with resize rendered by `Graphics2D`, and
   * [[AudioCodec]] decodes WAV/AIFF/AU payloads through
   * `javax.sound.sampled` into genuine 16-bit mono PCM. VIDEO decode is
-  * real for MJPEG-in-AVI ([[VideoCodec]]: a defensive RIFF chunk walker
-  * + per-frame JPEG decode — the one mainstream video class decodable
-  * with the bare JDK). Payloads no reader claims — including the
+  * real for MJPEG-in-AVI and uncompressed BI_RGB-in-AVI ([[VideoCodec]]:
+  * a defensive RIFF chunk walker + per-frame JPEG decode / raw-DIB
+  * raster arithmetic — the two mainstream video classes decodable with
+  * the bare JDK). Payloads no reader claims — including the
   * synthetic fixture corpus, whose payloads are UTF-8 text, and video
   * codecs the JDK cannot entropy-decode (H.264 etc.) — fall back to
   * [[StubCodec.decode]]'s deterministic fake raster, so a crawl's
@@ -37,8 +38,8 @@ object Multimodal {
 
   /** STUB codec — deterministic fake decode, the fallback when
     * [[ImageCodec]]/[[AudioCodec]]/[[VideoCodec]] cannot claim the
-    * payload (non-MJPEG video needs an external binary like ffmpeg;
-    * everything downstream is codec-agnostic). */
+    * payload (inter-coded video like H.264 needs an external binary
+    * like ffmpeg; everything downstream is codec-agnostic). */
   object StubCodec {
     /** ??? in spirit: produces a w×h "raster" whose bytes are a
       * deterministic function of the payload, so tests are stable. */

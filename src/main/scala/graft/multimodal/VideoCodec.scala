@@ -5,30 +5,39 @@ import java.io.ByteArrayOutputStream
 import scala.collection.mutable.ListBuffer
 import scala.util.Try
 
-/** REAL video codec for MJPEG-in-AVI — the one mainstream video format
-  * decodable with nothing but the JDK: AVI is a plain RIFF chunk
-  * container, and Motion-JPEG stream chunks are complete JPEG images,
-  * which `javax.imageio` decodes. This closes the last stubbed modality
-  * for the format class that needs no external binary; other codecs
-  * (H.264 etc.) still fall back to the labeled stub — the JDK ships no
-  * entropy decoder for them, and an honest fallback beats a fake one.
+/** REAL video codec for the two mainstream AVI classes decodable with
+  * nothing but the JDK:
+  *
+  *   - **MJPEG**: AVI is a plain RIFF chunk container and Motion-JPEG
+  *     stream chunks are complete JPEG images, which `javax.imageio`
+  *     decodes.
+  *   - **Uncompressed BI_RGB (DIB)**: stream chunks are raw bottom-up
+  *     BGR(A)/gray rasters described by the stream's BITMAPINFOHEADER
+  *     (`strf`) — no entropy coding at all, pure arithmetic.
+  *
+  * Inter-coded codecs (H.264 etc.) still fall back to the labeled stub —
+  * the JDK ships no entropy decoder for them, and an honest fallback
+  * beats a fake one.
   *
   * The parser is a defensive RIFF walker: it validates the
   * `RIFF....AVI ` signature, then walks chunks (`LIST` recursively),
   * collecting video stream-data chunks (FourCC `NNdb`/`NNdc`) and
-  * decoding each as JPEG. Every size is bounds-checked against the
-  * payload — a truncated crawl payload yields the frames that fit, never
-  * an exception ([[ImageCodec]]'s decode-failure-is-a-value discipline).
+  * decoding each as JPEG (SOI-marked chunks) or as a raw DIB frame
+  * (when a `vids` stream declared biCompression=0). Every size is
+  * bounds-checked against the payload — a truncated crawl payload
+  * yields the frames that fit, never an exception ([[ImageCodec]]'s
+  * decode-failure-is-a-value discipline).
   *
   * Determinism: chunk order is the container's, JPEG decode through
   * ImageIO is deterministic, and the luma transform is ImageCodec's
-  * integer arithmetic.
+  * integer arithmetic ((299·R + 587·G + 114·B) / 1000) for both paths.
   */
 object VideoCodec {
 
-  /** Decode an MJPEG AVI payload into grayscale frames (width, height,
-    * row-major bytes), container order. None when the payload is not a
-    * RIFF/AVI or contains no decodable JPEG stream chunk. */
+  /** Decode an MJPEG or uncompressed-RGB AVI payload into grayscale
+    * frames (width, height, row-major bytes), container order. None when
+    * the payload is not a RIFF/AVI or contains no decodable stream
+    * chunk. */
   def decode(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] =
     Try {
       if (payload.length < 12 || !fourccAt(payload, 0, "RIFF") ||
@@ -40,6 +49,10 @@ object VideoCodec {
         if (frames.isEmpty) None else Some(frames.toList)
       }
     }.toOption.flatten
+
+  /** The `vids` stream's uncompressed format, when one is declared:
+    * (width, height, bitCount, topDown). */
+  private final case class DibFormat(w: Int, h: Int, bpp: Int, topDown: Boolean)
 
   /** Iterative chunk walk with an explicit range stack — recursion would
     * let a crafted payload of deeply nested LISTs throw
@@ -55,6 +68,12 @@ object VideoCodec {
     var off = from.toLong
     var rEnd = end.toLong
     var resume = List.empty[(Long, Long)]
+    // stream-format state: `strh`(fccType=vids) arms the next `strf` to
+    // be parsed as a BITMAPINFOHEADER; biCompression=0 declares raw DIB
+    // frames. hdrl precedes movi in every spec-conforming AVI, so the
+    // depth-first walk sees the format before the first frame chunk.
+    var awaitVideoStrf = false
+    var dib: Option[DibFormat] = None
     while (off + 8 <= rEnd || resume.nonEmpty) {
       if (off + 8 > rEnd) {
         off = resume.head._1; rEnd = resume.head._2; resume = resume.tail
@@ -71,13 +90,71 @@ object VideoCodec {
           off = dataStart + 4
           rEnd = dataEnd
         } else {
-          if (isVideoData(p, off.toInt) && dataEnd > dataStart) {
-            val jpeg = java.util.Arrays.copyOfRange(p, dataStart.toInt, dataEnd.toInt)
-            ImageCodec.decode(jpeg).foreach(out += _)
+          if (fourccAt(p, off.toInt, "strh") && dataStart + 4 <= dataEnd)
+            awaitVideoStrf = fourccAt(p, dataStart.toInt, "vids")
+          else if (fourccAt(p, off.toInt, "strf")) {
+            if (awaitVideoStrf && dataEnd - dataStart >= 40) {
+              val ds = dataStart.toInt
+              val w = u32(p, ds + 4).toInt
+              val hRaw = u32(p, ds + 8).toInt
+              val bpp = ((p(ds + 14) & 0xFF) | ((p(ds + 15) & 0xFF) << 8))
+              val compression = u32(p, ds + 16)
+              if (compression == 0L && (bpp == 8 || bpp == 24 || bpp == 32) &&
+                  w > 0 && hRaw != 0)
+                dib = Some(DibFormat(w, math.abs(hRaw), bpp, topDown = hRaw < 0))
+            }
+            awaitVideoStrf = false
+          } else if (isVideoData(p, off.toInt) && dataEnd > dataStart) {
+            val data = java.util.Arrays.copyOfRange(p, dataStart.toInt, dataEnd.toInt)
+            // JPEG chunks carry the SOI marker; raw DIB chunks are
+            // headerless and need the declared stream format. The final
+            // ImageCodec attempt keeps decoding nonstandard-but-readable
+            // embedded images (e.g. PNG frames) that neither path claims.
+            val frame =
+              if (data.length >= 2 && (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
+                ImageCodec.decode(data)
+              else dib.flatMap(f => decodeDib(data, f)).orElse(ImageCodec.decode(data))
+            frame.foreach(out += _)
           }
           off = next
         }
       }
+    }
+  }
+
+  /** Raw DIB frame → grayscale raster. Rows are 4-byte aligned; frames
+    * are bottom-up unless the header declared a negative height. Bounds
+    * and a 16 MP area cap guard crafted headers (a frame that does not
+    * fully fit is skipped, consistent with the truncation discipline). */
+  private def decodeDib(data: Array[Byte], f: DibFormat): Option[(Int, Int, Array[Byte])] = {
+    val rowSize = ((f.w.toLong * f.bpp + 31) / 32) * 4
+    if (f.w.toLong * f.h > (16L << 20) || data.length < rowSize * f.h) None
+    else {
+      val out = new Array[Byte](f.w * f.h)
+      var y = 0
+      while (y < f.h) {
+        val base = ((if (f.topDown) y else f.h - 1 - y) * rowSize).toInt
+        var x = 0
+        while (x < f.w) {
+          val lum = f.bpp match {
+            case 8 => data(base + x) & 0xFF
+            case 24 =>
+              val b = data(base + x * 3) & 0xFF
+              val g = data(base + x * 3 + 1) & 0xFF
+              val r = data(base + x * 3 + 2) & 0xFF
+              (r * 299 + g * 587 + b * 114) / 1000
+            case _ => // 32: BGRA, alpha ignored
+              val b = data(base + x * 4) & 0xFF
+              val g = data(base + x * 4 + 1) & 0xFF
+              val r = data(base + x * 4 + 2) & 0xFF
+              (r * 299 + g * 587 + b * 114) / 1000
+          }
+          out(y * f.w + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((f.w, f.h, out))
     }
   }
 
@@ -96,32 +173,75 @@ object VideoCodec {
     (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
       ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
 
+  private def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(fourcc.getBytes("US-ASCII"))
+    writeU32(bos, data.length)
+    bos.write(data)
+    if ((data.length & 1) == 1) bos.write(0) // word alignment pad
+    bos.toByteArray
+  }
+
+  private def riffAvi(parts: Array[Byte]*): Array[Byte] = {
+    val riffBody = new ByteArrayOutputStream()
+    riffBody.write("AVI ".getBytes("US-ASCII"))
+    parts.foreach(riffBody.write)
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    writeU32(out, riffBody.size())
+    riffBody.writeTo(out)
+    out.toByteArray
+  }
+
   /** Build a minimal MJPEG AVI from pre-encoded JPEG frames — the
     * fixture generator for specs and synthetic media (RIFF + `movi` list
     * of `00dc` chunks; hdrl metadata is omitted, which [[decode]]'s
     * chunk walker — like any real demuxer's frame scan — does not
     * need). */
   def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
-    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      bos.write(fourcc.getBytes("US-ASCII"))
-      writeU32(bos, data.length)
-      bos.write(data)
-      if ((data.length & 1) == 1) bos.write(0) // word alignment pad
-      bos.toByteArray
-    }
     val moviBody = new ByteArrayOutputStream()
     moviBody.write("movi".getBytes("US-ASCII"))
     jpegFrames.foreach(f => moviBody.write(chunk("00dc", f)))
-    val movi = chunk("LIST", moviBody.toByteArray)
-    val riffBody = new ByteArrayOutputStream()
-    riffBody.write("AVI ".getBytes("US-ASCII"))
-    riffBody.write(movi)
-    val out = new ByteArrayOutputStream()
-    out.write("RIFF".getBytes("US-ASCII"))
-    writeU32(out, riffBody.size())
-    riffBody.writeTo(out)
-    out.toByteArray
+    riffAvi(chunk("LIST", moviBody.toByteArray))
+  }
+
+  /** Build a minimal uncompressed BI_RGB AVI: `hdrl`→`strl` with a
+    * `vids`/`DIB ` stream header + 24bpp BITMAPINFOHEADER, then `movi`
+    * with one raw bottom-up `00db` DIB per frame. Frame pixels are
+    * (frameIdx, x, y) → (r, g, b). */
+  def encodeRgbAvi(width: Int, height: Int, nFrames: Int,
+                   rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val strh = new ByteArrayOutputStream()
+    strh.write("vids".getBytes("US-ASCII"))
+    strh.write("DIB ".getBytes("US-ASCII"))
+    strh.write(new Array[Byte](48)) // rate/scale/etc — unused by the walker
+    val strf = new ByteArrayOutputStream()
+    writeU32(strf, 40); writeU32(strf, width); writeU32(strf, height)
+    strf.write(1); strf.write(0) // biPlanes = 1
+    strf.write(24); strf.write(0) // biBitCount = 24
+    writeU32(strf, 0) // biCompression = BI_RGB
+    strf.write(new Array[Byte](20)) // size/ppm/clrUsed/clrImportant
+    val strlBody = new ByteArrayOutputStream()
+    strlBody.write("strl".getBytes("US-ASCII"))
+    strlBody.write(chunk("strh", strh.toByteArray))
+    strlBody.write(chunk("strf", strf.toByteArray))
+    val hdrlBody = new ByteArrayOutputStream()
+    hdrlBody.write("hdrl".getBytes("US-ASCII"))
+    hdrlBody.write(chunk("LIST", strlBody.toByteArray))
+    val rowSize = ((width * 24 + 31) / 32) * 4
+    def frame(n: Int): Array[Byte] = {
+      val d = new Array[Byte](rowSize * height)
+      for (y <- 0 until height; x <- 0 until width) {
+        val (r, g, b) = rgb(n, x, y)
+        val base = (height - 1 - y) * rowSize + x * 3 // bottom-up
+        d(base) = b.toByte; d(base + 1) = g.toByte; d(base + 2) = r.toByte
+      }
+      d
+    }
+    val moviBody = new ByteArrayOutputStream()
+    moviBody.write("movi".getBytes("US-ASCII"))
+    (0 until nFrames).foreach(n => moviBody.write(chunk("00db", frame(n))))
+    riffAvi(chunk("LIST", hdrlBody.toByteArray), chunk("LIST", moviBody.toByteArray))
   }
 
   private def writeU32(bos: ByteArrayOutputStream, v: Long): Unit = {

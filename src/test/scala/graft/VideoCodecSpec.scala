@@ -73,6 +73,38 @@ class VideoCodecSpec extends SparkTestBase {
     assert(frames.map(_.length) === Some(1)) // the good frame survives
   }
 
+  test("uncompressed BI_RGB avi decodes exactly: luma arithmetic, row order, padding") {
+    // width 10 → 30-byte rows padded to 32: exercises the 4-byte row
+    // alignment; pattern varies in all of (frame, x, y) and channels
+    def rgb(n: Int, x: Int, y: Int) = ((x * 23 + n) % 256, (y * 41) % 256, (x * 7 + y * 13) % 256)
+    val avi = VideoCodec.encodeRgbAvi(10, 6, 3, rgb)
+    val frames = VideoCodec.decode(avi).get
+    assert(frames.length === 3)
+    for ((f, n) <- frames.zipWithIndex) {
+      val (w, h, px) = f
+      assert(w === 10 && h === 6 && px.length === 60)
+      for (y <- 0 until 6; x <- 0 until 10) {
+        val (r, g, b) = rgb(n, x, y)
+        val want = (r * 299 + g * 587 + b * 114) / 1000
+        assert((px(y * 10 + x) & 0xFF) === want, s"frame $n pixel ($x,$y)")
+      }
+    }
+    // determinism + truncation discipline: cutting the last frame keeps
+    // the complete ones (a partial DIB never fits rowSize*h and is skipped)
+    assert(VideoCodec.decode(avi).get.map(_._3.toSeq) === frames.map(_._3.toSeq))
+    val cut = VideoCodec.decode(avi.take(avi.length - 40)).get
+    assert(cut.length === 2)
+  }
+
+  test("a non-vids strf does not arm DIB decode; undeclared raw chunks stay undecoded") {
+    // same container but the stream header claims an AUDIO stream: the
+    // 00db chunks are headerless raw bytes no codec may claim
+    val avi = VideoCodec.encodeRgbAvi(10, 6, 1, (_, _, _) => (1, 2, 3))
+    val pos = avi.indexOfSlice("vids".getBytes("US-ASCII"))
+    avi(pos) = 'a'; avi(pos + 1) = 'u'; avi(pos + 2) = 'd'; avi(pos + 3) = 's'
+    assert(VideoCodec.decode(avi) === None)
+  }
+
   test("decodeFrames samples every frameStep-th real frame, stub only for undecodable video") {
     import spark.implicits._
     val avi = VideoCodec.encodeMjpegAvi((0 until 5).map(frameJpeg))
