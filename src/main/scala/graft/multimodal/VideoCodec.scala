@@ -50,9 +50,12 @@ object VideoCodec {
       }
     }.toOption.flatten
 
-  /** The `vids` stream's uncompressed format, when one is declared:
-    * (width, height, bitCount, topDown). */
-  private final case class DibFormat(w: Int, h: Int, bpp: Int, topDown: Boolean)
+  /** A `vids` stream's uncompressed format: geometry plus, for 8bpp, the
+    * stream's RGBQUAD palette pre-folded to luma (8-bit DIB pixels are
+    * palette INDICES — emitting them as gray levels would be a fake
+    * decode for any non-identity palette). */
+  private final case class DibFormat(w: Int, h: Int, bpp: Int, topDown: Boolean,
+                                     palette: Array[Byte])
 
   /** Iterative chunk walk with an explicit range stack — recursion would
     * let a crafted payload of deeply nested LISTs throw
@@ -68,12 +71,17 @@ object VideoCodec {
     var off = from.toLong
     var rEnd = end.toLong
     var resume = List.empty[(Long, Long)]
-    // stream-format state: `strh`(fccType=vids) arms the next `strf` to
-    // be parsed as a BITMAPINFOHEADER; biCompression=0 declares raw DIB
-    // frames. hdrl precedes movi in every spec-conforming AVI, so the
-    // depth-first walk sees the format before the first frame chunk.
+    // stream-format state: stream numbers follow `strl` declaration order
+    // (every `strh` increments), and a `strh`(fccType=vids) arms the next
+    // `strf` to be parsed as that stream's BITMAPINFOHEADER;
+    // biCompression=0 declares raw DIB frames. Formats are keyed BY
+    // STREAM NUMBER — a multi-stream AVI must never decode stream 01's
+    // chunks with stream 00's geometry. hdrl precedes movi in every
+    // spec-conforming AVI, so the depth-first walk sees the formats
+    // before the first frame chunk.
+    var streamNo = -1
     var awaitVideoStrf = false
-    var dib: Option[DibFormat] = None
+    val dib = scala.collection.mutable.Map.empty[Int, DibFormat]
     while (off + 8 <= rEnd || resume.nonEmpty) {
       if (off + 8 > rEnd) {
         off = resume.head._1; rEnd = resume.head._2; resume = resume.tail
@@ -90,30 +98,53 @@ object VideoCodec {
           off = dataStart + 4
           rEnd = dataEnd
         } else {
-          if (fourccAt(p, off.toInt, "strh") && dataStart + 4 <= dataEnd)
-            awaitVideoStrf = fourccAt(p, dataStart.toInt, "vids")
-          else if (fourccAt(p, off.toInt, "strf")) {
+          if (fourccAt(p, off.toInt, "strh")) {
+            streamNo += 1
+            awaitVideoStrf =
+              dataStart + 4 <= dataEnd && fourccAt(p, dataStart.toInt, "vids")
+          } else if (fourccAt(p, off.toInt, "strf")) {
             if (awaitVideoStrf && dataEnd - dataStart >= 40) {
               val ds = dataStart.toInt
               val w = u32(p, ds + 4).toInt
               val hRaw = u32(p, ds + 8).toInt
               val bpp = ((p(ds + 14) & 0xFF) | ((p(ds + 15) & 0xFF) << 8))
               val compression = u32(p, ds + 16)
+              // h bound via Long abs: hRaw = Int.MinValue would survive
+              // math.abs (still negative) and bypass both decodeDib guards
+              val h = math.abs(hRaw.toLong)
+              // 8bpp needs the palette (256 RGBQUADs after the 40-byte
+              // header; biClrUsed may declare fewer) — without one the
+              // stream is NOT claimed, an index dump is not a decode
+              val palette: Array[Byte] =
+                if (bpp != 8) Array.emptyByteArray
+                else {
+                  val clrUsed = u32(p, ds + 32)
+                  val n = if (clrUsed > 0 && clrUsed <= 256) clrUsed.toInt else 256
+                  if (dataEnd - dataStart < 40L + 4L * n) null
+                  else Array.tabulate[Byte](256) { i =>
+                    val q = ds + 40 + 4 * math.min(i, n - 1) // clamp out-of-range indices
+                    val b = p(q) & 0xFF; val g = p(q + 1) & 0xFF; val r = p(q + 2) & 0xFF
+                    ((r * 299 + g * 587 + b * 114) / 1000).toByte
+                  }
+                }
               if (compression == 0L && (bpp == 8 || bpp == 24 || bpp == 32) &&
-                  w > 0 && hRaw != 0)
-                dib = Some(DibFormat(w, math.abs(hRaw), bpp, topDown = hRaw < 0))
+                  w > 0 && h > 0 && h <= Int.MaxValue && palette != null)
+                dib(streamNo) = DibFormat(w, h.toInt, bpp, topDown = hRaw < 0, palette)
             }
             awaitVideoStrf = false
           } else if (isVideoData(p, off.toInt) && dataEnd > dataStart) {
             val data = java.util.Arrays.copyOfRange(p, dataStart.toInt, dataEnd.toInt)
             // JPEG chunks carry the SOI marker; raw DIB chunks are
-            // headerless and need the declared stream format. The final
-            // ImageCodec attempt keeps decoding nonstandard-but-readable
-            // embedded images (e.g. PNG frames) that neither path claims.
+            // headerless and need THEIR stream's declared format (the NN
+            // FourCC digits). The final ImageCodec attempt keeps decoding
+            // nonstandard-but-readable embedded images (e.g. PNG frames)
+            // that neither path claims.
+            val chunkStream = (p(off.toInt) - '0') * 10 + (p(off.toInt + 1) - '0')
             val frame =
               if (data.length >= 2 && (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
                 ImageCodec.decode(data)
-              else dib.flatMap(f => decodeDib(data, f)).orElse(ImageCodec.decode(data))
+              else dib.get(chunkStream).flatMap(f => decodeDib(data, f))
+                .orElse(ImageCodec.decode(data))
             frame.foreach(out += _)
           }
           off = next
@@ -137,7 +168,7 @@ object VideoCodec {
         var x = 0
         while (x < f.w) {
           val lum = f.bpp match {
-            case 8 => data(base + x) & 0xFF
+            case 8 => f.palette(data(base + x) & 0xFF) & 0xFF
             case 24 =>
               val b = data(base + x * 3) & 0xFF
               val g = data(base + x * 3 + 1) & 0xFF
@@ -236,6 +267,46 @@ object VideoCodec {
         val base = (height - 1 - y) * rowSize + x * 3 // bottom-up
         d(base) = b.toByte; d(base + 1) = g.toByte; d(base + 2) = r.toByte
       }
+      d
+    }
+    val moviBody = new ByteArrayOutputStream()
+    moviBody.write("movi".getBytes("US-ASCII"))
+    (0 until nFrames).foreach(n => moviBody.write(chunk("00db", frame(n))))
+    riffAvi(chunk("LIST", hdrlBody.toByteArray), chunk("LIST", moviBody.toByteArray))
+  }
+
+  /** Build a minimal 8bpp palettized BI_RGB AVI: BITMAPINFOHEADER +
+    * 256-entry RGBQUAD palette, frames of raw palette indices.
+    * Frame pixels are (frameIdx, x, y) → palette index. */
+  def encodePal8Avi(width: Int, height: Int, nFrames: Int,
+                    palette: Int => (Int, Int, Int),
+                    pix: (Int, Int, Int) => Int): Array[Byte] = {
+    val strh = new ByteArrayOutputStream()
+    strh.write("vids".getBytes("US-ASCII"))
+    strh.write("DIB ".getBytes("US-ASCII"))
+    strh.write(new Array[Byte](48))
+    val strf = new ByteArrayOutputStream()
+    writeU32(strf, 40); writeU32(strf, width); writeU32(strf, height)
+    strf.write(1); strf.write(0) // biPlanes
+    strf.write(8); strf.write(0) // biBitCount = 8
+    writeU32(strf, 0) // BI_RGB
+    strf.write(new Array[Byte](20)) // size/ppm/clrUsed(0=256)/clrImportant
+    for (i <- 0 until 256) { // RGBQUAD = B, G, R, reserved
+      val (r, g, b) = palette(i)
+      strf.write(b); strf.write(g); strf.write(r); strf.write(0)
+    }
+    val strlBody = new ByteArrayOutputStream()
+    strlBody.write("strl".getBytes("US-ASCII"))
+    strlBody.write(chunk("strh", strh.toByteArray))
+    strlBody.write(chunk("strf", strf.toByteArray))
+    val hdrlBody = new ByteArrayOutputStream()
+    hdrlBody.write("hdrl".getBytes("US-ASCII"))
+    hdrlBody.write(chunk("LIST", strlBody.toByteArray))
+    val rowSize = ((width * 8 + 31) / 32) * 4
+    def frame(n: Int): Array[Byte] = {
+      val d = new Array[Byte](rowSize * height)
+      for (y <- 0 until height; x <- 0 until width)
+        d((height - 1 - y) * rowSize + x) = pix(n, x, y).toByte
       d
     }
     val moviBody = new ByteArrayOutputStream()

@@ -43,11 +43,17 @@ class DatsGenSpec extends SparkTestBase {
   }
 
   test("q3 members match the (nation, segment) customer set") {
+    // nation 0 = Q3DatasetAcc "phs000000" (review r15: an expectation
+    // filtered on nation 1 passed only because both nations had equal
+    // AUTOMOBILE counts at sf0.001) — assert the exact member NAMES, not
+    // just a count, so a wrong-nation derivation cannot coincide
     val expected = Tables.load(spark, sf, "customer")
-      .filter(col("c_nationkey") === 1 && col("c_mktsegment") === DatsGen.Q3GroupName)
-      .count()
-    assert(DatsGen.q3(spark, sf).count() === expected)
-    assert(expected > 0, "q3 parameters must select a non-empty group")
+      .filter(col("c_nationkey") === 0 && col("c_mktsegment") === DatsGen.Q3GroupName)
+      .select(col("c_name")).collect().map(_.getString(0)).sorted.toSeq
+    val got = DatsGen.q3(spark, sf).select(col("member_name"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty, "q3 parameters must select a non-empty group")
   }
 
   test("q4 is the distinct (subject, sample, role) projection") {

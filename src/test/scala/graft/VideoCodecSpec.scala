@@ -96,6 +96,43 @@ class VideoCodecSpec extends SparkTestBase {
     assert(cut.length === 2)
   }
 
+  test("8bpp frames map indices through the stream palette, not index-as-gray") {
+    // inverted-ramp palette: index i -> gray 255-i; index-as-gray would
+    // emit i itself and every pixel assert below would fail
+    val avi = VideoCodec.encodePal8Avi(8, 4, 2,
+      palette = i => (255 - i, 255 - i, 255 - i),
+      pix = (n, x, y) => (n * 64 + y * 8 + x) % 256)
+    val frames = VideoCodec.decode(avi).get
+    assert(frames.length === 2)
+    for ((f, n) <- frames.zipWithIndex; y <- 0 until 4; x <- 0 until 8) {
+      val idx = (n * 64 + y * 8 + x) % 256
+      val (r, g, b) = (255 - idx, 255 - idx, 255 - idx)
+      assert((f._3(y * 8 + x) & 0xFF) === (r * 299 + g * 587 + b * 114) / 1000)
+    }
+  }
+
+  test("crafted strf heights (Int.MinValue) are rejected — no throw, no bogus frame") {
+    val avi = VideoCodec.encodeRgbAvi(10, 6, 2, (_, _, _) => (9, 9, 9))
+    // patch biHeight (strf data offset 8) to 0x80000000: abs() keeps it
+    // negative in Int space, which must not bypass the geometry guards
+    val strfAt = avi.indexOfSlice("strf".getBytes("US-ASCII"))
+    val hAt = strfAt + 8 + 8
+    avi(hAt) = 0; avi(hAt + 1) = 0; avi(hAt + 2) = 0; avi(hAt + 3) = 0x80.toByte
+    assert(VideoCodec.decode(avi) === None)
+  }
+
+  test("raw chunks of an undeclared stream are not decoded with another stream's format") {
+    val avi = VideoCodec.encodeRgbAvi(10, 6, 3, (n, x, y) => (n, x, y))
+    // relabel the second frame's chunk to stream 01 (same size, no strf
+    // declared for stream 1): it must be skipped, not mis-decoded with
+    // stream 0's geometry
+    val first = avi.indexOfSlice("00db".getBytes("US-ASCII"))
+    val second = avi.indexOfSlice("00db".getBytes("US-ASCII"), first + 1)
+    avi(second + 1) = '1'
+    val frames = VideoCodec.decode(avi).get
+    assert(frames.length === 2)
+  }
+
   test("a non-vids strf does not arm DIB decode; undeclared raw chunks stay undecoded") {
     // same container but the stream header claims an AUDIO stream: the
     // 00db chunks are headerless raw bytes no codec may claim

@@ -37,12 +37,13 @@ def main():
             key = (r["graph"], r["config"], r["sf"])
             meas = tuple(r.get(k) for k in MEASURE)
             prior = keyed.setdefault(key, [])
-            for p in prior:
-                if p != meas:
+            # note only a NEW disagreeing measurement: a row repeating an
+            # already-seen measurement must not re-print stale notes
+            if meas not in prior:
+                for p in prior:
                     print(f"NOTE: {key} re-measured: "
                           f"{dict(zip(MEASURE, p))} vs {dict(zip(MEASURE, meas))} "
                           "(both kept)", file=sys.stderr)
-            if meas not in prior:
                 prior.append(meas)
             rows.append(r)
     if n_dupes:
