@@ -85,10 +85,12 @@ object SparkEntry {
     // the edge supplier behind the unsuffixed consumer names — it is the
     // only build that is simultaneously linear-cost (×10.3/decade measured,
     // benchmarks_sf1/sf10.jsonl) and high-recall (0.9231 at sf10,
-    // RECALL_r13/14). The legacy suppliers stay reachable for calibration:
-    // sim_knn_graph2 (2-probe Voronoi — exact-leaning but n^1.5, the
-    // recall/exactness reference) and sim_knn_graph_bits (linear seed whose
-    // standalone recall decays at scale — seed diagnostics only). The
+    // RECALL_r15). The legacy suppliers stay reachable for calibration:
+    // sim_knn_graph2 (2-probe Voronoi — exact-leaning but n^1.5: 0.9021
+    // recall at sf10 for a 500 s build vs the refined build's 593 s
+    // LINEAR cost, RECALL_r15) and sim_knn_graph_bits (linear seed whose
+    // standalone recall decays at scale — 0.021 at sf10, RECALL_r15 —
+    // seed diagnostics only). The
     // 1-probe Voronoi build and the bits-edge exemplar composition are
     // retired from the suite (still in SimilarityOps + RecallGate specs);
     // nobody should run an n^1.5 build or summarize 0.09-recall edges at

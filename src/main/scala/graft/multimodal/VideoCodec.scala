@@ -236,12 +236,15 @@ object VideoCodec {
     riffAvi(chunk("LIST", moviBody.toByteArray))
   }
 
-  /** Build a minimal uncompressed BI_RGB AVI: `hdrl`→`strl` with a
-    * `vids`/`DIB ` stream header + 24bpp BITMAPINFOHEADER, then `movi`
-    * with one raw bottom-up `00db` DIB per frame. Frame pixels are
-    * (frameIdx, x, y) → (r, g, b). */
-  def encodeRgbAvi(width: Int, height: Int, nFrames: Int,
-                   rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  /** Shared DIB-AVI fixture builder: `hdrl`→`strl` with a `vids`/`DIB `
+    * stream header + a BITMAPINFOHEADER at the given bit depth (plus any
+    * trailing strf payload, e.g. a palette), then `movi` with one raw
+    * bottom-up `00db` DIB per frame. `writePixel(frame, x, y, row, xOff)`
+    * writes one pixel's bytes into the row buffer. */
+  private def encodeDibAvi(width: Int, height: Int, nFrames: Int, bpp: Int,
+                           strfTail: Array[Byte],
+                           writePixel: (Int, Int, Int, Array[Byte], Int) => Unit)
+      : Array[Byte] = {
     val strh = new ByteArrayOutputStream()
     strh.write("vids".getBytes("US-ASCII"))
     strh.write("DIB ".getBytes("US-ASCII"))
@@ -249,9 +252,10 @@ object VideoCodec {
     val strf = new ByteArrayOutputStream()
     writeU32(strf, 40); writeU32(strf, width); writeU32(strf, height)
     strf.write(1); strf.write(0) // biPlanes = 1
-    strf.write(24); strf.write(0) // biBitCount = 24
+    strf.write(bpp); strf.write(0) // biBitCount
     writeU32(strf, 0) // biCompression = BI_RGB
     strf.write(new Array[Byte](20)) // size/ppm/clrUsed/clrImportant
+    strf.write(strfTail)
     val strlBody = new ByteArrayOutputStream()
     strlBody.write("strl".getBytes("US-ASCII"))
     strlBody.write(chunk("strh", strh.toByteArray))
@@ -259,14 +263,12 @@ object VideoCodec {
     val hdrlBody = new ByteArrayOutputStream()
     hdrlBody.write("hdrl".getBytes("US-ASCII"))
     hdrlBody.write(chunk("LIST", strlBody.toByteArray))
-    val rowSize = ((width * 24 + 31) / 32) * 4
+    val rowSize = ((width * bpp + 31) / 32) * 4
+    val bytesPerPx = bpp / 8
     def frame(n: Int): Array[Byte] = {
       val d = new Array[Byte](rowSize * height)
-      for (y <- 0 until height; x <- 0 until width) {
-        val (r, g, b) = rgb(n, x, y)
-        val base = (height - 1 - y) * rowSize + x * 3 // bottom-up
-        d(base) = b.toByte; d(base + 1) = g.toByte; d(base + 2) = r.toByte
-      }
+      for (y <- 0 until height; x <- 0 until width)
+        writePixel(n, x, y, d, (height - 1 - y) * rowSize + x * bytesPerPx)
       d
     }
     val moviBody = new ByteArrayOutputStream()
@@ -275,44 +277,29 @@ object VideoCodec {
     riffAvi(chunk("LIST", hdrlBody.toByteArray), chunk("LIST", moviBody.toByteArray))
   }
 
+  /** Build a minimal uncompressed 24bpp BI_RGB AVI. Frame pixels are
+    * (frameIdx, x, y) → (r, g, b). */
+  def encodeRgbAvi(width: Int, height: Int, nFrames: Int,
+                   rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeDibAvi(width, height, nFrames, bpp = 24, Array.emptyByteArray,
+      (n, x, y, row, o) => {
+        val (r, g, b) = rgb(n, x, y)
+        row(o) = b.toByte; row(o + 1) = g.toByte; row(o + 2) = r.toByte
+      })
+
   /** Build a minimal 8bpp palettized BI_RGB AVI: BITMAPINFOHEADER +
     * 256-entry RGBQUAD palette, frames of raw palette indices.
     * Frame pixels are (frameIdx, x, y) → palette index. */
   def encodePal8Avi(width: Int, height: Int, nFrames: Int,
                     palette: Int => (Int, Int, Int),
                     pix: (Int, Int, Int) => Int): Array[Byte] = {
-    val strh = new ByteArrayOutputStream()
-    strh.write("vids".getBytes("US-ASCII"))
-    strh.write("DIB ".getBytes("US-ASCII"))
-    strh.write(new Array[Byte](48))
-    val strf = new ByteArrayOutputStream()
-    writeU32(strf, 40); writeU32(strf, width); writeU32(strf, height)
-    strf.write(1); strf.write(0) // biPlanes
-    strf.write(8); strf.write(0) // biBitCount = 8
-    writeU32(strf, 0) // BI_RGB
-    strf.write(new Array[Byte](20)) // size/ppm/clrUsed(0=256)/clrImportant
+    val pal = new ByteArrayOutputStream()
     for (i <- 0 until 256) { // RGBQUAD = B, G, R, reserved
       val (r, g, b) = palette(i)
-      strf.write(b); strf.write(g); strf.write(r); strf.write(0)
+      pal.write(b); pal.write(g); pal.write(r); pal.write(0)
     }
-    val strlBody = new ByteArrayOutputStream()
-    strlBody.write("strl".getBytes("US-ASCII"))
-    strlBody.write(chunk("strh", strh.toByteArray))
-    strlBody.write(chunk("strf", strf.toByteArray))
-    val hdrlBody = new ByteArrayOutputStream()
-    hdrlBody.write("hdrl".getBytes("US-ASCII"))
-    hdrlBody.write(chunk("LIST", strlBody.toByteArray))
-    val rowSize = ((width * 8 + 31) / 32) * 4
-    def frame(n: Int): Array[Byte] = {
-      val d = new Array[Byte](rowSize * height)
-      for (y <- 0 until height; x <- 0 until width)
-        d((height - 1 - y) * rowSize + x) = pix(n, x, y).toByte
-      d
-    }
-    val moviBody = new ByteArrayOutputStream()
-    moviBody.write("movi".getBytes("US-ASCII"))
-    (0 until nFrames).foreach(n => moviBody.write(chunk("00db", frame(n))))
-    riffAvi(chunk("LIST", hdrlBody.toByteArray), chunk("LIST", moviBody.toByteArray))
+    encodeDibAvi(width, height, nFrames, bpp = 8, pal.toByteArray,
+      (n, x, y, row, o) => row(o) = pix(n, x, y).toByte)
   }
 
   private def writeU32(bos: ByteArrayOutputStream, v: Long): Unit = {
