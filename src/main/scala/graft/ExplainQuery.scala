@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Formatted-plan dump for any suite query — the ad-hoc companion to the
   * asserted [[PlanAudit]] harness.
   *
@@ -12,8 +10,10 @@ object ExplainQuery {
     require(args.nonEmpty, s"usage: ExplainQuery <name> [sfDir]; names: " +
       SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8).getOrCreate()
+    // Tables.session, not a bare builder: the suite's timestamp queries
+    // need the UTC/nanosAsLong session configs, and the plans should be
+    // produced under the same extensions PlanAudit and the driver use
+    val spark = Tables.session("explain-query")
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(args(0))(spark, dir).explain("formatted")
     spark.stop()
