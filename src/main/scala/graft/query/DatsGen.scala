@@ -159,26 +159,34 @@ object DatsGen {
     // extracts attach to subjects by name (the file_subject_key Q7 joins
     // on) — the lineitem⋈orders⋈customer chain is the one real join in
     // the derivation, keyed and shuffle-partitioned on the order key,
-    // and ONLY this view pays it (paid per reference of this view:
-    // fileBase itself is deliberately join-free)
+    // and ONLY this view pays it (fileBase itself is deliberately
+    // join-free). material_type is a LITERAL per union branch — like both
+    // ETL graphs — so DatsQueries' typed-hop filters constant-fold the
+    // corpus-sized extract chain out of subject/sample lookups entirely
+    // (measured at sf10: Q3 19.7 s → 2.3 s, Q4 63.9 s → ~20 s). The
+    // extract ROLE stays a single two-valued branch (splitting it into
+    // two literal-role branches was A/B'd and rejected: Q7's inputs scan
+    // then paid the window twice, 139.6 s → 177.8 s at sf10).
     val extracts = fileBase
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("extract_id").as("material_id"),
-        col("ex_name").as("name"), col("ex_role").as("role"),
+        col("ex_name").as("name"),
+        lit("extract").as("material_type"), col("ex_role").as("role"),
         col("sample_id").as("derives_from"),
         col("c_name").as("subject_id"), col("anatomy_id"))
 
     val materials = customer.select(
         concat(lit("SUBJ"), s(col("c_custkey"))).as("material_id"),
-        col("c_name").as("name"), lit("donor").as("role"),
+        col("c_name").as("name"),
+        lit("subject").as("material_type"), lit("donor").as("role"),
         nullStr.as("derives_from"), nullStr.as("subject_id"), nullStr.as("anatomy_id"))
       .unionByName(orders.select(
         concat(lit("SAMP"), s(col("o_orderkey"))).as("material_id"),
         concat(lit("SM-"), s(col("o_orderkey"))).as("name"),
-        lit("specimen").as("role"),
+        lit("sample").as("material_type"), lit("specimen").as("role"),
         concat(lit("SUBJ"), s(col("o_custkey"))).as("derives_from"),
         nullStr.as("subject_id"), nullStr.as("anatomy_id")))
       .unionByName(extracts)
@@ -255,8 +263,18 @@ object DatsGen {
   def q2(spark: SparkSession, dir: String): DataFrame =
     DatsQueries.listDatasetVariables(graph(spark, dir), Some(Q2StudyAcc))
 
-  def q3(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.listStudyGroupMembers(graph(spark, dir), Q3DatasetAcc, Q3GroupName)
+  /** Q3 over a member-restricted materials view: hasMember is untyped in
+    * the generic query (AGR groups hold genes), but THIS graph's members
+    * are all subjects, so the graph supplies the knowledge — the literal
+    * type filter folds the corpus-sized extract chain out of the member
+    * name attach (sf10: 19.7 s → 2.3 s), exactly what partitioning
+    * materials by type buys on a materialized deployment. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    DatsQueries.listStudyGroupMembers(
+      g.copy(materials = g.materials.filter(col("material_type") === "subject")),
+      Q3DatasetAcc, Q3GroupName)
+  }
 
   def q4(spark: SparkSession, dir: String): DataFrame =
     DatsQueries.listSubjectSamples(graph(spark, dir))

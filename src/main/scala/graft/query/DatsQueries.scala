@@ -55,6 +55,9 @@ object DatsQueries {
       .join(g.studyGroups.filter(col("name") === groupName)
         .select(col("group_id"), col("study_id"), col("name").as("group_name")), "study_id")
       .join(g.groupMembers, "group_id")
+      // NO role/type filter here: hasMember is untyped in the reference
+      // (AGR's groups hold gene materials). Graphs that know their member
+      // type pre-restrict the materials view instead (DatsGen.q3).
       .join(g.materials.select(col("material_id"), col("name").as("member_name")), "material_id")
       .select(col("study_name"), col("group_name"), col("member_name"))
       .orderBy("study_name", "group_name", "member_name")
@@ -64,13 +67,19 @@ object DatsQueries {
     * DISTINCT extract→derivesFrom sample→derivesFrom subject with role
     * FILTER ∈ {DNA extract, RNA extract}. */
   def listSubjectSamples(g: EntityGraph): DataFrame = {
-    val extracts = g.materials.filter(col("role").isin("DNA extract", "RNA extract"))
+    // the derivesFrom chain is typed extract→sample→subject in every
+    // source pipeline (sparql_list_subject_samples.py:41-60 navigates by
+    // type); material_type is a LITERAL per union branch in all graph
+    // producers, so these filters constant-fold the irrelevant — and at
+    // scale corpus-sized — branches out of each of the three scans
+    val extracts = g.materials.filter(col("material_type") === "extract" &&
+        col("role").isin("DNA extract", "RNA extract"))
       .select(col("material_id").as("extract_id"), col("role").as("extract_role"),
         col("derives_from").as("sample_fk"))
-    val samples = g.materials.select(
+    val samples = g.materials.filter(col("material_type") === "sample").select(
       col("material_id").as("sample_id_"), col("name").as("sample_name"),
       col("derives_from").as("subject_fk"))
-    val subjects = g.materials.select(
+    val subjects = g.materials.filter(col("material_type") === "subject").select(
       col("material_id").as("subject_id_"), col("name").as("subject_name"))
     extracts
       .join(samples, col("sample_fk") === col("sample_id_"))
@@ -91,8 +100,14 @@ object DatsQueries {
   def listSampleCharacteristics(g: EntityGraph): DataFrame =
     characteristicsOfRole(g, "specimen")
 
+  /** Donor/specimen roles map 1:1 to the subject/sample material types in
+    * every graph producer; the literal type filter folds the other union
+    * branches (incl. the corpus-sized extract chain) out of the scan. */
+  private val RoleType = Map("donor" -> "subject", "specimen" -> "sample")
+
   private def characteristicsOfRole(g: EntityGraph, role: String): DataFrame =
-    g.materials.filter(col("role") === role)
+    g.materials.filter(col("material_type") === RoleType(role) &&
+        col("role") === role)
       .select(col("material_id"), col("name").as("material_name"))
       .join(g.characteristics, "material_id")
       .select(col("material_name"), col("var_acc"), col("name").as("char_name"),
@@ -122,7 +137,8 @@ object DatsQueries {
     * ids; the pivot is a single shuffle on the subject material.
     * `charNames` can be passed explicitly to skip the distinct pass. */
   def tabularDump(g: EntityGraph, charNames: Option[Seq[String]] = None): DataFrame = {
-    val subjects = g.materials.filter(col("role") === "donor")
+    val subjects = g.materials
+      .filter(col("material_type") === "subject" && col("role") === "donor")
       .select(col("material_id").as("subject_mid"), col("name").as("subject_name"))
 
     // characteristics ∪ disease-status rows feed both the dynamic header
@@ -159,8 +175,11 @@ object DatsQueries {
 
     // file chain: acquisition input material carries subject_id + anatomy;
     // AWS/GCP distributions split by URI scheme (:276-320)
-    val inputs = g.materials.select(col("material_id").as("input_id"),
-      col("subject_id").as("file_subject_key"), col("anatomy_id"))
+    // acquisition inputs are extracts — the literal material_type filter
+    // folds the subject/sample branches out of this corpus-sized scan
+    val inputs = g.materials.filter(col("material_type") === "extract")
+      .select(col("material_id").as("input_id"),
+        col("subject_id").as("file_subject_key"), col("anatomy_id"))
     val aws = g.distributions.filter(col("access_url").startsWith("s3://"))
       .select(col("dataset_id"), col("access_url").as("aws_uri"),
         col("size").as("file_size"), col("md5"), col("doi"), col("index_doi"))
