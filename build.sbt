@@ -45,8 +45,8 @@ Test / testGrouping := {
   // inflation); the test sessions are local[4] anyway
   val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector
     ++ Seq("-XX:ActiveProcessorCount=4"))
-  val heavy = Seq("ExtensionOpsSpec", "TopmedPipelineSpec", "SinksSpec",
-    "StreamingRetentionSpec", "StreamingAsofSpec", "ScaleGenSpec",
+  val heavy = Seq("PlanAuditSpec", "ExtensionOpsSpec", "TopmedPipelineSpec",
+    "SinksSpec", "StreamingRetentionSpec", "StreamingAsofSpec", "ScaleGenSpec",
     "StreamingMultimodalSpec").zipWithIndex.toMap
   (Test / definedTests).value
     .sortBy(t => heavy.collectFirst { case (n, i) if t.name.endsWith(n) => i }

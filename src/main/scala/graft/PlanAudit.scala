@@ -1,15 +1,34 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Prints formatted physical plans for the flagship queries — the
   * explain-audit harness used to keep plans shuffle-lean (broadcasts on
   * dimension tables, pushed filters, wide codegen stages).
   *
   * Usage: runMain graft.PlanAudit [sfDir]
+  *
+  * The assertions live in [[runChecks]], which PlanAuditSpec also runs
+  * under `sbt test` — so a plan regression fails the round gate instead
+  * of waiting for someone to remember to invoke this main (r15 verdict).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val spark = Tables.session("plan-audit")
+    runChecks(spark, dir, verbose = true)
+    spark.stop()
+  }
+
+  /** Every machine-checked plan pin. `verbose` additionally dumps each
+    * audited frame's formatted physical plan (the main's behavior); the
+    * spec runs silent. Scala `assert` throws AssertionError either way,
+    * which ScalaTest reports as a test failure. */
+  def runChecks(spark: SparkSession, dir: String, verbose: Boolean = false): Unit = {
+    def show(name: String, df: DataFrame): Unit = if (verbose) {
+      println(s"\n===== $name =====")
+      df.explain("formatted")
+    }
     val frames = Seq(
       "rel_pricing_summary", "rel_revenue_by_nation",
       "dedup_minhash_lsh", "sim_brute_topk",
@@ -18,9 +37,8 @@ object PlanAudit {
       "evt_asof_join",
       "text_distinctive_terms", "text_lang_id",
       "text_self_information", "text_vocab_coverage").map { name =>
-      println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
-      df.explain("formatted")
+      show(name, df)
       name -> df
     }.toMap
     // machine checks on the properties the audit exists for: column
@@ -78,8 +96,7 @@ object PlanAudit {
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val rangeDf = SparkEntry.queries("evt_range_join")(spark, dir)
-    println("\n===== evt_range_join (auto-broadcast off) =====")
-    rangeDf.explain("formatted")
+    show("evt_range_join (auto-broadcast off)", rangeDf)
     val rangePlan = rangeDf.queryExecution.executedPlan.toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     assert(rangePlan.contains("SortMergeJoin") || rangePlan.contains("ShuffledHashJoin"),
@@ -120,9 +137,8 @@ object PlanAudit {
     // corpus), so the right 100 TB shape is a map-side broadcast join —
     // the corpus-sized shingle frame must never shuffle on shingle hash
     // (its only shuffle is the doc_id-keyed aggregate)
-    println("\n===== text_decontaminate =====")
     val deconDf = SparkEntry.queries("text_decontaminate")(spark, dir)
-    deconDf.explain("formatted")
+    show("text_decontaminate", deconDf)
     val deconPlan = deconDf.queryExecution.executedPlan.toString
     assert(deconPlan.contains("BroadcastHashJoin"),
       "decontamination must broadcast the bounded eval index")
@@ -135,8 +151,7 @@ object PlanAudit {
     // partitioning across the whole cascade
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val funnelDf = SparkEntry.queries("evt_funnel")(spark, dir)
-    println("\n===== evt_funnel (auto-broadcast off) =====")
-    funnelDf.explain("formatted")
+    show("evt_funnel (auto-broadcast off)", funnelDf)
     val funnelPlan = funnelDf.queryExecution.executedPlan.toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     val funnelKeys = "hashpartitioning\\((\\w+)".r
@@ -150,9 +165,8 @@ object PlanAudit {
     // RANGE join this operator exists to avoid; the one equi-join it
     // does contain attaches the days-sized DAU and WAU aggregates), and
     // the events scan must prune to (user_id, ts)
-    println("\n===== evt_stickiness =====")
     val stickDf = SparkEntry.queries("evt_stickiness")(spark, dir)
-    stickDf.explain("formatted")
+    show("evt_stickiness", stickDf)
     val stickPlan = stickDf.queryExecution.executedPlan.toString
     assert(!stickPlan.contains("NestedLoop") && !stickPlan.contains("Cartesian"),
       "stickiness must not plan a range join")
@@ -177,9 +191,8 @@ object PlanAudit {
     // direct call: the 1-probe build left the suite in r14 (refined is the
     // default edge supplier) but stays the Voronoi family's plan template —
     // keep auditing it so the calibration path can't silently regress
-    println("\n===== sim_knn_graph (calibration, direct) =====")
     val knnDf = graft.operators.SimilarityOps.knnGraph(spark, dir)
-    knnDf.explain("formatted")
+    show("sim_knn_graph (calibration, direct)", knnDf)
     val knnPlan = knnDf.queryExecution.executedPlan.toString
     assert(knnPlan.contains("ShuffledHashJoin"),
       "knn graph joins must co-shuffle")
@@ -198,9 +211,8 @@ object PlanAudit {
     // corpus-sized join (probe attach, salted pair join, mutuality)
     // must be a shuffled hash join, never a broadcast-hash or a
     // non-broadcast cartesian
-    println("\n===== sim_knn_graph2 =====")
     val knn2Df = SparkEntry.queries("sim_knn_graph2")(spark, dir)
-    knn2Df.explain("formatted")
+    show("sim_knn_graph2", knn2Df)
     val knn2Plan = knn2Df.queryExecution.executedPlan.toString
     assert(knn2Plan.contains("ShuffledHashJoin"),
       "2-probe knn graph joins must co-shuffle")
@@ -215,9 +227,8 @@ object PlanAudit {
     // and no other stage has a broadcastable side either: the whole plan
     // must be broadcast-free (signature assignment is per-row arithmetic
     // on constant weight arrays, no centroid frame exists)
-    println("\n===== sim_knn_graph_bits =====")
     val knnbDf = SparkEntry.queries("sim_knn_graph_bits")(spark, dir)
-    knnbDf.explain("formatted")
+    show("sim_knn_graph_bits", knnbDf)
     val knnbPlan = knnbDf.queryExecution.executedPlan.toString
     assert(knnbPlan.contains("ShuffledHashJoin"),
       "bit-signature graph joins must co-shuffle")
@@ -230,9 +241,8 @@ object PlanAudit {
     // index: corpus-sized on both sides, so it must co-shuffle on h
     // (reusing the df window's exchange), never broadcast; and the df cap
     // must keep the pair stage free of nested-loop degeneration
-    println("\n===== text_cross_source_overlap =====")
     val xsoDf = SparkEntry.queries("text_cross_source_overlap")(spark, dir)
-    xsoDf.explain("formatted")
+    show("text_cross_source_overlap", xsoDf)
     val xsoPlan = xsoDf.queryExecution.executedPlan.toString
     assert(xsoPlan.contains("ShuffledHashJoin"),
       "cross-source overlap self-join must co-shuffle on shingle hash")
@@ -244,9 +254,8 @@ object PlanAudit {
     // exclusion must be a co-shuffled LeftAnti (the hot list is corpus-
     // dependent and unbounded — a broadcast build side is an OOM), and
     // no stage of the pair pipeline may broadcast a corpus-sized frame
-    println("\n===== dedup_ngram_jaccard =====")
     val njDf = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
-    njDf.explain("formatted")
+    show("dedup_ngram_jaccard", njDf)
     val njPlan = njDf.queryExecution.executedPlan.toString
     assert(njPlan.contains("LeftAnti"),
       "ngram jaccard must anti-join the hot-shingle list away")
@@ -272,9 +281,8 @@ object PlanAudit {
     // corpus side is scan → project → map-side join → filter; the only
     // hash exchange anywhere is the planner's own (lang, source)
     // aggregate, never a shuffle of the document side on doc keys
-    println("\n===== text_mixture_apply =====")
     val mixApplyDf = SparkEntry.queries("text_mixture_apply")(spark, dir)
-    mixApplyDf.explain("formatted")
+    show("text_mixture_apply", mixApplyDf)
     val mixApplyPlan = mixApplyDf.queryExecution.executedPlan.toString
     assert(mixApplyPlan.contains("BroadcastHashJoin"),
       "mixture apply must broadcast the catalog-sized plan")
@@ -289,9 +297,8 @@ object PlanAudit {
     // min(struct) combines map-side, and the winner attach co-shuffles
     // on the same hash — the winner relation is corpus-sized, so a
     // broadcast build side is an OOM at cluster scale
-    println("\n===== text_chunk_dedup =====")
     val cdDf = SparkEntry.queries("text_chunk_dedup")(spark, dir)
-    cdDf.explain("formatted")
+    show("text_chunk_dedup", cdDf)
     val cdPlan = cdDf.queryExecution.executedPlan.toString
     assert(cdPlan.contains("ShuffledHashJoin"),
       "chunk dedup winner attach must co-shuffle on the chunk hash")
@@ -305,9 +312,8 @@ object PlanAudit {
     // offset attach is a BROADCAST of the offset table (bucket count is
     // derived from the corpus count, capped at 64 Ki rows), and the
     // scan prunes to the id column alone
-    println("\n===== text_corpus_shuffle =====")
     val csDf = SparkEntry.queries("text_corpus_shuffle")(spark, dir)
-    csDf.explain("formatted")
+    show("text_corpus_shuffle", csDf)
     val csPlan = csDf.queryExecution.executedPlan.toString
     assert(csPlan.contains("BroadcastHashJoin"),
       "corpus shuffle must broadcast the bucket-offset table")
@@ -330,9 +336,8 @@ object PlanAudit {
     // legitimate reuse in a shared session, but the audit pins the
     // STANDALONE shape)
     Caches.release(); spark.catalog.clearCache()
-    println("\n===== sim_embedding_covariance =====")
     val covDf = SparkEntry.queries("sim_embedding_covariance")(spark, dir)
-    covDf.explain("formatted")
+    show("sim_embedding_covariance", covDf)
     val covPlan = covDf.queryExecution.executedPlan.toString
     assert(covPlan.contains("graft_vector_moments"),
       "embedding covariance must aggregate via the native moments expression")
@@ -347,9 +352,8 @@ object PlanAudit {
     // map over the corpus — the scan must prune to (vec_id, embedding)
     // and nothing corpus-sized may sort-merge or broadcast (the plan's
     // only joins are the 1-row constant attaches)
-    println("\n===== sim_component_scores =====")
     val pcsDf = SparkEntry.queries("sim_component_scores")(spark, dir)
-    pcsDf.explain("formatted")
+    show("sim_component_scores", pcsDf)
     val pcsPlan = pcsDf.queryExecution.executedPlan.toString
     val pcsRead = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(pcsPlan).map(_.group(1)).toSeq
@@ -364,9 +368,8 @@ object PlanAudit {
     // leaves) must show co-shuffled equi-joins and no nested loop
     // direct call: the suite's sim_pagerank is refined-backed as of r14;
     // this audit pins the 2-probe-supplied composition (calibration path)
-    println("\n===== pageRank over 2-probe graph (calibration, direct) =====")
     val prDf = graft.operators.SimilarityOps.pageRank(spark, dir)
-    prDf.explain("formatted")
+    show("pageRank over 2-probe graph (calibration, direct)", prDf)
     val prPlan = prDf.queryExecution.executedPlan.toString
     assert(prPlan.contains("ShuffledHashJoin"),
       "pagerank joins must co-shuffle")
@@ -380,9 +383,8 @@ object PlanAudit {
     // every exchange keys on event_type (the windows run over the
     // value-domain-sized distinct-cents frame), and the events scan
     // prunes to (event_type, value)
-    println("\n===== evt_value_quantiles =====")
     val vqDf = SparkEntry.queries("evt_value_quantiles")(spark, dir)
-    vqDf.explain("formatted")
+    show("evt_value_quantiles", vqDf)
     val vqPlan = vqDf.queryExecution.executedPlan.toString
     val vqKeys = "hashpartitioning\\((\\w+)".r
       .findAllMatchIn(vqPlan).map(_.group(1)).toSet
@@ -406,9 +408,8 @@ object PlanAudit {
     // DATS Q1: the top-dataset filter is an explicitly broadcast
     // row-bounded frame (datasets matching two titles) — the plan must
     // carry that broadcast and stay cartesian-free
-    println("\n===== q1_second_level =====")
     val q1Df = SparkEntry.queries("q1_second_level")(spark, dir)
-    q1Df.explain("formatted")
+    show("q1_second_level", q1Df)
     val q1Plan = q1Df.queryExecution.executedPlan.toString
     assert(q1Plan.contains("BroadcastHashJoin"),
       "q1 must broadcast the title-filtered top-dataset frame")
@@ -430,15 +431,13 @@ object PlanAudit {
     // distinct pass).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val q7Df = SparkEntry.queries("q7_tabular_dump")(spark, dir)
-    println("\n===== q7_tabular_dump (auto-broadcast off) =====")
-    q7Df.explain("formatted")
+    show("q7_tabular_dump (auto-broadcast off)", q7Df)
     val q7Plan = q7Df.queryExecution.executedPlan.toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     assert(!q7Plan.contains("NestedLoop") && !q7Plan.contains("Cartesian"),
       "q7 must stay equi-join only at scale")
     assert(q7Plan.contains("hashpartitioning(subject_mid"),
       "q7's characteristics pivot must aggregate partitioned on the subject key")
-    println("\n[plan-audit] machine checks passed")
-    spark.stop()
+    if (verbose) println("\n[plan-audit] machine checks passed")
   }
 }

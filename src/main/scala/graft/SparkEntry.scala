@@ -120,6 +120,19 @@ object SparkEntry {
     "q5_subject_characteristics" -> (DatsGen.q5 _),
     "q6_sample_characteristics" -> (DatsGen.q6 _),
     "q7_tabular_dump" -> (DatsGen.q7 _),
+    // the same seven queries over MATERIALIZED entity-table parquet
+    // (DatsGen.materializedGraph — written once per process, re-read per
+    // query): their oracle rows prove materialized ≡ direct, and their
+    // bench rows price the reference's own deployment shape (ETL writes
+    // once, queries re-read — bin/gtex_v7_to_dats.py:404-406 /
+    // sparql/v0.7/rdflib_util.py:54-63)
+    "q1_second_level_mat" -> (DatsGen.matQuery(1) _),
+    "q2_dataset_variables_mat" -> (DatsGen.matQuery(2) _),
+    "q3_study_group_members_mat" -> (DatsGen.matQuery(3) _),
+    "q4_subject_samples_mat" -> (DatsGen.matQuery(4) _),
+    "q5_subject_characteristics_mat" -> (DatsGen.matQuery(5) _),
+    "q6_sample_characteristics_mat" -> (DatsGen.matQuery(6) _),
+    "q7_tabular_dump_mat" -> (DatsGen.matQuery(7) _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -269,5 +282,16 @@ object SparkEntry {
     "q5_subject_characteristics" -> Oracles.datsQ5,
     "q6_sample_characteristics" -> Oracles.datsQ6,
     "q7_tabular_dump" -> Oracles.datsQ7,
+    // the materialized runners answer the SAME question, so they share
+    // the direct queries' DuckDB twins — a green row here is an
+    // end-to-end proof that the parquet round-trip (incl. the
+    // material_type partitioning) preserves every query's answer
+    "q1_second_level_mat" -> Oracles.datsQ1,
+    "q2_dataset_variables_mat" -> Oracles.datsQ2,
+    "q3_study_group_members_mat" -> Oracles.datsQ3,
+    "q4_subject_samples_mat" -> Oracles.datsQ4,
+    "q5_subject_characteristics_mat" -> Oracles.datsQ5,
+    "q6_sample_characteristics_mat" -> Oracles.datsQ6,
+    "q7_tabular_dump_mat" -> Oracles.datsQ7,
   )
 }

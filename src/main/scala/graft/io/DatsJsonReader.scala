@@ -1,0 +1,225 @@
+package graft.io
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.etl.GtexEtl.EntityGraph
+
+/** S15 — the JSON-LD graph re-ingest (sparql/v0.7/rdflib_util.py:54-63),
+  * re-expressed for the entity-table engine: parse a [[DatsJsonWriter]]
+  * document back into normalized entity DataFrames, so the canonical
+  * queries run against a written instance exactly the way the
+  * reference's query scripts re-read the ETL's output file. Where the
+  * reference inflates the document into ~663k RDF triples and scans
+  * them, this reader walks the JSON tree ONCE on the driver (reference
+  * instances are ≤ ~420 MB — the same driver-side budget the writer
+  * already assumes) and hands Spark the same normalized tables the ETL
+  * produced, so every downstream join keeps its pushdown and pruning.
+  * At cluster scale the deployment shape is [[EntityStore]] parquet —
+  * this reader exists for reference-format interchange, not as the
+  * 100 TB path.
+  *
+  * Inversion notes (all from the writer's emission rules):
+  *  - first-occurrence/idref semantics: a node with `@type` is the full
+  *    entity (attributes recorded there, exactly once); a bare
+  *    `{"@id": …}` resolves to the already-recorded entity;
+  *  - `material_type` is not serialized (the reference has no such
+  *    field) — it is re-derived from the role, the same donor/specimen/
+  *    extract mapping the queries' typed hops rely on;
+  *  - an extract's `subject_id` join key is re-derived by walking its
+  *    `derivesFrom` chain up to the donor material's name;
+  *  - a distribution's `md5` rides the owning dataset's MD5 Dimension
+  *    (the writer emits it there, mirroring rdflib_tabular_dump.py's
+  *    own MD5-from-dimensions lookup).
+  */
+object DatsJsonReader {
+
+  private def str(n: JsonNode, f: String): String = {
+    val v = n.get(f)
+    if (v == null || v.isNull) null else v.asText()
+  }
+
+  def read(spark: SparkSession, path: String): EntityGraph = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)))
+
+    val datasets = mutable.ArrayBuffer.empty[Row]
+    val identifiers = mutable.ArrayBuffer.empty[Row]
+    val studyNames = mutable.LinkedHashMap.empty[String, String]
+    val studyOf = mutable.ArrayBuffer.empty[(String, String)] // (study_id, dataset_id)
+    val studyGroups = mutable.ArrayBuffer.empty[Row]
+    val groupMembers = mutable.ArrayBuffer.empty[Row]
+    // material_id -> (name, role, derives_from, anatomy_id, description)
+    val materialAttrs = mutable.LinkedHashMap.empty[String, (String, String, String, String, String)]
+    val anatomies = mutable.LinkedHashMap.empty[String, (String, String)]
+    val characteristics = mutable.ArrayBuffer.empty[Row]
+    val diseases = mutable.ArrayBuffer.empty[Row]
+    // dim_id -> (name, var_acc, description, value); plus (owner, dim) pairs
+    val dimAttrs = mutable.LinkedHashMap.empty[String, (String, String, String, String)]
+    val dimOf = mutable.ArrayBuffer.empty[(String, String)]
+    // (dataset_id, access_url, size, doi, index_doi); md5 joined from dims
+    val distributions = mutable.ArrayBuffer.empty[(String, String, Any, String, String)]
+    val dataAcquisitions = mutable.ArrayBuffer.empty[Row]
+
+    def walkMaterial(n: JsonNode): String = {
+      val id = str(n, "@id")
+      if (!n.has("@type")) return id // idref — already recorded at first occurrence
+      val role = Option(n.get("roles")).map(_.get(0)).map(str(_, "value")).orNull
+      val anatomyId = Option(n.get("anatomicalPart")).map { a =>
+        val aid = str(a, "@id")
+        if (a.has("@type"))
+          anatomies.getOrElseUpdate(aid, (str(a, "name"), str(a, "identifier")))
+        aid
+      }.orNull
+      val derivesFrom = Option(n.get("derivesFrom"))
+        .map(arr => walkMaterial(arr.get(0))).orNull
+      materialAttrs(id) = (str(n, "name"), role, derivesFrom, anatomyId,
+        str(n, "description"))
+      Option(n.get("characteristics")).foreach(_.elements().asScala.foreach { c =>
+        characteristics += Row(id, str(c, "identifier"), str(c, "name"),
+          str(c, "value"))
+      })
+      Option(n.get("bearerOfDisease")).foreach(_.elements().asScala.foreach { d =>
+        diseases += Row(id, str(d, "name"),
+          Option(d.get("identifier")).map(str(_, "identifier")).orNull,
+          Option(d.get("diseaseStatus")).map(str(_, "value")).orNull)
+      })
+      id
+    }
+
+    def walkDataset(n: JsonNode, parentId: String): Unit = {
+      val id = str(n, "@id")
+      if (!n.has("@type")) return // idref to an already-walked dataset
+      val dataType = Option(n.get("types")).map(_.get(0)).map(str(_, "value")).orNull
+      Option(n.get("identifier")).foreach { idn =>
+        identifiers += Row(id, str(idn, "identifier"), str(idn, "identifierSource"))
+      }
+      Option(n.get("dimensions")).foreach(_.elements().asScala.foreach { d =>
+        val did = str(d, "@id")
+        if (d.has("@type"))
+          dimAttrs(did) = (str(d, "name"), str(d, "identifier"),
+            str(d, "description"), str(d, "values"))
+        dimOf += ((id, did))
+      })
+      Option(n.get("distributions")).foreach(_.elements().asScala.foreach { d =>
+        val size: Any =
+          if (d.has("size") && !d.get("size").isNull) d.get("size").asLong() else null
+        val indexDoi = Option(d.get("relatedIdentifiers"))
+          .map(_.get(0)).map(str(_, "identifier")).orNull
+        distributions += ((id,
+          Option(d.get("access")).map(str(_, "landingPage")).orNull,
+          size, str(d, "identifier"), indexDoi))
+      })
+      Option(n.get("isAbout")).foreach(_.elements().asScala.foreach(walkMaterial))
+      var studyId: String = null
+      Option(n.get("producedBy")).foreach { pb =>
+        if (pb.has("input")) { // DataAcquisition (the writer gives it no @id)
+          pb.get("input").elements().asScala.foreach { m =>
+            dataAcquisitions += Row(id, walkMaterial(m))
+          }
+        } else { // Study — full node or idref
+          studyId = str(pb, "@id")
+          studyOf += ((studyId, id))
+          if (pb.has("@type")) {
+            studyNames(studyId) = str(pb, "name")
+            Option(pb.get("hasPart")).foreach(_.elements().asScala.foreach { gr =>
+              val gid = str(gr, "@id")
+              studyGroups += Row(gid, studyId, str(gr, "name"))
+              Option(gr.get("hasMember")).foreach(_.elements().asScala.foreach { m =>
+                groupMembers += Row(gid, walkMaterial(m))
+              })
+            })
+          }
+        }
+      }
+      datasets += Row(id, parentId, str(n, "title"), str(n, "description"),
+        str(n, "version"), dataType, studyId)
+      Option(n.get("hasPart")).foreach(_.elements().asScala.foreach(walkDataset(_, id)))
+    }
+
+    if (root.isArray) root.elements().asScala.foreach(walkDataset(_, null))
+    else walkDataset(root, null)
+
+    // post-walk derivations: material_type from role, subject_id from the
+    // derivesFrom chain's donor name (Q7's file_subject_key join key)
+    def typeOfRole(role: String): String = role match {
+      case "donor" => "subject"
+      case "specimen" => "sample"
+      case r if r != null && r.endsWith("extract") => "extract"
+      case other => other
+    }
+    def donorName(id: String): String = {
+      var cur = id
+      var hops = 0
+      while (cur != null && hops < 8) {
+        materialAttrs.get(cur) match {
+          case Some((name, role, parent, _, _)) =>
+            if (role == "donor") return name
+            cur = parent
+          case None => return null
+        }
+        hops += 1
+      }
+      null
+    }
+    val materialRows = materialAttrs.iterator.map {
+      case (id, (name, role, parent, anatomy, desc)) =>
+        Row(id, name, typeOfRole(role), role, donorName(id), parent, anatomy, desc)
+    }.toSeq
+    // a distribution's md5 is the owning dataset's MD5 dimension value
+    val md5Of = dimOf.iterator.flatMap { case (owner, did) =>
+      dimAttrs.get(did).collect { case ("MD5", _, _, v) if v != null => owner -> v }
+    }.toMap
+    val distRows = distributions.iterator.map { case (ds, url, size, doi, idx) =>
+      Row(ds, url, size, md5Of.get(ds).orNull, doi, idx)
+    }.toSeq
+    val dimRows = dimOf.iterator.map { case (owner, did) =>
+      val (name, varAcc, desc, value) = dimAttrs.getOrElse(did, (null, null, null, null))
+      Row(did, owner, name, varAcc, desc, value)
+    }.toSeq
+    val studyRows = studyOf.iterator.map { case (sid, ds) =>
+      Row(sid, ds, studyNames.getOrElse(sid, null))
+    }.toSeq
+
+    def s(fields: String*): StructType =
+      StructType(fields.map(f => StructField(f, StringType)))
+    def df(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+
+    EntityGraph(
+      datasets = df(datasets.toSeq, s("dataset_id", "parent_dataset_id", "title",
+        "description", "version", "data_type", "study_id")),
+      identifiers = df(identifiers.toSeq,
+        s("entity_id", "identifier", "identifier_source")),
+      studies = df(studyRows, s("study_id", "dataset_id", "name")),
+      studyGroups = df(studyGroups.toSeq, s("group_id", "study_id", "name")),
+      groupMembers = df(groupMembers.toSeq, s("group_id", "material_id")),
+      materials = df(materialRows, s("material_id", "name", "material_type",
+        "role", "subject_id", "derives_from", "anatomy_id", "description")),
+      anatomicalParts = df(anatomies.iterator.map {
+          case (aid, (name, uberon)) => Row(aid, name, uberon)
+        }.toSeq, s("anatomy_id", "name", "uberon_id")),
+      characteristics = df(characteristics.toSeq,
+        s("material_id", "var_acc", "name", "value")),
+      dimensions = df(dimRows, s("dim_id", "owner_id", "name", "var_acc",
+        "description", "value")),
+      distributions = df(distRows, StructType(Seq(
+        StructField("dataset_id", StringType),
+        StructField("access_url", StringType),
+        StructField("size", LongType),
+        StructField("md5", StringType),
+        StructField("doi", StringType),
+        StructField("index_doi", StringType)))),
+      dataAcquisitions = df(dataAcquisitions.toSeq,
+        s("dataset_id", "input_material_id")),
+      diseases = df(diseases.toSeq,
+        s("material_id", "name", "disease_id", "status")))
+  }
+}

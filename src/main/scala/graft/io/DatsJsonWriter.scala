@@ -96,12 +96,18 @@ object DatsJsonWriter {
     val dims = rows(g.dimensions).groupBy(_.getAs[String]("owner_id"))
     val dists = rows(g.distributions).groupBy(_.getAs[String]("dataset_id"))
     val acqs = rows(g.dataAcquisitions).groupBy(_.getAs[String]("dataset_id"))
-    // O2/isAbout: name-sorted sample materials, truncated to N when set.
-    // Derived from the ALREADY-COLLECTED materials rows — a second Spark
-    // job over g.materials would recompute the whole lineage for a list
-    // the driver is holding anyway.
+    // O2/isAbout: name-sorted EXTRACT materials, truncated to N when set.
+    // Both reference pipelines put the DNA/RNA-extract nodes in isAbout —
+    // each deriving from its biological sample, which derives from its
+    // subject (ccmm/gtex/samples.py:143-153 returns the extract and
+    // gtex_v7_to_dats.py:375-379 attaches that list; topmed samples.py:
+    // 119-132 likewise) — so every extract is document-reachable even
+    // when no file Dataset references it. Derived from the
+    // ALREADY-COLLECTED materials rows — a second Spark job over
+    // g.materials would recompute the whole lineage for a list the
+    // driver is holding anyway.
     val sortedSamples = materials
-      .filter(_.getAs[String]("material_type") == "sample")
+      .filter(_.getAs[String]("material_type") == "extract")
       .sortBy(_.getAs[String]("name"))
     val isAboutIds = maxOutputSamples.fold(sortedSamples)(sortedSamples.take)
       .map(_.getAs[String]("material_id"))

@@ -142,7 +142,11 @@ object VideoCodec {
             val chunkStream = (p(off.toInt) - '0') * 10 + (p(off.toInt + 1) - '0')
             val frame =
               if (data.length >= 2 && (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
+                // a raw DIB frame can open with 0xFFD8 by pixel accident
+                // (e.g. bottom-left B=255 G=216) — fall back to the
+                // stream's declared format when the JPEG attempt fails
                 ImageCodec.decode(data)
+                  .orElse(dib.get(chunkStream).flatMap(f => decodeDib(data, f)))
               else dib.get(chunkStream).flatMap(f => decodeDib(data, f))
                 .orElse(ImageCodec.decode(data))
             frame.foreach(out += _)

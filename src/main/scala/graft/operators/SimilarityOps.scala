@@ -510,6 +510,31 @@ object SimilarityOps {
     * mirror stay for the record. */
   private[graft] val DescentMix = 0
 
+  /** NN-Descent's incremental-search sampling rate ρ, as an integer
+    * PERCENT (100 = no sampling — every FoF pair through a new
+    * neighborhood entry is scored, the r13-r15 behavior). Below 100,
+    * each round deterministically activates only ρ% of a node's NEW
+    * neighborhood entries — the hash (center·48271 + nbr·104729 +
+    * round·9973) mod 100 < ρ, round-keyed so an entry skipped in round
+    * t gets fresh draws in later rounds — and FoF pairs are generated
+    * only among participants (old entries + activated new ones) with at
+    * least one activated-new side. This is the paper's ρ-sampling
+    * (Dong, Moses, Li — WWW 2011 §2.3, "incremental search" + sampling)
+    * made deterministic and SQL-replayable: round-1 candidate volume —
+    * the build's measured cost cliff at 200k vectors — scales ~ρ².
+    * "Used" entries (activated once) are tracked cumulatively, exactly
+    * like the paper's new/old flag: a pair of used entries was already
+    * scored together in the round both were active, and the per-node
+    * k-th-best cosine is monotone, so skipping it is output-exact given
+    * the sampling pattern. The oracle twin (Oracles.KNNR_PIPE)
+    * interpolates this constant and unrolls the SAME hash filter, so
+    * every refined-family correctness row remains an end-to-end
+    * equivalence proof at the shipped ρ.
+    *
+    * The shipped value is set by the sf10 sweep (RECALL_r16.json);
+    * 100 until the sweep prices the dial. */
+  private[graft] val DescentRhoPct = 100
+
   /** Corpus-size ceiling for broadcasting the quantized vector frame
     * into the descent's scoring joins. At 500k vectors the (vec_id, qv,
     * nrm) projection is ~350 MB unsafe-row — comfortably a broadcast on

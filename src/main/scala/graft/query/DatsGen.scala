@@ -257,38 +257,75 @@ object DatsGen {
       dataAcquisitions, diseases)
   }
 
-  def q1(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.listSecondLevelDatasets(graph(spark, dir), Q1TopTitles)
+  def q1(spark: SparkSession, dir: String): DataFrame = queryOver(1, graph(spark, dir))
+  def q2(spark: SparkSession, dir: String): DataFrame = queryOver(2, graph(spark, dir))
+  def q3(spark: SparkSession, dir: String): DataFrame = queryOver(3, graph(spark, dir))
+  def q4(spark: SparkSession, dir: String): DataFrame = queryOver(4, graph(spark, dir))
+  def q5(spark: SparkSession, dir: String): DataFrame = queryOver(5, graph(spark, dir))
+  def q6(spark: SparkSession, dir: String): DataFrame = queryOver(6, graph(spark, dir))
+  def q7(spark: SparkSession, dir: String): DataFrame = queryOver(7, graph(spark, dir))
 
-  def q2(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.listDatasetVariables(graph(spark, dir), Some(Q2StudyAcc))
+  /** The derivation's fixed subject-level pivot header (3 subject
+    * characteristics + 1 disease name), sorted. */
+  val Q7CharNames: Seq[String] =
+    Seq("Age_Range", "Gender", "Hypertension", "Market_Segment")
 
-  /** Q3 over a member-restricted materials view: hasMember is untyped in
-    * the generic query (AGR groups hold genes), but THIS graph's members
-    * are all subjects, so the graph supplies the knowledge — the literal
-    * type filter folds the corpus-sized extract chain out of the member
-    * name attach (sf10: 19.7 s → 2.3 s), exactly what partitioning
-    * materials by type buys on a materialized deployment. */
-  def q3(spark: SparkSession, dir: String): DataFrame = {
-    val g = graph(spark, dir)
-    DatsQueries.listStudyGroupMembers(
-      g.copy(materials = g.materials.filter(col("material_type") === "subject")),
-      Q3DatasetAcc, Q3GroupName)
-  }
-
-  def q4(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.listSubjectSamples(graph(spark, dir))
-
-  def q5(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.listSubjectCharacteristics(graph(spark, dir))
-
-  def q6(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.listSampleCharacteristics(graph(spark, dir))
-
-  /** Q7 passes the pivot header explicitly — the derivation fixes the
+  /** Canonical query `n` (1-7) bound to this derivation's parameters,
+    * over any of its graphs (direct views or re-read parquet).
+    *
+    * Q3 runs over a member-restricted materials view: hasMember is
+    * untyped in the generic query (AGR groups hold genes), but THIS
+    * graph's members are all subjects, so the graph supplies the
+    * knowledge. On direct views the literal type filter folds the
+    * corpus-sized extract chain out of the member name attach (sf10:
+    * 19.7 s → 2.3 s); on materialized tables the same filter becomes
+    * PARTITION PRUNING — only the `material_type=subject` directory is
+    * listed.
+    *
+    * Q7 passes the pivot header explicitly — the derivation fixes the
     * subject-level characteristic∪disease name set, so the distinct
     * discovery pass (bounded but still a job) is skipped. */
-  def q7(spark: SparkSession, dir: String): DataFrame =
-    DatsQueries.tabularDump(graph(spark, dir),
-      Some(Seq("Age_Range", "Gender", "Hypertension", "Market_Segment")))
+  def queryOver(n: Int, g: EntityGraph): DataFrame = n match {
+    case 1 => DatsQueries.listSecondLevelDatasets(g, Q1TopTitles)
+    case 2 => DatsQueries.listDatasetVariables(g, Some(Q2StudyAcc))
+    case 3 => DatsQueries.listStudyGroupMembers(
+      g.copy(materials = g.materials.filter(col("material_type") === "subject")),
+      Q3DatasetAcc, Q3GroupName)
+    case 4 => DatsQueries.listSubjectSamples(g)
+    case 5 => DatsQueries.listSubjectCharacteristics(g)
+    case 6 => DatsQueries.listSampleCharacteristics(g)
+    case 7 => DatsQueries.tabularDump(g, Some(Q7CharNames))
+    case other => sys.error(s"no canonical query $other")
+  }
+
+  /** Write the entity views to parquet under `out` — the deployment
+    * step of the materialize-then-query shape ([[graft.io.EntityStore]];
+    * the reference writes its instance once and every query re-reads
+    * it). Each view is one distributed parquet write; `materials` lands
+    * partitioned by `material_type`. */
+  def materialize(spark: SparkSession, dir: String, out: String): Unit =
+    graft.io.EntityStore.save(graph(spark, dir), out)
+
+  private val matDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The entity tables for `dir`, materialized ONCE per process into a
+    * fresh temp directory and re-read from parquet thereafter. The
+    * `qNMat` suite entries run over this, so their oracle rows prove
+    * materialized ≡ direct query-for-query, and their bench rows price
+    * the deployment shape (query-only cost — the write is paid once, on
+    * the first call, exactly like the reference's own ETL-once /
+    * query-many split). */
+  def materializedGraph(spark: SparkSession, dir: String): EntityGraph = {
+    val out = matDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_dats_mat_").toString
+      materialize(spark, dir, d)
+      d
+    })
+    graft.io.EntityStore.load(spark, out)
+  }
+
+  /** Canonical query `n` (1-7) over the materialized tables — the same
+    * [[queryOver]] programs with parquet inputs. */
+  def matQuery(n: Int)(spark: SparkSession, dir: String): DataFrame =
+    queryOver(n, materializedGraph(spark, dir))
 }

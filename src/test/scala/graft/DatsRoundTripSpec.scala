@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.etl.GtexEtl
+import graft.io.{DatsJsonReader, DatsJsonWriter, EntityStore}
+import graft.query.DatsQueries
+
+/** The ETL→write→re-read→query loop the reference's own test drivers
+  * close (rdflib_test_gtex_public.py:33-50): the fixture ETL builds the
+  * entity graph, the K1 sink writes the DATS JSON-LD document, the S15
+  * re-ingest ([[DatsJsonReader]]) parses it back into entity tables, and
+  * all seven canonical queries must answer identically over the re-read
+  * tables and the direct views. A second test closes the same loop
+  * through [[EntityStore]] parquet — the at-scale deployment shape.
+  */
+class DatsRoundTripSpec extends SparkTestBase {
+
+  private def res(name: String): String = getClass.getResource(s"/gtex/$name").getPath
+
+  private lazy val graph = GtexEtl.build(spark, GtexEtl.Inputs(
+    subjectsPath = res("GTEx_v7_Annotations_SubjectPhenotypesDS.txt"),
+    samplesPath = res("GTEx_v7_Annotations_SampleAttributesDS.txt"),
+    wgsManifestPath = res("wgs_cram_manifest.txt"),
+    rnaseqManifestPath = res("rnaseq_cram_manifest.txt"),
+    doiPath = res("doi_manifest.txt"),
+    dbgapDataDictPath = Some(res(
+      "phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")),
+    dbgapStudiesScrapePath = Some(res("dbgap_studies.txt")),
+    dbgapVarReportPath = Some(res(
+      "dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml"))))
+
+  private def queries(g: GtexEtl.EntityGraph): Seq[(String, DataFrame)] = Seq(
+    "q1" -> DatsQueries.listSecondLevelDatasets(g, Seq(GtexEtl.TopDatasetTitle)),
+    "q2" -> DatsQueries.listDatasetVariables(g, Some(GtexEtl.StudyAccession)),
+    "q3" -> DatsQueries.listStudyGroupMembers(g, GtexEtl.StudyAccession, "all subjects"),
+    "q4" -> DatsQueries.listSubjectSamples(g),
+    "q5" -> DatsQueries.listSubjectCharacteristics(g),
+    "q6" -> DatsQueries.listSampleCharacteristics(g),
+    "q7" -> DatsQueries.tabularDump(g))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.map(String.valueOf).mkString(""))
+
+  private def assertSameAnswers(reread: GtexEtl.EntityGraph): Unit = {
+    val direct = queries(graph).toMap
+    queries(reread).foreach { case (name, df) =>
+      val (expect, got) = (rows(direct(name)), rows(df))
+      assert(got.nonEmpty, s"$name returned no rows — a vacuous round-trip")
+      assert(got === expect, s"$name differs between direct views and re-read tables")
+    }
+  }
+
+  test("K1+S15: all seven queries answer identically over the re-read JSON document") {
+    val path = java.nio.file.Files.createTempDirectory("dats_rt").toString + "/gtex.json"
+    DatsJsonWriter.write(graph, path)
+    assertSameAnswers(DatsJsonReader.read(spark, path))
+  }
+
+  test("EntityStore: all seven queries answer identically over materialized parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("dats_rt_pq").toString
+    EntityStore.save(graph, dir)
+    assertSameAnswers(EntityStore.load(spark, dir))
+  }
+}

@@ -205,18 +205,21 @@ class EtlSpec extends SparkTestBase {
 
   test("O2: --max_output_samples truncates the study dataset's isAbout list") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val nSamples = graph.materials
-      .filter(col("material_type") === "sample").count().toInt
+    // isAbout carries the EXTRACT materials, like both reference
+    // pipelines (gtex_v7_to_dats.py:375-379 attaches the DNA/RNA-extract
+    // nodes samples.py:143-153 returns)
+    val nExtracts = graph.materials
+      .filter(col("material_type") === "extract").count().toInt
     val full = mapper.readTree(DatsJsonWriter.render(graph))
       .path("hasPart").get(0).path("isAbout")
-    assert(full.size() === nSamples)
+    assert(full.size() === nExtracts)
     val limited = mapper.readTree(DatsJsonWriter.render(graph, maxOutputSamples = Some(2)))
       .path("hasPart").get(0).path("isAbout")
     assert(limited.size() === 2)
     // name-sorted head, not arbitrary rows (the reference sorts by name
     // before slicing, gtex_v7_to_dats.py:375-377)
     val names = (0 until 2).map(i => limited.get(i).path("name").asText())
-    assert(names === Seq("GTEX-1111-0001-SM-A", "GTEX-1111-0002-SM-B"))
+    assert(names === Seq("GTEX-1111-0001-SM-A extract", "GTEX-1111-0002-SM-B extract"))
   }
 
   test("K1: JSON writer is deterministic and uses idrefs after first emission") {
