@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TopKEdgesAgg groups are corpus-sized — see Tables.session
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: every localCheckpoint emits a lineage warning, and

@@ -486,6 +486,7 @@ object Oracles {
     val kd = graft.operators.SimilarityOps.DescentK
     val nr = graft.operators.SimilarityOps.DescentRounds
     val mix = graft.operators.SimilarityOps.DescentMix
+    val rho = graft.operators.SimilarityOps.DescentRhoPct
     val mixCtes = if (mix <= 0) "" else
       s"""rkm AS MATERIALIZED (SELECT vec_id,
          |  CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS r FROM n),
@@ -506,26 +507,58 @@ object Oracles {
          |  FROM (SELECT ida AS src, idb AS dst, cosine FROM $src
          |        UNION ALL SELECT idb, ida, cosine FROM $src) d_$name) t_$name
          | WHERE rnk <= $kd)""".stripMargin
-    val rounds = (1 to nr).map { t =>
+    // ρ < 100 (SimilarityOps.DescentRhoPct) adds the deterministic
+    // sampling the Scala build applies: per round, a NEW entry (not in
+    // the cumulative used set) participates only when the round-keyed
+    // hash activates it; pairs need two participants and ≥1 activated-
+    // new side; activated entries promote into used$t. At ρ = 100 the
+    // pipe stays the plain full-FoF unroll (the cut is output-invisible
+    // there, so the twin omits it entirely).
+    def roundCtes(t: Int): String = {
       val p = s"sd${t - 1}"
-      s"""u$t AS MATERIALIZED (SELECT DISTINCT center, nbr FROM (
-         |  SELECT src AS center, dst AS nbr FROM $p
-         |  UNION ALL
-         |  SELECT dst AS center, src AS nbr FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY dst
-         |      ORDER BY cosine DESC, src ASC) AS irnk FROM $p) i$t
-         |  WHERE irnk <= $kd$mixUnion) uu$t),
-         |c$t AS MATERIALIZED (SELECT DISTINCT ida, idb FROM (
-         |  SELECT x.nbr AS ida, y.nbr AS idb FROM u$t x JOIN u$t y
-         |    ON x.center = y.center AND x.nbr < y.nbr
-         |  UNION ALL SELECT LEAST(src, dst), GREATEST(src, dst) FROM $p) cc$t),
+      val uCte =
+        s"""u$t AS MATERIALIZED (SELECT DISTINCT center, nbr FROM (
+           |  SELECT src AS center, dst AS nbr FROM $p
+           |  UNION ALL
+           |  SELECT dst AS center, src AS nbr FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY dst
+           |      ORDER BY cosine DESC, src ASC) AS irnk FROM $p) i$t
+           |  WHERE irnk <= $kd$mixUnion) uu$t)""".stripMargin
+      val pairSrc = if (rho >= 100)
+        s"""c$t AS MATERIALIZED (SELECT DISTINCT ida, idb FROM (
+           |  SELECT x.nbr AS ida, y.nbr AS idb FROM u$t x JOIN u$t y
+           |    ON x.center = y.center AND x.nbr < y.nbr
+           |  UNION ALL SELECT LEAST(src, dst), GREATEST(src, dst) FROM $p) cc$t)""".stripMargin
+      else
+        s"""f$t AS MATERIALIZED (SELECT u.center, u.nbr,
+           |    us.seen IS NULL AS is_new,
+           |    (us.seen IS NULL AND
+           |     (u.center*48271 + u.nbr*104729 + $t*9973) % 100 < $rho) AS act
+           |  FROM u$t u LEFT JOIN (SELECT center, nbr, TRUE AS seen
+           |    FROM used${t - 1}) us ON u.center = us.center AND u.nbr = us.nbr),
+           |c$t AS MATERIALIZED (SELECT DISTINCT ida, idb FROM (
+           |  SELECT x.nbr AS ida, y.nbr AS idb FROM f$t x JOIN f$t y
+           |    ON x.center = y.center AND x.nbr < y.nbr
+           |    AND (NOT x.is_new OR x.act) AND (NOT y.is_new OR y.act)
+           |    AND (x.act OR y.act)
+           |  UNION ALL SELECT LEAST(src, dst), GREATEST(src, dst) FROM $p) cc$t),
+           |used$t AS MATERIALIZED (SELECT DISTINCT center, nbr FROM (
+           |  SELECT center, nbr FROM used${t - 1}
+           |  UNION ALL SELECT center, nbr FROM f$t WHERE act) uu2$t)""".stripMargin
+      s"""$uCte,
+         |$pairSrc,
          |s$t AS (SELECT ida, idb, ${cosine("a", "b")} AS cosine
          |  FROM c$t JOIN n a ON ida = a.vec_id JOIN n b ON idb = b.vec_id),
          |${topCte(s"sd$t", s"s$t")}""".stripMargin
-    }.mkString(",\n")
+    }
+    val usedSeed = if (rho >= 100) "" else
+      """used0 AS (SELECT CAST(NULL AS BIGINT) AS center,
+        |  CAST(NULL AS BIGINT) AS nbr WHERE FALSE),
+        |""".stripMargin
+    val rounds = (1 to nr).map(roundCtes).mkString(",\n")
     s"""${knnbCandidates(graft.operators.SimilarityOps.DescentSeedTables,
            graft.operators.SimilarityOps.DescentSeedTarget)},
-       |$mixCtes${topCte("sd0", "scb")},
+       |$mixCtes$usedSeed${topCte("sd0", "scb")},
        |$rounds,
        |fr AS (SELECT DISTINCT LEAST(src, dst) AS ida, GREATEST(src, dst) AS idb, cosine
        |  FROM sd$nr),

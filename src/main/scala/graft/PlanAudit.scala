@@ -438,6 +438,32 @@ object PlanAudit {
       "q7 must stay equi-join only at scale")
     assert(q7Plan.contains("hashpartitioning(subject_mid"),
       "q7's characteristics pivot must aggregate partitioned on the subject key")
+    // materialized deployment (EntityStore parquet): Q3's typed member
+    // hop must reach the materials scan as a PARTITION filter (the
+    // table is written partitioned by material_type — whole directories
+    // prune at planning time), and both query parameters must push into
+    // their parquet scans instead of filtering post-scan
+    val q3mDf = SparkEntry.queries("q3_study_group_members_mat")(spark, dir)
+    show("q3_study_group_members_mat", q3mDf)
+    val q3mPlan = q3mDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*material_type[^\\]]*= subject\\)".r
+        .findFirstIn(q3mPlan).nonEmpty,
+      "q3-mat must prune materials to the subject partition at the scan")
+    assert(q3mPlan.contains("EqualTo(identifier,phs000000)"),
+      "q3-mat must push the dataset-accession parameter to the identifiers scan")
+    assert(q3mPlan.contains("EqualTo(name,AUTOMOBILE)"),
+      "q3-mat must push the group-name parameter to the study_groups scan")
+    // q7 over the materialized tables keeps the same at-scale shape as
+    // the view form: equi-joins only, subject-partitioned pivot
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q7mDf = SparkEntry.queries("q7_tabular_dump_mat")(spark, dir)
+    show("q7_tabular_dump_mat (auto-broadcast off)", q7mDf)
+    val q7mPlan = q7mDf.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(!q7mPlan.contains("NestedLoop") && !q7mPlan.contains("Cartesian"),
+      "q7-mat must stay equi-join only at scale")
+    assert(q7mPlan.contains("hashpartitioning(subject_mid"),
+      "q7-mat's characteristics pivot must aggregate partitioned on the subject key")
     if (verbose) println("\n[plan-audit] machine checks passed")
   }
 }

@@ -64,6 +64,14 @@ object Tables {
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep corpus-sized group counts in ObjectHashAggregate's hash
+      // regime: the 128-group default falls back to sort-based
+      // aggregation, re-sorting the giant input the bounded top-k
+      // aggregate (TopKEdgesAgg) exists to avoid. Buffers are ≤ ~1 KB,
+      // so even millions of groups per task stay far under executor
+      // memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -18,6 +18,15 @@ object VectorFunctions {
   def vectorMoments(qv: Column, dim: Int): Column =
     GraftSqlBridge.column(
       VectorMomentsAgg(GraftSqlBridge.expression(qv), dim).toAggregateExpression())
+
+  /** Bounded dedup-ing top-k edge aggregate ([[TopKEdgesAgg]]): the k
+    * best (dst, cosine) per group under (cosine DESC, dst ASC) with
+    * duplicate dst values collapsed — DISTINCT + rank-window semantics
+    * in one map-side-combinable pass. */
+  def topEdges(dst: Column, cosine: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKEdgesAgg(GraftSqlBridge.expression(dst),
+        GraftSqlBridge.expression(cosine), k).toAggregateExpression())
 }
 
 /** SQL registration for graft's native expressions, the

@@ -425,7 +425,8 @@ object SimilarityOps {
     * sweep harness ([[graft.RecallGate]]) that prices the dials. */
   private def bitsScored(q: DataFrame, n: Long,
                          tables: Int = BitsTables,
-                         targetList: Long = BitsTargetList): DataFrame = {
+                         targetList: Long = BitsTargetList,
+                         dedup: Boolean = true): DataFrame = {
     // checkpoint the NARROW (vec_id, cl) signature assignment: the
     // b·tables plane dot products per row run exactly ONCE here,
     // instead of once per consumer branch (size count + salted probe +
@@ -433,11 +434,16 @@ object SimilarityOps {
     // cached quantized frame
     val narrow = bitAssign(q, n, tables, targetList).localCheckpoint()
     val blocked = q.join(narrow.hint("shuffle_hash"), "vec_id")
-    DedupOps.saltedBlockCosines(
+    val scored = DedupOps.saltedBlockCosines(
         capSplit(blocked, CapFactor * targetList, narrow = narrow,
           broadcastSizes = false), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
-      .distinct()
+    // dedup = false for the descent seed: a pair colliding in several
+    // tables repeats (same cosine) and TopKEdgesAgg collapses it in its
+    // buffer, so the full-relation dedup exchange is pure overhead
+    // there. The bits GRAPH keeps the distinct — mutualize's rank
+    // windows require set semantics on their input.
+    if (dedup) scored.distinct() else scored
   }
 
   /** Internal neighbor-list width and round count for
@@ -531,8 +537,18 @@ object SimilarityOps {
     * every refined-family correctness row remains an end-to-end
     * equivalence proof at the shipped ρ.
     *
-    * The shipped value is set by the sf10 sweep (RECALL_r16.json);
-    * 100 until the sweep prices the dial. */
+    * PRICED AND REJECTED at sf10 (r16, 200k vectors, 64 GB heap,
+    * RECALL_r16.json): rho=50 → recall 0.8531 at 1042 s BUILD — slower
+    * than the 1011 s unsampled same-session baseline, and under the
+    * 0.9 gate; rho=70 → 0.8811 at 869 s. The round-1 ρ² volume cut is
+    * real, but un-activated entries stay "new" and re-draw every round,
+    * so convergence drags: rounds 4-8, which the unsampled new/old cut
+    * collapses to near-zero volume (measured 59/31/18/11/14 s), keep
+    * generating under sampling — the tail gives back what the head
+    * saved, and the recall loss buys nothing. The dial and its oracle
+    * mirror stay for the record; the shipped build cost lever that DID
+    * work is [[graft.functions.TopKEdgesAgg]] (output-invariant, no
+    * recall trade). */
   private[graft] val DescentRhoPct = 100
 
   /** Corpus-size ceiling for broadcasting the quantized vector frame
@@ -591,6 +607,7 @@ object SimilarityOps {
       seedTables: Int = DescentSeedTables,
       seedTargetList: Long = DescentSeedTarget,
       mix: Int = DescentMix,
+      rhoPct: Int = DescentRhoPct,
       broadcastVecs: Long = DescentBroadcastVecs): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
@@ -603,7 +620,8 @@ object SimilarityOps {
     // partitions' per-task overhead here; on a real cluster the width
     // is the deployment's dial (spark.sql.shuffle.partitions / AQE
     // initialPartitionNum), not something this operator should scope.
-    var sd = directedTopFrom(bitsScored(q, n, seedTables, seedTargetList), kd)
+    var sd = directedTopFrom(
+        bitsScored(q, n, seedTables, seedTargetList, dedup = false), kd)
       .localCheckpoint()
     // static long-range partners (see [[DescentMix]]): symmetrized rank
     // hops, built once and unioned into every round's neighborhood. The
@@ -624,10 +642,16 @@ object SimilarityOps {
       paired.unionByName(paired.select(col("nbr").as("center"), col("center").as("nbr")))
         .distinct().localCheckpoint()
     }
-    // previous round's neighborhood relation, for the incremental FoF
-    // cut below (empty before round 1 — everything is new)
-    var prevU: Option[DataFrame] = None
-    (1 to rounds).foreach { _ =>
+    // the "used" relation for the incremental FoF cut below (empty
+    // before round 1 — everything is new). At ρ = 100 this is the
+    // previous round's full neighborhood relation (the r13-r15
+    // behavior, byte-exact); at ρ < 100 it is the CUMULATIVE set of
+    // entries that have been activated in some earlier round — the
+    // paper's new→old promotion happens on activation, so an entry the
+    // hash skipped stays "new" and keeps drawing in later rounds.
+    var prevUsed: Option[DataFrame] = None
+    (1 to rounds).foreach { round =>
+      val roundT0 = System.nanoTime()
       // bounded neighborhood: out-edges + top-k' in-edges per node,
       // plus the static mix partners when configured
       val inTop = sd.withColumn("irnk", row_number().over(
@@ -639,37 +663,54 @@ object SimilarityOps {
             .unionByName(inTop))(_ unionByName _)
         .distinct().localCheckpoint()
       // Incremental FoF (NN-Descent's "new/old" cut — Dong, Moses, Li,
-      // WWW 2011 §2.3, made exact here): only pairs with at least one
-      // NEW neighborhood entry are generated. An old-old pair through
-      // center c was generated in the previous round (both entries sat
-      // in c's neighborhood then) and scored; since every node's
-      // candidate set always contains its current top-k' (the retained
-      // current edges below), a per-node k'-th-best cosine is monotone
-      // non-decreasing across rounds — a pair that failed the cut once
-      // can never pass it later. The cut is therefore OUTPUT-EXACT —
-      // the oracle twin deliberately unrolls the FULL FoF rounds
-      // without it, so every refined-family correctness row doubles as
-      // an equivalence proof — while the generated pair volume
-      // collapses as the graph converges (see ARCHITECTURE.md for the
-      // measured per-round volumes).
-      val flagged = prevU match {
+      // WWW 2011 §2.3): only pairs with at least one NEW neighborhood
+      // entry are generated. An old-old pair through center c was
+      // generated in the round both entries were active there and
+      // scored; since every node's candidate set always contains its
+      // current top-k' (the retained current edges below), a per-node
+      // k'-th-best cosine is monotone non-decreasing across rounds — a
+      // pair that failed the cut once can never pass it later. At
+      // ρ = 100 the cut is OUTPUT-EXACT and the oracle twin deliberately
+      // unrolls the FULL FoF rounds without it, so every refined-family
+      // correctness row doubles as an equivalence proof; at ρ < 100 the
+      // sampling is part of the operator's definition and the twin
+      // replays the identical hash filter + used-set tracking
+      // ([[DescentRhoPct]]). Generated pair volume collapses as the
+      // graph converges (ARCHITECTURE.md has the measured per-round
+      // volumes).
+      val flagged = prevUsed match {
         case None => und.withColumn("is_new", lit(true))
         case Some(p) => und.join(
             p.withColumn("seen", lit(true)).hint("shuffle_hash"),
             Seq("center", "nbr"), "left")
           .select(col("center"), col("nbr"), col("seen").isNull.as("is_new"))
       }
-      val twoHop = flagged.as("x").join(flagged.as("y").hint("shuffle_hash"),
+      // participants: every old entry plus the ρ%-activated new ones;
+      // a skipped new entry sits this round out entirely
+      val part =
+        if (rhoPct >= 100) flagged.withColumn("act", col("is_new"))
+        else flagged.withColumn("act", col("is_new") &&
+            (col("center") * lit(48271L) + col("nbr") * lit(104729L) +
+              lit(round * 9973L)) % lit(100L) < lit(rhoPct.toLong))
+          .filter(!col("is_new") || col("act"))
+      val twoHop = part.as("x").join(part.as("y").hint("shuffle_hash"),
           col("x.center") === col("y.center") && col("x.nbr") < col("y.nbr") &&
-            (col("x.is_new") || col("y.is_new")))
+            (col("x.act") || col("y.act")))
         .select(col("x.nbr").as("ida"), col("y.nbr").as("idb"))
       // plus the current edges themselves (so a found neighbor is never
       // lost to a round that happens not to re-generate it — also the
-      // retention the exactness argument above stands on)
-      val cand = twoHop.unionByName(
+      // retention the exactness argument above stands on).
+      // No DISTINCT on the broadcast path: a pair generated through
+      // several shared centers is scored once per copy (map-side
+      // arithmetic, no shuffle) and the top-k aggregate collapses the
+      // copies in its buffer — cheaper than a full corpus-scale dedup
+      // exchange of the candidate relation every round. On the
+      // co-shuffle path (corpus above the broadcast ceiling) the joins
+      // move cand twice, so there the dedup pays for itself.
+      val candRaw = twoHop.unionByName(
           sd.select(least(col("src"), col("dst")).as("ida"),
             greatest(col("src"), col("dst")).as("idb")))
-        .distinct()
+      val cand = if (n <= broadcastVecs) candRaw else candRaw.distinct()
       // Re-attaching vectors to the candidate relation is the round's
       // volume cliff: cand is k'²·n-sized (≈1.6e9 pairs in round 1 at
       // 200k vectors) while the quantized frame is only n rows. A
@@ -691,6 +732,10 @@ object SimilarityOps {
         .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
       val prevSd = sd
       sd = directedTopFrom(scored, kd).localCheckpoint()
+      // profile counts taken while und's checkpoint is still alive (at
+      // ρ < 100 it is released below, and a truncated localCheckpoint
+      // cannot recompute)
+      val undRows = if (sys.env.contains("SPARK_GRAFT_DESCENT_LOG")) und.count() else -1L
       // the new sd is materialized (localCheckpoint is eager), so the
       // superseded round's checkpoints are dead: without this the build
       // pins 2·rounds graph-sized block sets (several GB at sf10) for
@@ -698,26 +743,56 @@ object SimilarityOps {
       // spill is the build's cost center. The FINAL sd must survive
       // (the returned plan reads it); everything else is released.
       DedupOps.unpersistCheckpoint(prevSd)
-      prevU.foreach(DedupOps.unpersistCheckpoint)
-      prevU = Some(und)
+      val newUsed =
+        if (rhoPct >= 100) und // act ≡ is_new: last round's neighborhood is the used set
+        else {
+          // cumulative promotion: previously-used entries plus this
+          // round's activated ones (narrow 2-col relation; converging
+          // neighborhoods repeat entries, so distinct keeps it near
+          // n·2k' in practice)
+          val u = prevUsed.foldLeft(
+              part.filter(col("act")).select("center", "nbr"))(_ unionByName _)
+            .distinct().localCheckpoint()
+          DedupOps.unpersistCheckpoint(und) // consumed by u's materialization
+          u
+        }
+      prevUsed.foreach(DedupOps.unpersistCheckpoint)
+      prevUsed = Some(newUsed)
+      // env-gated per-round profile (each round ends in an EAGER
+      // localCheckpoint, so the wall-clock split is real): the numbers
+      // that decide which dial to turn at scale — see ARCHITECTURE.md's
+      // descent cost anatomy
+      if (sys.env.contains("SPARK_GRAFT_DESCENT_LOG"))
+        println(f"[descent] round $round%d " +
+          f"secs=${(System.nanoTime() - roundT0) / 1e9}%.1f " +
+          f"sd_rows=${sd.count()}%d und_rows=$undRows%d")
     }
-    prevU.foreach(DedupOps.unpersistCheckpoint)
+    prevUsed.foreach(DedupOps.unpersistCheckpoint)
     mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
         greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
   }
 
-  /** Directed top-k per endpoint from an undirected scored pair
-    * relation — the descent's per-round contraction (same mirror-explode
-    * + rank shape as [[mutualize]]'s head, parameterized k). */
+  /** Directed top-k per endpoint from a scored pair relation — the
+    * descent's per-round contraction. Duplicate (ida, idb) rows are
+    * WELCOME: the native [[graft.functions.TopKEdgesAgg]] collapses
+    * them inside its bounded buffer, so callers skip the pair DISTINCT
+    * (one full corpus-scale shuffle per round) and the rank window's
+    * second full shuffle + sort — the aggregate map-side-combines each
+    * task's billion-pair input down to ≤ |src|·k buffer entries before
+    * anything moves. Output is byte-identical to the DISTINCT +
+    * row_number(cosine DESC, dst ASC) ≤ k formulation the DuckDB twin
+    * keeps (measured at sf10: round 1 357 → ~130 s, full build
+    * 1011 → ~712 s median at unchanged recall — ARCHITECTURE.md's
+    * descent cost anatomy). */
   private def directedTopFrom(scored: DataFrame, k: Int): DataFrame = {
     val directed = scored.select(explode(array(
         struct(col("ida").as("src"), col("idb").as("dst"), col("cosine")),
         struct(col("idb").as("src"), col("ida").as("dst"), col("cosine")))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.cosine"))
-    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-    directed.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("src", "dst", "cosine")
+    directed.groupBy("src")
+      .agg(graft.functions.VectorFunctions.topEdges(col("dst"), col("cosine"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.cosine").as("cosine"))
   }
 
   /** (vec_id, cl) with cl = table · 2^b + signature bucket, one row per
