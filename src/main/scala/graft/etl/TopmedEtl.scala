@@ -322,6 +322,17 @@ object TopmedEtl {
     // acquisition input = the DNA extract (samples.py:387,465)
     val dataAcquisitions = files.select(col("dataset_id"),
       extractId.as("input_material_id"))
+    // MD5 Dimension per file dataset, exactly like the reference
+    // (samples.py:371-379 CRAM, :449-457 VCF) — the tabular dump reads
+    // MD5 from dimensions (rdflib_tabular_dump.py:166-179), and the
+    // DATS JSON round-trip recovers distribution checksums from it
+    val fileDimensions = files.filter(col("md5sum").isNotNull).select(
+      entityId("Dimension", concat(col("dataset_id"), lit("|md5"))).as("dim_id"),
+      col("dataset_id").as("owner_id"),
+      lit("MD5").as("name"),
+      lit(null).cast("string").as("var_acc"),
+      lit("MD5 checksum of the data file").as("description"),
+      col("md5sum").as("value"))
 
     // J12: only extracts referenced by a file dataset are emitted, and
     // only samples whose extract survived
@@ -382,7 +393,8 @@ object TopmedEtl {
         .reduceOption(_ unionByName _).getOrElse(
         spark.range(0).select(lit("").as("dim_id"), lit("").as("owner_id"),
           lit("").as("name"), lit("").as("var_acc"), lit("").as("description"),
-          lit("").as("value"))),
+          lit("").as("value")))
+        .unionByName(fileDimensions),
       distributions = fileDistributions,
       dataAcquisitions = dataAcquisitions,
       diseases = diseases)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.etl.GtexEtl
+import graft.etl.{GtexEtl, TopmedEtl}
 import graft.io.{DatsJsonReader, DatsJsonWriter, EntityStore}
 import graft.query.DatsQueries
 
@@ -61,5 +61,39 @@ class DatsRoundTripSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("dats_rt_pq").toString
     EntityStore.save(graph, dir)
     assertSameAnswers(EntityStore.load(spark, dir))
+  }
+
+  test("K1+S15 on the TOPMed graph: consent groups, GUID files, MD5 dimensions round-trip") {
+    // a second entity-shape family: consent StudyGroups, CRAM+VCF file
+    // datasets keyed by GUID files, MD5 carried as a file-dataset
+    // Dimension exactly like the reference (samples.py:371-379)
+    val g = TopmedEtl.build(spark, TopmedEtl.Inputs(
+      manifestPath = res("../topmed/manifest.txt"),
+      guidPaths = Seq(res("../topmed/topmed-cram.tsv"), res("../topmed/topmed-crai.tsv"),
+        res("../topmed/topmed-vcf.tsv"), res("../topmed/topmed-vcfcsi.tsv")),
+      subjectTsv = res("restricted_subject.txt"),
+      phenotypesTsv = res("../topmed/restricted_subject_phenotypes.txt"),
+      sampleTsv = Some(res("../topmed/restricted_sample.txt")),
+      sampleAttributesTsv = Some(res("../topmed/restricted_sample_attributes.txt")),
+      dbgapDataDictPaths = Seq(
+        res("../topmed/phs000951.v2.pht003641.v2.p2.TOPMed_Subject.data_dict.xml"))))
+    val queries: GtexEtl.EntityGraph => Seq[(String, DataFrame)] = gg => Seq(
+      "q1" -> DatsQueries.listSecondLevelDatasets(gg,
+        Seq("Trans-Omics for Precision Medicine (TOPMed)")),
+      "q2" -> DatsQueries.listDatasetVariables(gg, Some("phs000951.v2.p2")),
+      "q3" -> DatsQueries.listStudyGroupMembers(gg, "phs000951.v2.p2", "consent group 1"),
+      "q4" -> DatsQueries.listSubjectSamples(gg),
+      "q5" -> DatsQueries.listSubjectCharacteristics(gg),
+      "q6" -> DatsQueries.listSampleCharacteristics(gg),
+      "q7" -> DatsQueries.tabularDump(gg))
+    val path = java.nio.file.Files.createTempDirectory("dats_rt_tm").toString + "/topmed.json"
+    DatsJsonWriter.write(g, path)
+    val reread = DatsJsonReader.read(spark, path)
+    val direct = queries(g).toMap
+    queries(reread).foreach { case (name, df) =>
+      val (expect, got) = (rows(direct(name)), rows(df))
+      assert(got.nonEmpty, s"TOPMed $name returned no rows — a vacuous round-trip")
+      assert(got === expect, s"TOPMed $name differs between direct views and re-read tables")
+    }
   }
 }
