@@ -464,6 +464,19 @@ object PlanAudit {
       "q7-mat must stay equi-join only at scale")
     assert(q7mPlan.contains("hashpartitioning(subject_mid"),
       "q7-mat's characteristics pivot must aggregate partitioned on the subject key")
+    // the k-NN descent's contraction (TopKEdgesAgg) must stay in the
+    // HASH aggregate regime: a SortAggregate here means the
+    // objectHashAggregate fallback-threshold conf regressed and every
+    // round re-sorts its corpus-scale scored-pair input — the exact
+    // window cost the native aggregate removed (1011 → 712 s at sf10)
+    val topkDf = graft.operators.SimilarityOps.seedContractionProbe(spark, dir)
+    show("descent seed contraction (TopKEdgesAgg)", topkDf)
+    val topkPlan = topkDf.queryExecution.executedPlan.toString
+    assert(topkPlan.contains("ObjectHashAggregate") &&
+        topkPlan.contains("graft_top_edges"),
+      "the descent contraction must plan as an ObjectHashAggregate over graft_top_edges")
+    assert(!topkPlan.contains("SortAggregate"),
+      "the descent contraction must never fall back to sort-based aggregation")
     if (verbose) println("\n[plan-audit] machine checks passed")
   }
 }

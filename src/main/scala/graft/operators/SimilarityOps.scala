@@ -772,6 +772,19 @@ object SimilarityOps {
         greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
   }
 
+  /** Plan probe for the audit harness: the descent's seed contraction
+    * (bits candidates → [[directedTopFrom]]) exactly as the build runs
+    * it. PlanAudit asserts it plans as a hash-regime ObjectHashAggregate
+    * over graft_top_edges — a SortAggregate here means the
+    * fallback-threshold session conf regressed and every descent round
+    * re-sorts its corpus-scale input. */
+  private[graft] def seedContractionProbe(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
+    val n = graft.Tables.load(spark, dir, "embeddings").count()
+    directedTopFrom(
+      bitsScored(q, n, DescentSeedTables, DescentSeedTarget, dedup = false), DescentK)
+  }
+
   /** Directed top-k per endpoint from a scored pair relation — the
     * descent's per-round contraction. Duplicate (ida, idb) rows are
     * WELCOME: the native [[graft.functions.TopKEdgesAgg]] collapses
