@@ -57,17 +57,45 @@ object Bench {
     val partialPath = java.nio.file.Paths.get(outPath.toString + "l") // .jsonl
     java.nio.file.Files.deleteIfExists(partialPath)
 
-    def resultLine(done: Seq[(String, Double, Option[String])], partial: Boolean): String = {
+    // Load sentinel (r16 verdict #2): the driver's and the builder's runs
+    // of the IDENTICAL tree have disagreed by ~24% with the delta spread
+    // diffusely over untouched queries — machine contention, but the
+    // artifacts carried no evidence either way. Record (a) /proc/loadavg
+    // and (b) the wall-time of a fixed single-task calibration kernel at
+    // suite start and end, so any two bench artifacts can be compared on
+    // calibrated numbers: if the calibration kernel's time moved, the
+    // machine moved, not the plans.
+    def loadavg(): Seq[Double] =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    def calibSec(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      // one partition ⇒ one task ⇒ a fixed amount of single-thread work;
+      // contention from other processes shows up directly in its time
+      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelJson(load: Seq[Double], calib: Double): String =
+      s"""{"loadavg":[${load.mkString(",")}],"calib_sec":$calib}"""
+    calibSec() // untimed warm-up: codegen/JIT for the kernel itself
+    val sentinelStart = sentinelJson(loadavg(), calibSec())
+
+    def resultLine(done: Seq[(String, Double, Option[String])], partial: Boolean,
+        sentinelEnd: Option[String] = None): String = {
       val qs = done.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
       val errs = done.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       val errField =
         if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
       val partialField = if (partial) s""","partial":true""" else ""
+      val sentField = s""","sentinel":{"start":$sentinelStart${
+        sentinelEnd.fold("")(e => s""","end":$e""")}}"""
       // failed queries carry the -1.0 sentinel; summing it would shrink
       // the headline total by 1s per failure — count successes only and
       // let errors/partial carry the failure signal
       val total = done.collect { case (_, s, None) => s }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$partialField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$partialField$sentField,"sf":"$sfDir"}"""
     }
 
     /** Totals-only line for stdout: the full per-query line outgrew the
@@ -167,6 +195,12 @@ object Bench {
         refinedShared = None
       }
     }
+    // end-of-suite sentinel, then rewrite the final result line with both
+    // measurements so the artifact carries the machine's state bracket
+    val sentinelEnd = sentinelJson(loadavg(), calibSec())
+    java.nio.file.Files.writeString(outPath,
+      resultLine(done.toSeq, partial = done.size < selected.size,
+        sentinelEnd = Some(sentinelEnd)) + "\n")
     // the stdout route stays: the driver parses the ONE printed JSON line —
     // compact totals only (per-query numbers live in SPARK_GRAFT_BENCH_OUT)
     println(compactLine(done.toSeq))

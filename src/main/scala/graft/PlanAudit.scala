@@ -454,7 +454,16 @@ object PlanAudit {
     assert(q3mPlan.contains("EqualTo(name,AUTOMOBILE)"),
       "q3-mat must push the group-name parameter to the study_groups scan")
     // q7 over the materialized tables keeps the same at-scale shape as
-    // the view form: equi-joins only, subject-partitioned pivot
+    // the view form (equi-joins only) and must additionally RIDE the
+    // bucketed layout (r17): materials/characteristics/diseases are
+    // written bucketBy(material_id), so the pivot aggregates, the
+    // subject joins, and the two-pivot merge all inherit the scan's
+    // hash distribution — with auto-broadcast off, NO exchange keyed on
+    // the subject key may appear anywhere in the plan. An
+    // `Exchange hashpartitioning(subject_mid…` here means the corpus-
+    // sized characteristics relation is being re-shuffled per query —
+    // the exact cost the bucketing deleted (q7-mat sf10: the pivot
+    // exchange dominated the 39.5 s r16 row).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val q7mDf = SparkEntry.queries("q7_tabular_dump_mat")(spark, dir)
     show("q7_tabular_dump_mat (auto-broadcast off)", q7mDf)
@@ -462,8 +471,10 @@ object PlanAudit {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     assert(!q7mPlan.contains("NestedLoop") && !q7mPlan.contains("Cartesian"),
       "q7-mat must stay equi-join only at scale")
-    assert(q7mPlan.contains("hashpartitioning(subject_mid"),
-      "q7-mat's characteristics pivot must aggregate partitioned on the subject key")
+    assert(q7mPlan.contains("SelectedBucketsCount"),
+      "q7-mat must read the entity tables as bucketed catalog scans")
+    assert(!q7mPlan.contains("Exchange hashpartitioning(subject_mid"),
+      "q7-mat's pivot/merge must ride the bucketed distribution — no subject-key exchange")
     // the k-NN descent's contraction (TopKEdgesAgg) must stay in the
     // HASH aggregate regime: a SortAggregate here means the
     // objectHashAggregate fallback-threshold conf regressed and every

@@ -133,9 +133,17 @@ object TopKEdgesAgg {
     val dsts = new Array[Long](k)
     val coss = new Array[Double](k)
 
-    /** true iff entry i orders strictly before (c, d). */
-    @inline private def before(i: Int, d: Long, c: Double): Boolean =
-      coss(i) > c || (coss(i) == c && dsts(i) < d)
+    /** true iff entry i orders strictly before (c, d). Uses
+      * `java.lang.Double.compare` so the order is TOTAL: a NaN cosine
+      * (a zero-norm vector's 0/0) sorts as the greatest value and
+      * compares equal to itself — matching Spark SQL's NaN ordering and
+      * the DISTINCT/row_number window form (and DuckDB), where NaN is
+      * normalized. Raw `>`/`==` would make NaN incomparable: never
+      * deduplicated, always inserted at slot 0, flooding the buffer. */
+    @inline private def before(i: Int, d: Long, c: Double): Boolean = {
+      val cmp = java.lang.Double.compare(coss(i), c)
+      cmp > 0 || (cmp == 0 && dsts(i) < d)
+    }
 
     def insert(d: Long, c: Double): Unit = {
       // fast reject: full buffer and the worst entry orders before us
@@ -145,7 +153,7 @@ object TopKEdgesAgg {
       var lo = 0
       while (lo < size && before(lo, d, c)) lo += 1
       // duplicate check: equal ordering position means same (cosine, dst)
-      if (lo < size && coss(lo) == c && dsts(lo) == d) return
+      if (lo < size && java.lang.Double.compare(coss(lo), c) == 0 && dsts(lo) == d) return
       if (size < k) size += 1
       var i = size - 1
       while (i > lo) { dsts(i) = dsts(i - 1); coss(i) = coss(i - 1); i -= 1 }

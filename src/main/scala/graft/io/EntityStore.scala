@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.etl.GtexEtl.EntityGraph
 
@@ -20,10 +21,39 @@ import graft.etl.GtexEtl.EntityGraph
   * whole directories at planning time instead of constant-folding a
   * union, and — unlike the view form — the other branches' input
   * relations are never even listed.
+  *
+  * Two layouts:
+  *   - [[save]]/[[load]]: plain parquet paths — portable, no catalog.
+  *   - [[saveBucketed]]/[[loadBucketed]]: the query-optimized layout.
+  *     The corpus-sized tables are written `bucketBy` their join/pivot
+  *     key (saveAsTable + an explicit external path), so a catalog read
+  *     reports `HashPartitioning(key, B)` at the scan and
+  *     EnsureRequirements deletes the exchanges the plain layout pays:
+  *     Q7's characteristics pivot and its subject joins ride the bucket
+  *     distribution end-to-end, Q4's sample/subject build sides never
+  *     shuffle, and the file chain's three dataset_id joins are
+  *     co-located. This is the same class of planning-time win the
+  *     material_type partitioning delivered for Q3's scan — pruning
+  *     removed a read, bucketing removes the shuffles.
   */
 object EntityStore {
 
   private val Partitioned = Map("materials" -> Seq("material_type"))
+
+  /** Bucket key per corpus-sized table. material_id is the subject
+    * join/pivot key (characteristics pivot, group membership, the
+    * derivesFrom chain's build sides); dataset_id co-locates the file
+    * chain (acquisitions ⋈ datasets ⋈ distributions). Small dimension
+    * tables (identifiers, studies, study_groups, anatomical_parts,
+    * dimensions) stay unbucketed — they broadcast. */
+  private val Bucketed: Map[String, String] = Map(
+    "materials" -> "material_id",
+    "characteristics" -> "material_id",
+    "diseases" -> "material_id",
+    "group_members" -> "material_id",
+    "datasets" -> "dataset_id",
+    "distributions" -> "dataset_id",
+    "data_acquisitions" -> "dataset_id")
 
   private def tables(g: EntityGraph): Seq[(String, DataFrame)] = Seq(
     "datasets" -> g.datasets,
@@ -54,6 +84,60 @@ object EntityStore {
     * invisible. */
   def load(spark: SparkSession, out: String): EntityGraph = {
     def r(name: String): DataFrame = spark.read.parquet(s"$out/$name")
+    EntityGraph(r("datasets"), r("identifiers"), r("studies"),
+      r("study_groups"), r("group_members"), r("materials"),
+      r("anatomical_parts"), r("characteristics"), r("dimensions"),
+      r("distributions"), r("data_acquisitions"), r("diseases"))
+  }
+
+  /** Catalog table name for a materialize dir — content-addressed so
+    * concurrent materializations of different dirs in one session never
+    * collide, and a re-load of the same dir resolves the same tables. */
+  private def tableName(out: String, name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(out.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_mat_${h}_$name"
+  }
+
+  /** Write the bucketed layout: data lands under `out/<name>` (external
+    * path), metadata in the session catalog under a dir-hashed name.
+    *
+    * Each bucketed table is `repartition(buckets, key)`'d first:
+    * repartitioning and bucket assignment use the SAME murmur3-pmod
+    * hash, so every write task holds exactly one bucket's rows — one
+    * file per bucket (per partition dir for `materials`) instead of
+    * tasks × buckets small files, which also lets the scan trust the
+    * `sortBy` order and skip the sort-merge join's per-side sorts when
+    * a single partition directory is read.
+    *
+    * `buckets` defaults to the local harness's parallelism (32). On a
+    * real cluster size it so one bucket's worth of the largest table
+    * fits an executor's shuffle memory — e.g. ~4096 for 100 TB of
+    * characteristics rows; the layout survives any reader parallelism
+    * because non-bucketed join sides shuffle TO the bucket count. */
+  def saveBucketed(g: EntityGraph, out: String, buckets: Int = 32): Unit =
+    tables(g).foreach { case (name, df) =>
+      Bucketed.get(name) match {
+        case Some(key) =>
+          val w = df.repartition(buckets, col(key))
+            .write.mode("overwrite").format("parquet")
+            .option("path", s"$out/$name")
+            .bucketBy(buckets, key).sortBy(key)
+          Partitioned.get(name).fold(w)(cols => w.partitionBy(cols: _*))
+            .saveAsTable(tableName(out, name))
+        case None =>
+          // small dims: plain parquet, no catalog entry needed
+          df.write.mode("overwrite").parquet(s"$out/$name")
+      }
+    }
+
+  /** Read a graph back from [[saveBucketed]]'s layout: bucketed tables
+    * through the catalog (so scans carry the bucket distribution),
+    * plain dims straight from parquet. */
+  def loadBucketed(spark: SparkSession, out: String): EntityGraph = {
+    def r(name: String): DataFrame =
+      if (Bucketed.contains(name)) spark.table(tableName(out, name))
+      else spark.read.parquet(s"$out/$name")
     EntityGraph(r("datasets"), r("identifiers"), r("studies"),
       r("study_groups"), r("group_members"), r("materials"),
       r("anatomical_parts"), r("characteristics"), r("dimensions"),

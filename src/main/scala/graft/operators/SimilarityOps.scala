@@ -548,8 +548,18 @@ object SimilarityOps {
     * saved, and the recall loss buys nothing. The dial and its oracle
     * mirror stay for the record; the shipped build cost lever that DID
     * work is [[graft.functions.TopKEdgesAgg]] (output-invariant, no
-    * recall trade). */
-  private[graft] val DescentRhoPct = 100
+    * recall trade).
+    *
+    * SPARK_GRAFT_DESCENT_RHO (harness-only env, never set by the
+    * driver): overrides the shipped 100 for twin-equivalence sweeps.
+    * Because [[graft.Oracles]] interpolates THIS constant when Verify
+    * dumps oracle_sql.json at runtime, one env var moves the Scala
+    * build and its DuckDB twin in lockstep — `tools/rho_twin_check.sh`
+    * automates the ρ<100 differential the r16 advice asked for, so a
+    * divergence between the hash/used-set logic and the twin's unroll
+    * is one command away from detection instead of dormant. */
+  private[graft] val DescentRhoPct =
+    sys.env.get("SPARK_GRAFT_DESCENT_RHO").map(_.toInt).getOrElse(100)
 
   /** Corpus-size ceiling for broadcasting the quantized vector frame
     * into the descent's scoring joins. At 500k vectors the (vec_id, qv,

@@ -301,10 +301,12 @@ object DatsGen {
   /** Write the entity views to parquet under `out` — the deployment
     * step of the materialize-then-query shape ([[graft.io.EntityStore]];
     * the reference writes its instance once and every query re-reads
-    * it). Each view is one distributed parquet write; `materials` lands
-    * partitioned by `material_type`. */
+    * it). Each view is one distributed write; `materials` lands
+    * partitioned by `material_type`, and the corpus-sized tables are
+    * BUCKETED on their join/pivot key (r17) so the queries ride the
+    * layout instead of re-shuffling per run. */
   def materialize(spark: SparkSession, dir: String, out: String): Unit =
-    graft.io.EntityStore.save(graph(spark, dir), out)
+    graft.io.EntityStore.saveBucketed(graph(spark, dir), out)
 
   private val matDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -321,7 +323,7 @@ object DatsGen {
       materialize(spark, dir, d)
       d
     })
-    graft.io.EntityStore.load(spark, out)
+    graft.io.EntityStore.loadBucketed(spark, out)
   }
 
   /** Canonical query `n` (1-7) over the materialized tables — the same

@@ -142,21 +142,43 @@ object DatsQueries {
       .select(col("material_id").as("subject_mid"), col("name").as("subject_name"))
 
     // characteristics ∪ disease-status rows feed both the dynamic header
-    // and the pivot (rdflib_tabular_dump.py:98-149)
-    val subjChars = g.characteristics
-      .select(col("material_id"), col("name"), col("value"))
-      .unionByName(g.diseases
-        .select(col("material_id"), col("name"), col("status").as("value")))
-      .join(subjects, col("material_id") === col("subject_mid"))
+    // and the pivot (rdflib_tabular_dump.py:98-149). The header discovery
+    // pass keeps the union (it's bounded and collect-only) …
     val names = charNames.getOrElse(
-      subjChars.select("name").distinct().collect().map(_.getString(0)).toSeq).sorted
-    // positional rename to __c<i> right after the pivot: the analyzer is
-    // case-insensitive, so e.g. raw GENDER and harmonized Gender would be
-    // unresolvable by name; the final select aliases them back
-    val charsPivot = subjChars.groupBy(col("subject_mid"))
-      .pivot("name", names).agg(first(col("value")))
-      .toDF("subject_mid" +: names.indices.map(i => s"__c$i"): _*)
-    val pivotCols = names.indices.map(i => col(s"__c$i").as(names(i)))
+      g.characteristics.select(col("material_id"), col("name"))
+        .unionByName(g.diseases.select(col("material_id"), col("name")))
+        .join(subjects, col("material_id") === col("subject_mid"))
+        .select("name").distinct().collect().map(_.getString(0)).toSeq).sorted
+    // … but the PIVOT itself runs per source table, each side left-joined
+    // to the scaffold independently (below): a union destroys any scan
+    // partitioning Catalyst could ride, while the per-source shape lets
+    // the bucketed materialized layout (EntityStore.saveBucketed —
+    // characteristics/diseases/materials all bucketed on material_id)
+    // plan the subject joins and both pivot aggregates with ZERO
+    // exchanges — the pivot's hashpartitioning(subject_mid) shuffle of
+    // the corpus-sized characteristics relation was q7-mat's dominant
+    // remaining cost at sf10 (39.5 s, r16). NOT merged with a full outer
+    // join first: FullOuter coalesces the key, so its output partitioning
+    // is unknown and the scaffold join re-shuffles the merged pivot —
+    // two left joins from the scaffold are result-identical (each pivot
+    // is one row per subject, so no fanout; absent rows null-pad either
+    // way) and every hop preserves the subject-key distribution. Each
+    // characteristic name lives in exactly one source, so the per-name
+    // column merge is a coalesce, not a conflict resolution. Positional
+    // __a<i>/__b<i> names right after each pivot: the analyzer is
+    // case-insensitive, so e.g. raw GENDER and harmonized Gender would
+    // be unresolvable by name; the final select aliases them back.
+    def pivotOver(rows: DataFrame, tag: String): DataFrame =
+      rows.join(subjects.select(col("subject_mid")),
+          col("material_id") === col("subject_mid"))
+        .groupBy(col("subject_mid")).pivot("name", names).agg(first(col("value")))
+        .toDF("subject_mid" +: names.indices.map(i => s"__$tag$i"): _*)
+    val charsPivot = pivotOver(g.characteristics
+      .select(col("material_id"), col("name"), col("value")), "a")
+    val diseasePivot = pivotOver(g.diseases
+      .select(col("material_id"), col("name"), col("status").as("value")), "b")
+    val pivotCols = names.indices.map(i =>
+      coalesce(col(s"__a$i"), col(s"__b$i")).as(names(i)))
 
     // scaffold: study dataset → project title + dbGaP accession → groups
     // → member subjects (:345-360)
@@ -185,11 +207,19 @@ object DatsQueries {
         col("size").as("file_size"), col("md5"), col("doi"), col("index_doi"))
     val gcp = g.distributions.filter(col("access_url").startsWith("gs://"))
       .select(col("dataset_id"), col("access_url").as("gcp_uri"))
+    // join order: the three dataset_id hops first (acquisitions,
+    // datasets, both distribution sides — co-located and exchange-free
+    // on the bucketed materialized layout), THEN the one key change to
+    // the input material. The material hop last means exactly one
+    // shuffle of the assembled file relation instead of shuffling it on
+    // input_material_id first and re-shuffling everything back onto
+    // dataset_id for the next three joins. All hops are 1:1-or-left on
+    // non-null keys, so inner/left reordering is result-identical.
     val files = g.dataAcquisitions
-      .join(inputs, col("input_material_id") === col("input_id"))
       .join(g.datasets.select(col("dataset_id"), col("data_type")), "dataset_id")
       .join(aws, Seq("dataset_id"), "left")
       .join(gcp, Seq("dataset_id"), "left")
+      .join(inputs, col("input_material_id") === col("input_id"))
       .join(g.anatomicalParts.select(col("anatomy_id"),
         col("name").as("anatomical_part"),
         col("uberon_id").as("anatomical_part_id")), Seq("anatomy_id"), "left")
@@ -197,6 +227,7 @@ object DatsQueries {
 
     scaffold
       .join(charsPivot, Seq("subject_mid"), "left")
+      .join(diseasePivot, Seq("subject_mid"), "left")
       .join(files, col("file_subject_key") === col("subject_name"), "left")
       .select(Seq(col("project").as("Project"),
         col("dbgap_study").as("dbGaP_Study"),

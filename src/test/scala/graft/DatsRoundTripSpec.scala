@@ -63,6 +63,17 @@ class DatsRoundTripSpec extends SparkTestBase {
     assertSameAnswers(EntityStore.load(spark, dir))
   }
 
+  test("EntityStore bucketed: all seven queries answer identically over the bucketed layout") {
+    // the r17 query-optimized layout (bucketBy join/pivot keys through
+    // the catalog) must be answer-identical to the direct views, with a
+    // bucket count deliberately unequal to the session's shuffle
+    // partitions so key-routing mistakes (bucket hash ≠ shuffle hash)
+    // would misalign joins and fail loudly here
+    val dir = java.nio.file.Files.createTempDirectory("dats_rt_bk").toString
+    EntityStore.saveBucketed(graph, dir, buckets = 5)
+    assertSameAnswers(EntityStore.loadBucketed(spark, dir))
+  }
+
   test("K1+S15 on the TOPMed graph: consent groups, GUID files, MD5 dimensions round-trip") {
     // a second entity-shape family: consent StudyGroups, CRAM+VCF file
     // datasets keyed by GUID files, MD5 carried as a file-dataset
