@@ -487,6 +487,12 @@ object Oracles {
     val nr = graft.operators.SimilarityOps.DescentRounds
     val mix = graft.operators.SimilarityOps.DescentMix
     val rho = graft.operators.SimilarityOps.DescentRhoPct
+    val ekd = graft.operators.SimilarityOps.DescentEarlyKd
+    val er = graft.operators.SimilarityOps.DescentEarlyRounds
+    // staged width schedule — identical to the Scala kdOf; at the no-op
+    // default (ekd = kd) every staged clause below reduces to the
+    // unstaged r16 pipe byte-for-byte
+    def kdOf(t: Int): Int = if (t >= 1 && t <= er && ekd < kd) ekd else kd
     val mixCtes = if (mix <= 0) "" else
       s"""rkm AS MATERIALIZED (SELECT vec_id,
          |  CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS r FROM n),
@@ -500,13 +506,13 @@ object Oracles {
          |""".stripMargin
     val mixUnion = if (mix <= 0) ""
       else "\n  UNION ALL SELECT center, nbr FROM mx"
-    def topCte(name: String, src: String): String =
+    def topCte(name: String, src: String, k: Int = kd): String =
       s"""$name AS MATERIALIZED (SELECT src, dst, cosine FROM (
          |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src
          |    ORDER BY cosine DESC, dst ASC) AS rnk
          |  FROM (SELECT ida AS src, idb AS dst, cosine FROM $src
          |        UNION ALL SELECT idb, ida, cosine FROM $src) d_$name) t_$name
-         | WHERE rnk <= $kd)""".stripMargin
+         | WHERE rnk <= $k)""".stripMargin
     // ρ < 100 (SimilarityOps.DescentRhoPct) adds the deterministic
     // sampling the Scala build applies: per round, a NEW entry (not in
     // the cumulative used set) participates only when the round-keyed
@@ -516,14 +522,23 @@ object Oracles {
     // there, so the twin omits it entirely).
     def roundCtes(t: Int): String = {
       val p = s"sd${t - 1}"
+      val kdt = kdOf(t)
+      // a narrow round consuming a wider graph (round 1 over the full-k'
+      // seed) re-ranks the out side, exactly like the Scala outEdges
+      val outSel = if (kdt < kdOf(t - 1))
+        s"""SELECT src AS center, dst AS nbr FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY cosine DESC, dst ASC) AS ornk FROM $p) o$t
+           |  WHERE ornk <= $kdt""".stripMargin
+      else s"SELECT src AS center, dst AS nbr FROM $p"
       val uCte =
         s"""u$t AS MATERIALIZED (SELECT DISTINCT center, nbr FROM (
-           |  SELECT src AS center, dst AS nbr FROM $p
+           |  $outSel
            |  UNION ALL
            |  SELECT dst AS center, src AS nbr FROM (
            |    SELECT src, dst, row_number() OVER (PARTITION BY dst
            |      ORDER BY cosine DESC, src ASC) AS irnk FROM $p) i$t
-           |  WHERE irnk <= $kd$mixUnion) uu$t)""".stripMargin
+           |  WHERE irnk <= $kdt$mixUnion) uu$t)""".stripMargin
       val pairSrc = if (rho >= 100)
         s"""c$t AS MATERIALIZED (SELECT DISTINCT ida, idb FROM (
            |  SELECT x.nbr AS ida, y.nbr AS idb FROM u$t x JOIN u$t y
@@ -549,7 +564,7 @@ object Oracles {
          |$pairSrc,
          |s$t AS (SELECT ida, idb, ${cosine("a", "b")} AS cosine
          |  FROM c$t JOIN n a ON ida = a.vec_id JOIN n b ON idb = b.vec_id),
-         |${topCte(s"sd$t", s"s$t")}""".stripMargin
+         |${topCte(s"sd$t", s"s$t", kdt)}""".stripMargin
     }
     val usedSeed = if (rho >= 100) "" else
       """used0 AS (SELECT CAST(NULL AS BIGINT) AS center,

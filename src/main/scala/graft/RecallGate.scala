@@ -44,7 +44,8 @@ object RecallGate {
     * prevent. */
   private val AcceptedDials: Map[String, Set[String]] = Map(
     "1probe" -> Set.empty, "2probe" -> Set.empty, "bits" -> Set.empty,
-    "refined" -> Set("kd", "rounds", "tables", "target", "mix", "rho"))
+    "refined" -> Set("kd", "rounds", "tables", "target", "mix", "rho",
+      "ekd", "erounds"))
 
   private[graft] def parseSpec(spec: String): (String, Map[String, Long]) = {
     val (name, dials) = spec.split("@", 2) match {
@@ -79,7 +80,9 @@ object RecallGate {
         seedTables = d.getOrElse("tables", SimilarityOps.DescentSeedTables.toLong).toInt,
         seedTargetList = d.getOrElse("target", SimilarityOps.DescentSeedTarget),
         mix = d.getOrElse("mix", SimilarityOps.DescentMix.toLong).toInt,
-        rhoPct = d.getOrElse("rho", SimilarityOps.DescentRhoPct.toLong).toInt)
+        rhoPct = d.getOrElse("rho", SimilarityOps.DescentRhoPct.toLong).toInt,
+        earlyKd = d.getOrElse("ekd", SimilarityOps.DescentEarlyKd.toLong).toInt,
+        earlyRounds = d.getOrElse("erounds", SimilarityOps.DescentEarlyRounds.toLong).toInt)
       case other => sys.error(s"RecallGate: unknown graph spec '$other'") // unreachable: parseSpec validates
     }
   }

@@ -475,6 +475,32 @@ object SimilarityOps {
   private[graft] val DescentK = 64
   private[graft] val DescentRounds = 8
 
+  /** Staged-width schedule (r17 verdict #3, candidate (a)): rounds
+    * 1..[[DescentEarlyRounds]] run the descent NARROW — neighborhood
+    * construction (out-rank AND in-rank ≤ [[DescentEarlyKd]]) and the
+    * round's contraction both use the early width; later rounds widen
+    * back to k'. Candidate volume is quadratic in neighborhood width, so
+    * an early width of k'/2 cuts round-1 generation ~4× — aimed exactly
+    * at the measured cost floor (rounds 1-3 are ~85% of the build). The
+    * SEED is untouched: sd0 stays the full k'-wide contraction of the
+    * 8×256 bit-signature candidates (the sweep says the recall is made
+    * there), and early-round retention still unions sd(t-1)'s full edge
+    * set into the candidates, so narrow rounds compete the seed's tail
+    * against FoF finds instead of silently discarding it.
+    *
+    * At the default EarlyKd = k' the schedule is a NO-OP and both the
+    * build and the oracle twin reduce byte-identically to the unstaged
+    * r16 formulation; the twin ([[graft.Oracles]]) interpolates these
+    * constants and unrolls the identical staged filters when active.
+    * SPARK_GRAFT_DESCENT_EKD / _EROUNDS (harness-only env, never set by
+    * the driver) move build + twin in lockstep for equivalence sweeps,
+    * same mechanism as SPARK_GRAFT_DESCENT_RHO. Measured pricing at
+    * sf10 lives in RECALL_r17.json / ARCHITECTURE.md. */
+  private[graft] val DescentEarlyKd: Int =
+    sys.env.get("SPARK_GRAFT_DESCENT_EKD").map(_.toInt).getOrElse(DescentK)
+  private[graft] val DescentEarlyRounds: Int =
+    sys.env.get("SPARK_GRAFT_DESCENT_EROUNDS").map(_.toInt).getOrElse(2)
+
   /** The refined graph's OWN seed dials — decoupled from the bits
     * graph's [[BitsTables]]/[[BitsTargetList]] because the sf10 sweep
     * showed the descent's at-scale recall is SEED-bound (kd=32 → 0.31,
@@ -618,7 +644,12 @@ object SimilarityOps {
       seedTargetList: Long = DescentSeedTarget,
       mix: Int = DescentMix,
       rhoPct: Int = DescentRhoPct,
+      earlyKd: Int = DescentEarlyKd,
+      earlyRounds: Int = DescentEarlyRounds,
       broadcastVecs: Long = DescentBroadcastVecs): DataFrame = {
+    // staged width schedule ([[DescentEarlyKd]]): contraction + neighborhood
+    // width per round; kdOf(0) is the seed's (always full k')
+    def kdOf(t: Int): Int = if (t >= 1 && t <= earlyRounds && earlyKd < kd) earlyKd else kd
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     // Shuffle width stays at the session default DELIBERATELY: a
@@ -663,14 +694,26 @@ object SimilarityOps {
     (1 to rounds).foreach { round =>
       val roundT0 = System.nanoTime()
       // bounded neighborhood: out-edges + top-k' in-edges per node,
-      // plus the static mix partners when configured
+      // plus the static mix partners when configured. Widths follow the
+      // staged schedule: kdt < the previous contraction's width only on
+      // a narrow round consuming a wider graph (round 1 over the full-k'
+      // seed), where the out side needs an explicit re-rank — a window
+      // over the n·k'-row EDGE relation, noise next to the k'²·n-row
+      // candidate volume the narrowing removes.
+      val kdt = kdOf(round)
+      val prevWidth = kdOf(round - 1)
+      val outEdges =
+        if (kdt < prevWidth)
+          sd.withColumn("ornk", row_number().over(
+              Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)))
+            .filter(col("ornk") <= kdt)
+            .select(col("src").as("center"), col("dst").as("nbr"))
+        else sd.select(col("src").as("center"), col("dst").as("nbr"))
       val inTop = sd.withColumn("irnk", row_number().over(
           Window.partitionBy("dst").orderBy(col("cosine").desc, col("src").asc)))
-        .filter(col("irnk") <= kd)
+        .filter(col("irnk") <= kdt)
         .select(col("dst").as("center"), col("src").as("nbr"))
-      val und = mixEdges.foldLeft(
-          sd.select(col("src").as("center"), col("dst").as("nbr"))
-            .unionByName(inTop))(_ unionByName _)
+      val und = mixEdges.foldLeft(outEdges.unionByName(inTop))(_ unionByName _)
         .distinct().localCheckpoint()
       // Incremental FoF (NN-Descent's "new/old" cut — Dong, Moses, Li,
       // WWW 2011 §2.3): only pairs with at least one NEW neighborhood
@@ -741,7 +784,7 @@ object SimilarityOps {
         .join(qb, col("idb") === col("b.vec_id"))
         .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
       val prevSd = sd
-      sd = directedTopFrom(scored, kd).localCheckpoint()
+      sd = directedTopFrom(scored, kdt).localCheckpoint()
       // profile counts taken while und's checkpoint is still alive (at
       // ρ < 100 it is released below, and a truncated localCheckpoint
       // cannot recompute)
