@@ -489,9 +489,11 @@ object Oracles {
     val rho = graft.operators.SimilarityOps.DescentRhoPct
     val ekd = graft.operators.SimilarityOps.DescentEarlyKd
     val er = graft.operators.SimilarityOps.DescentEarlyRounds
-    // staged width schedule — identical to the Scala kdOf; at the no-op
-    // default (ekd = kd) every staged clause below reduces to the
-    // unstaged r16 pipe byte-for-byte
+    // staged EXPLORATION-width schedule — identical to the Scala kdOf
+    // (neighborhood ranks only; the per-round contraction always runs at
+    // the full k', matching the build). At the no-op default (ekd = kd)
+    // every staged clause below reduces to the unstaged r16 pipe
+    // byte-for-byte.
     def kdOf(t: Int): Int = if (t >= 1 && t <= er && ekd < kd) ekd else kd
     val mixCtes = if (mix <= 0) "" else
       s"""rkm AS MATERIALIZED (SELECT vec_id,
@@ -523,9 +525,9 @@ object Oracles {
     def roundCtes(t: Int): String = {
       val p = s"sd${t - 1}"
       val kdt = kdOf(t)
-      // a narrow round consuming a wider graph (round 1 over the full-k'
-      // seed) re-ranks the out side, exactly like the Scala outEdges
-      val outSel = if (kdt < kdOf(t - 1))
+      // a narrow exploration round re-ranks the out side of the (always
+      // full-k'-wide) graph, exactly like the Scala outEdges
+      val outSel = if (kdt < kd)
         s"""SELECT src AS center, dst AS nbr FROM (
            |    SELECT src, dst, row_number() OVER (PARTITION BY src
            |      ORDER BY cosine DESC, dst ASC) AS ornk FROM $p) o$t
@@ -564,7 +566,7 @@ object Oracles {
          |$pairSrc,
          |s$t AS (SELECT ida, idb, ${cosine("a", "b")} AS cosine
          |  FROM c$t JOIN n a ON ida = a.vec_id JOIN n b ON idb = b.vec_id),
-         |${topCte(s"sd$t", s"s$t", kdt)}""".stripMargin
+         |${topCte(s"sd$t", s"s$t")}""".stripMargin
     }
     val usedSeed = if (rho >= 100) "" else
       """used0 AS (SELECT CAST(NULL AS BIGINT) AS center,

@@ -476,28 +476,46 @@ object SimilarityOps {
   private[graft] val DescentRounds = 8
 
   /** Staged-width schedule (r17 verdict #3, candidate (a)): rounds
-    * 1..[[DescentEarlyRounds]] run the descent NARROW — neighborhood
-    * construction (out-rank AND in-rank ≤ [[DescentEarlyKd]]) and the
-    * round's contraction both use the early width; later rounds widen
-    * back to k'. Candidate volume is quadratic in neighborhood width, so
-    * an early width of k'/2 cuts round-1 generation ~4× — aimed exactly
-    * at the measured cost floor (rounds 1-3 are ~85% of the build). The
-    * SEED is untouched: sd0 stays the full k'-wide contraction of the
-    * 8×256 bit-signature candidates (the sweep says the recall is made
-    * there), and early-round retention still unions sd(t-1)'s full edge
-    * set into the candidates, so narrow rounds compete the seed's tail
-    * against FoF finds instead of silently discarding it.
+    * 1..[[DescentEarlyRounds]] run the descent's EXPLORATION narrow —
+    * the neighborhood relation that generates friend-of-friend pairs
+    * (out-rank AND in-rank ≤ [[DescentEarlyKd]]) — while the round's
+    * CONTRACTION stays at the full k'. Candidate volume is quadratic in
+    * neighborhood width, so an early width of k'/2 cuts round-1
+    * generation ~4× — aimed exactly at the measured cost floor (rounds
+    * 1-3 are ~85% of the build) — and because every round's candidates
+    * retain the previous graph's full edge set and the contraction
+    * never narrows, the graph's MEMORY is lossless: the staged build's
+    * edge set can only differ from the unstaged one by pairs the narrow
+    * rounds didn't explore. The first variant of this dial narrowed the
+    * contraction too; sf10 priced it at recall 0.9231 → 0.9021
+    * (erounds=2) → 0.8182 (erounds=3) — a narrow contraction discards
+    * the seed's tail edges PERMANENTLY (retention only carries the
+    * previous round forward), and FoF rediscovery does not recover
+    * them. Exploration-only narrowing is the fix: the SEED's full
+    * k'-wide edge set survives every contraction by monotonicity of
+    * the per-node top-k' cosine.
     *
-    * At the default EarlyKd = k' the schedule is a NO-OP and both the
-    * build and the oracle twin reduce byte-identically to the unstaged
-    * r16 formulation; the twin ([[graft.Oracles]]) interpolates these
-    * constants and unrolls the identical staged filters when active.
-    * SPARK_GRAFT_DESCENT_EKD / _EROUNDS (harness-only env, never set by
-    * the driver) move build + twin in lockstep for equivalence sweeps,
-    * same mechanism as SPARK_GRAFT_DESCENT_RHO. Measured pricing at
-    * sf10 lives in RECALL_r17.json / ARCHITECTURE.md. */
+    * SHIPPED DEFAULT: EarlyKd = 32, EarlyRounds = 2 — priced at sf10
+    * (200k vectors) by a same-JVM adjacent A/B against the unstaged
+    * r16 formulation: build 1428.5 → 1150.3 s (ratio 0.805, ≈ 573 s at
+    * the r16-median machine state — under the 600 s target) at recall
+    * 0.9231 → **0.9441** (hits 135/143, bit-stable across two runs in
+    * very different machine states). Recall RISES because the staged
+    * new/old cut defers the tail entries' activation: pairs the
+    * unstaged build marks old-old after round 1 are explored fresh by
+    * the wide rounds over a better graph. At EarlyKd ≥ k' the schedule
+    * is a NO-OP and both the build and the oracle twin reduce
+    * byte-identically to the unstaged r16 formulation; the twin
+    * ([[graft.Oracles]]) interpolates these constants and unrolls the
+    * identical staged filters when active. SPARK_GRAFT_DESCENT_EKD /
+    * _EROUNDS (harness-only env, never set by the driver) move build +
+    * twin in lockstep for equivalence sweeps (tools/ekd_twin_check.sh),
+    * same mechanism as SPARK_GRAFT_DESCENT_RHO. The full pricing
+    * ladder — including the REJECTED contraction-narrowing variant
+    * (recall 0.9021/0.8182) — lives in RECALL_r17.json /
+    * ARCHITECTURE.md. */
   private[graft] val DescentEarlyKd: Int =
-    sys.env.get("SPARK_GRAFT_DESCENT_EKD").map(_.toInt).getOrElse(DescentK)
+    sys.env.get("SPARK_GRAFT_DESCENT_EKD").map(_.toInt).getOrElse(32)
   private[graft] val DescentEarlyRounds: Int =
     sys.env.get("SPARK_GRAFT_DESCENT_EROUNDS").map(_.toInt).getOrElse(2)
 
@@ -647,8 +665,9 @@ object SimilarityOps {
       earlyKd: Int = DescentEarlyKd,
       earlyRounds: Int = DescentEarlyRounds,
       broadcastVecs: Long = DescentBroadcastVecs): DataFrame = {
-    // staged width schedule ([[DescentEarlyKd]]): contraction + neighborhood
-    // width per round; kdOf(0) is the seed's (always full k')
+    // staged width schedule ([[DescentEarlyKd]]): EXPLORATION width per
+    // round — the neighborhood that generates FoF pairs; the contraction
+    // always runs at the full k'
     def kdOf(t: Int): Int = if (t >= 1 && t <= earlyRounds && earlyKd < kd) earlyKd else kd
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
@@ -694,16 +713,14 @@ object SimilarityOps {
     (1 to rounds).foreach { round =>
       val roundT0 = System.nanoTime()
       // bounded neighborhood: out-edges + top-k' in-edges per node,
-      // plus the static mix partners when configured. Widths follow the
-      // staged schedule: kdt < the previous contraction's width only on
-      // a narrow round consuming a wider graph (round 1 over the full-k'
-      // seed), where the out side needs an explicit re-rank — a window
-      // over the n·k'-row EDGE relation, noise next to the k'²·n-row
-      // candidate volume the narrowing removes.
+      // plus the static mix partners when configured. Exploration width
+      // follows the staged schedule: on a narrow round the out side of
+      // the (always full-k'-wide) graph needs an explicit re-rank — a
+      // window over the n·k'-row EDGE relation, noise next to the
+      // k'²·n-row candidate volume the narrowing removes.
       val kdt = kdOf(round)
-      val prevWidth = kdOf(round - 1)
       val outEdges =
-        if (kdt < prevWidth)
+        if (kdt < kd)
           sd.withColumn("ornk", row_number().over(
               Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)))
             .filter(col("ornk") <= kdt)
@@ -784,7 +801,11 @@ object SimilarityOps {
         .join(qb, col("idb") === col("b.vec_id"))
         .select(col("ida"), col("idb"), DedupOps.dotCosine("a", "b").as("cosine"))
       val prevSd = sd
-      sd = directedTopFrom(scored, kdt).localCheckpoint()
+      // contraction ALWAYS at the full k' — narrowing here was priced at
+      // sf10 and rejected (it permanently discards the seed's tail edges;
+      // recall 0.9231 → 0.9021/0.8182). The exploration narrowing above
+      // is where the candidate-volume savings live.
+      sd = directedTopFrom(scored, kd).localCheckpoint()
       // profile counts taken while und's checkpoint is still alive (at
       // ρ < 100 it is released below, and a truncated localCheckpoint
       // cannot recompute)
