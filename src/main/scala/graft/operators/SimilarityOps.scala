@@ -496,11 +496,13 @@ object SimilarityOps {
     * the per-node top-k' cosine.
     *
     * SHIPPED DEFAULT: EarlyKd = 32, EarlyRounds = 2 — priced at sf10
-    * (200k vectors) by a same-JVM adjacent A/B against the unstaged
-    * r16 formulation: build 1428.5 → 1150.3 s (ratio 0.805, ≈ 573 s at
-    * the r16-median machine state — under the 600 s target) at recall
-    * 0.9231 → **0.9441** (hits 135/143, bit-stable across two runs in
-    * very different machine states). Recall RISES because the staged
+    * (200k vectors) by two same-JVM adjacent A/Bs in opposite orders:
+    * unstaged-first 1428.5 vs 1150.3 s (ratio 0.805), staged-first
+    * 1112.0 vs 1207.3 s (ratio 0.921); order-cancelled geomean 0.861
+    * ≈ 613 s at the r16-median machine state against the 600 s
+    * target, at recall 0.9231 → **0.9441** (hits 135/143, bit-stable
+    * across four runs in very different machine states). Recall RISES
+    * because the staged
     * new/old cut defers the tail entries' activation: pairs the
     * unstaged build marks old-old after round 1 are explored fresh by
     * the wide rounds over a better graph. At EarlyKd ≥ k' the schedule
