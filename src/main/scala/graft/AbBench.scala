@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.query.{DatsGen, DatsQueries}
+
+/** Same-JVM adjacent A/B instrument for the r18 attribution work. The
+  * shared machine drifts ±2× across processes (ARCHITECTURE.md's
+  * machine-drift evidence; the identical-work descent gate measured
+  * 181–383 s in one night), so pricing a change as two separate
+  * process runs is meaningless — every comparison here runs BOTH
+  * variants inside one JVM, adjacently, in BOTH orders, and the
+  * analysis quotes the order-cancelled geomean. Three A/Bs:
+  *
+  *  1. `q4_face` / `q4_noface` — Q4 over the SAME bucketed layout with
+  *     the derivesFrom edge face used vs ignored (the r17 plan), both
+  *     from one loadBucketed graph, so only the extract-side scan
+  *     distribution differs. Plus `materialize_face` /
+  *     `materialize_noface` write rows pricing the face's one-off
+  *     write cost.
+  *  2. `q7_direct_union` / `q7_direct_persource` — the view-path pivot
+  *     shapes (r17 regressed direct 4.0 → 6.4 s at sf0.1 by paying the
+  *     per-source split without bucketed scans under it; r18 keys the
+  *     shape off the layout). Per-source on a view graph is forced by
+  *     marking the graph bucketed — tabularDump only inspects presence.
+  *  3. `winnow_precat` / `winnow_postcat` — text_winnow_fingerprint
+  *     before vs after a saveAsTable catalog exists in the session
+  *     (the r17 suite's one session-state change), to attribute its
+  *     0.77 → 1.66 s sf0.1 drift to machine vs state.
+  *
+  * `--explain` prints the two Q4 physical plans (auto-broadcast off)
+  * instead of timing.
+  *
+  * Usage: runMain graft.AbBench [sfDir] [outJsonl] [reps] [--explain]
+  */
+object AbBench {
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = java.nio.file.Paths.get(pos.lift(1).getOrElse("ab_bench.jsonl"))
+    val reps = pos.lift(2).map(_.toInt).getOrElse(3)
+    val spark = Tables.session("ab-bench",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def record(name: String, secs: Double): Unit = {
+      val line = s"""{"name":"${jstr(name)}","secs":$secs,"sf":"${jstr(dir)}"}"""
+      println(line)
+      java.nio.file.Files.writeString(out, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    def timed(f: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def sentinel(tag: String): Unit = {
+      val load = try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).mkString(",") catch { case _: Throwable => "" }
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
+      val calib = (System.nanoTime() - t0) / 1e9
+      val line = s"""{"name":"sentinel_$tag","loadavg":[$load],""" +
+        s""""calib_sec":$calib,"sf":"${jstr(dir)}"}"""
+      println(line)
+      java.nio.file.Files.writeString(out, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    def bench(name: String, df: () => DataFrame): Unit = {
+      def once(): Double = timed(df().count())
+      once() // untimed warm-up
+      record(name, (1 to reps).map(_ => once()).min)
+    }
+
+    // same warm-up discipline as Bench/DatsModeBench
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("region", "nation", "customer", "orders", "lineitem")
+      .foreach(n => Tables.load(spark, dir, n).count())
+
+    // per-source pivot forced on a view graph = the r17 direct plan;
+    // the marker relation itself is never read by tabularDump
+    def persourceView() = {
+      val g = DatsGen.graph(spark, dir)
+      g.copy(bucketedDerives = Some(g.materials.limit(0)))
+    }
+
+    if (flags("--explain")) {
+      val matDir = java.nio.file.Files.createTempDirectory("graft_ab_").toString
+      DatsGen.materialize(spark, dir, matDir)
+      val gFace = graft.io.EntityStore.loadBucketed(spark, matDir)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      println("===== q4_mat WITH derives face (auto-broadcast off) =====")
+      DatsQueries.listSubjectSamples(gFace).explain("formatted")
+      println("===== q4_mat WITHOUT face — r17 plan (auto-broadcast off) =====")
+      DatsQueries.listSubjectSamples(gFace.copy(bucketedDerives = None))
+        .explain("formatted")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.stop(); return
+    }
+
+    sentinel("start")
+
+    // (3a) winnow BEFORE any catalog table exists in the session
+    bench("winnow_precat",
+      () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
+
+    // (1) the face's write cost, adjacently in both orders
+    def mat(face: Boolean): Double = {
+      val d = java.nio.file.Files.createTempDirectory("graft_ab_").toString
+      timed(graft.io.EntityStore.saveBucketed(
+        DatsGen.graph(spark, dir), d, derivesFace = face))
+    }
+    record("materialize_face_1", mat(face = true))
+    record("materialize_noface_1", mat(face = false))
+    record("materialize_noface_2", mat(face = false))
+    record("materialize_face_2", mat(face = true))
+
+    // (3b) winnow AFTER the materialize writes registered catalog tables
+    bench("winnow_postcat",
+      () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
+
+    // (1) Q4 over one shared layout, face used vs ignored, both orders
+    val matDir = java.nio.file.Files.createTempDirectory("graft_ab_").toString
+    graft.io.EntityStore.saveBucketed(DatsGen.graph(spark, dir), matDir)
+    val gFace = graft.io.EntityStore.loadBucketed(spark, matDir)
+    val gBase = gFace.copy(bucketedDerives = None)
+    bench("q4_face_1", () => DatsQueries.listSubjectSamples(gFace))
+    bench("q4_noface_1", () => DatsQueries.listSubjectSamples(gBase))
+    bench("q4_noface_2", () => DatsQueries.listSubjectSamples(gBase))
+    bench("q4_face_2", () => DatsQueries.listSubjectSamples(gFace))
+
+    // (2) Q7 direct pivot shapes, both orders
+    bench("q7_direct_union_1", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
+    bench("q7_direct_persource_1", () => DatsGen.queryOver(7, persourceView()))
+    bench("q7_direct_persource_2", () => DatsGen.queryOver(7, persourceView()))
+    bench("q7_direct_union_2", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
+
+    sentinel("end")
+    spark.stop()
+  }
+}

@@ -475,6 +475,32 @@ object PlanAudit {
       "q7-mat must read the entity tables as bucketed catalog scans")
     assert(!q7mPlan.contains("Exchange hashpartitioning(subject_mid"),
       "q7-mat's pivot/merge must ride the bucketed distribution — no subject-key exchange")
+    // q4 over the materialized tables (r18): the derivesFrom chain's
+    // corpus-sized FK side (every file's extract, the 60M-row branch at
+    // sf10) must read the derives_from-bucketed edge face so its
+    // extract→sample join plans exchange-free against the material_id-
+    // bucketed samples scan. A 2-hop chain cannot be co-located on both
+    // keys by one layout, so exactly ONE join exchange is irreducible —
+    // the intermediate's hop onto the subject key — and the pin asserts
+    // both directions: the deleted exchange stays deleted (no
+    // sample_fk shuffle anywhere) and the irreducible one is really the
+    // plan in force (a missing subject_fk exchange under auto-broadcast
+    // off would mean the pin is auditing some other shape entirely).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q4mDf = SparkEntry.queries("q4_subject_samples_mat")(spark, dir)
+    show("q4_subject_samples_mat (auto-broadcast off)", q4mDf)
+    val q4mPlan = q4mDf.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(!q4mPlan.contains("NestedLoop") && !q4mPlan.contains("Cartesian"),
+      "q4-mat must stay equi-join only at scale")
+    assert(q4mPlan.contains("derives_edges") && q4mPlan.contains("SelectedBucketsCount"),
+      "q4-mat's extract side must scan the bucketed derivesFrom edge face")
+    assert(!q4mPlan.contains("Exchange hashpartitioning(sample_fk"),
+      "q4-mat's corpus-sized extract side must ride the edge face's " +
+        "derives_from distribution — no sample-key exchange")
+    assert(q4mPlan.contains("Exchange hashpartitioning(subject_fk"),
+      "q4-mat's one irreducible mid-chain exchange (intermediate onto the " +
+        "subject key) must be present — its absence means the audited shape drifted")
     // the k-NN descent's contraction (TopKEdgesAgg) must stay in the
     // HASH aggregate regime: a SortAggregate here means the
     // objectHashAggregate fallback-threshold conf regressed and every

@@ -67,7 +67,8 @@ object ScoreShareProbe {
     // the faithful consumer: the descent's bounded top-k contraction
     def contract(s: DataFrame): Long = s
       .groupBy("ida")
-      .agg(graft.functions.VectorFunctions.topEdges(col("idb"), col("cosine"), 64).as("tk"))
+      .agg(graft.functions.VectorFunctions.topEdges(col("idb"), col("cosine"),
+        graft.operators.SimilarityOps.DescentK).as("tk"))
       .select(explode(col("tk"))).count()
 
     val variants: Seq[(String, DataFrame)] = Seq(

@@ -33,7 +33,18 @@ object GtexEtl {
       dataAcquisitions: DataFrame,
       /** P9 — diseases(material_id, name, disease_id, status): per-subject
         * bearerOfDisease rows (harmonized hypertension status). */
-      diseases: DataFrame)
+      diseases: DataFrame,
+      /** Set ONLY by [[graft.io.EntityStore.loadBucketed]]: the
+        * derivesFrom edge face — `materials` projected to (material_id,
+        * material_type, role, name, derives_from), written bucketed by
+        * `derives_from` so the chain queries' FK sides arrive
+        * pre-distributed on their join key (Q4's extract→sample hop is
+        * the corpus-sized one). Presence of this face also marks the
+        * graph as the bucketed catalog layout, which is what lets the
+        * per-source Q7 pivot ride scan partitioning; view graphs and
+        * the plain parquet layout leave it None and the queries fall
+        * back to deriving the same relations from `materials`. */
+      bucketedDerives: Option[DataFrame] = None)
 
   // ---- column specs (ccmm/gtex/parsers/portal_files.py:16-108) ----
 

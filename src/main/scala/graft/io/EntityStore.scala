@@ -38,7 +38,12 @@ import graft.etl.GtexEtl.EntityGraph
   */
 object EntityStore {
 
-  private val Partitioned = Map("materials" -> Seq("material_type"))
+  private val Partitioned = Map(
+    "materials" -> Seq("material_type"),
+    "derives_edges" -> Seq("material_type"))
+
+  /** Catalog name of the derivesFrom edge face ([[saveBucketed]]). */
+  private val DerivesEdges = "derives_edges"
 
   /** Bucket key per corpus-sized table. material_id is the subject
     * join/pivot key (characteristics pivot, group membership, the
@@ -115,21 +120,45 @@ object EntityStore {
     * fits an executor's shuffle memory — e.g. ~4096 for 100 TB of
     * characteristics rows; the layout survives any reader parallelism
     * because non-bucketed join sides shuffle TO the bucket count. */
-  def saveBucketed(g: EntityGraph, out: String, buckets: Int = 32): Unit =
+  def saveBucketed(g: EntityGraph, out: String, buckets: Int = 32,
+      derivesFace: Boolean = true): Unit = {
+    def bucketedWrite(name: String, df: DataFrame, key: String): Unit = {
+      val w = df.repartition(buckets, col(key))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$out/$name")
+        .bucketBy(buckets, key).sortBy(key)
+      Partitioned.get(name).fold(w)(cols => w.partitionBy(cols: _*))
+        .saveAsTable(tableName(out, name))
+    }
     tables(g).foreach { case (name, df) =>
       Bucketed.get(name) match {
-        case Some(key) =>
-          val w = df.repartition(buckets, col(key))
-            .write.mode("overwrite").format("parquet")
-            .option("path", s"$out/$name")
-            .bucketBy(buckets, key).sortBy(key)
-          Partitioned.get(name).fold(w)(cols => w.partitionBy(cols: _*))
-            .saveAsTable(tableName(out, name))
+        case Some(key) => bucketedWrite(name, df, key)
         case None =>
           // small dims: plain parquet, no catalog entry needed
           df.write.mode("overwrite").parquet(s"$out/$name")
       }
     }
+    // the derivesFrom edge FACE (r18): materials' chain columns written a
+    // second time, bucketed by the PARENT key. materials itself is
+    // bucketed by material_id — the PK side of every chain hop — which
+    // co-locates the build sides but leaves each hop's FK side
+    // (derives_from) to shuffle per query. A 2-hop chain cannot be
+    // co-located on both of its keys by one copy, so the layout carries
+    // both hash faces of the same relation and the planner reads each
+    // side from the face already distributed on its join key: Q4's
+    // corpus-sized extract scan (the 60M-row branch at sf10) arrives
+    // hashed on derives_from = the sample join key, deleting its
+    // exchange. Partitioned by material_type like materials, so typed
+    // hops still prune whole directories. `derivesFace = false`
+    // reproduces the r17 layout — kept so the write cost of the face
+    // can be A/B-priced in one JVM.
+    if (derivesFace)
+      bucketedWrite(DerivesEdges,
+        g.materials.filter(col("derives_from").isNotNull)
+          .select("material_id", "material_type", "role", "name",
+            "derives_from"),
+        "derives_from")
+  }
 
   /** Read a graph back from [[saveBucketed]]'s layout: bucketed tables
     * through the catalog (so scans carry the bucket distribution),
@@ -141,6 +170,12 @@ object EntityStore {
     EntityGraph(r("datasets"), r("identifiers"), r("studies"),
       r("study_groups"), r("group_members"), r("materials"),
       r("anatomical_parts"), r("characteristics"), r("dimensions"),
-      r("distributions"), r("data_acquisitions"), r("diseases"))
+      r("distributions"), r("data_acquisitions"), r("diseases"),
+      // tolerate a face-less (r17-layout) dir: queries fall back to
+      // deriving the chain relations from materials
+      bucketedDerives =
+        if (spark.catalog.tableExists(tableName(out, DerivesEdges)))
+          Some(spark.table(tableName(out, DerivesEdges)))
+        else None)
   }
 }

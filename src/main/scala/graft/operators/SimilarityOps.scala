@@ -517,7 +517,7 @@ object SimilarityOps {
     * (recall 0.9021/0.8182) — lives in RECALL_r17.json /
     * ARCHITECTURE.md. */
   private[graft] val DescentEarlyKd: Int =
-    sys.env.get("SPARK_GRAFT_DESCENT_EKD").map(_.toInt).getOrElse(32)
+    sys.env.get("SPARK_GRAFT_DESCENT_EKD").map(_.toInt).getOrElse(DescentK / 2)
   private[graft] val DescentEarlyRounds: Int =
     sys.env.get("SPARK_GRAFT_DESCENT_EROUNDS").map(_.toInt).getOrElse(2)
 

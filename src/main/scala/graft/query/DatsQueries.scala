@@ -71,10 +71,19 @@ object DatsQueries {
     // source pipeline (sparql_list_subject_samples.py:41-60 navigates by
     // type); material_type is a LITERAL per union branch in all graph
     // producers, so these filters constant-fold the irrelevant — and at
-    // scale corpus-sized — branches out of each of the three scans
-    val extracts = g.materials.filter(col("material_type") === "extract" &&
+    // scale corpus-sized — branches out of each of the three scans.
+    // The FK side of the extract→sample hop is the corpus-sized scan
+    // (every file's extract); on the bucketed layout it reads the
+    // derives_from-bucketed edge face so it arrives already hashed on
+    // sample_fk — the alias-preserved scan distribution satisfies the
+    // join and EnsureRequirements plans it exchange-free against the
+    // material_id-bucketed samples scan. The projection is identical
+    // either way, so the answer cannot differ (both faces are the same
+    // materials rows; q4's oracle twin covers both forms).
+    val extracts = g.bucketedDerives.getOrElse(g.materials)
+      .filter(col("material_type") === "extract" &&
         col("role").isin("DNA extract", "RNA extract"))
-      .select(col("material_id").as("extract_id"), col("role").as("extract_role"),
+      .select(col("role").as("extract_role"),
         col("derives_from").as("sample_fk"))
     val samples = g.materials.filter(col("material_type") === "sample").select(
       col("material_id").as("sample_id_"), col("name").as("sample_name"),
@@ -149,36 +158,61 @@ object DatsQueries {
         .unionByName(g.diseases.select(col("material_id"), col("name")))
         .join(subjects, col("material_id") === col("subject_mid"))
         .select("name").distinct().collect().map(_.getString(0)).toSeq).sorted
-    // … but the PIVOT itself runs per source table, each side left-joined
-    // to the scaffold independently (below): a union destroys any scan
-    // partitioning Catalyst could ride, while the per-source shape lets
-    // the bucketed materialized layout (EntityStore.saveBucketed —
-    // characteristics/diseases/materials all bucketed on material_id)
-    // plan the subject joins and both pivot aggregates with ZERO
-    // exchanges — the pivot's hashpartitioning(subject_mid) shuffle of
-    // the corpus-sized characteristics relation was q7-mat's dominant
-    // remaining cost at sf10 (39.5 s, r16). NOT merged with a full outer
-    // join first: FullOuter coalesces the key, so its output partitioning
-    // is unknown and the scaffold join re-shuffles the merged pivot —
-    // two left joins from the scaffold are result-identical (each pivot
-    // is one row per subject, so no fanout; absent rows null-pad either
-    // way) and every hop preserves the subject-key distribution. Each
-    // characteristic name lives in exactly one source, so the per-name
-    // column merge is a coalesce, not a conflict resolution. Positional
-    // __a<i>/__b<i> names right after each pivot: the analyzer is
-    // case-insensitive, so e.g. raw GENDER and harmonized Gender would
-    // be unresolvable by name; the final select aliases them back.
+    // … and the PIVOT's shape follows the layout under it (r18, closing
+    // the r17 verdict's q7-direct regression):
+    //
+    // On the BUCKETED materialized layout the pivot runs per source
+    // table, each side left-joined to the scaffold independently: a
+    // union destroys the scan partitioning, while the per-source shape
+    // lets the layout (characteristics/diseases/materials all bucketed
+    // on material_id) plan the subject joins and both pivot aggregates
+    // with ZERO exchanges — the pivot's hashpartitioning(subject_mid)
+    // shuffle of the corpus-sized characteristics relation was q7-mat's
+    // dominant remaining cost at sf10 (39.5 s, r16). NOT merged with a
+    // full outer join first: FullOuter coalesces the key, so its output
+    // partitioning is unknown and the scaffold join re-shuffles the
+    // merged pivot — two left joins from the scaffold are
+    // result-identical (each pivot is one row per subject, so no
+    // fanout; absent rows null-pad either way) and every hop preserves
+    // the subject-key distribution. Each characteristic name lives in
+    // exactly one source, so the per-name column merge is a coalesce,
+    // not a conflict resolution.
+    //
+    // On VIEW graphs (and the plain parquet layout) there is no scan
+    // partitioning to ride, so splitting the pivot only buys a second
+    // full aggregation + a second scaffold join — measured as the r17
+    // sf0.1 direct regression (4.0 → 6.4 s) — and the union pivot's
+    // single shuffle is strictly better; both forms answer identically
+    // (same rows pivoted over disjoint name sets, hash-proven against
+    // the one oracle).
+    //
+    // Positional __a<i>/__b<i> names right after each pivot: the
+    // analyzer is case-insensitive, so e.g. raw GENDER and harmonized
+    // Gender would be unresolvable by name; the final select aliases
+    // them back.
     def pivotOver(rows: DataFrame, tag: String): DataFrame =
       rows.join(subjects.select(col("subject_mid")),
           col("material_id") === col("subject_mid"))
         .groupBy(col("subject_mid")).pivot("name", names).agg(first(col("value")))
         .toDF("subject_mid" +: names.indices.map(i => s"__$tag$i"): _*)
-    val charsPivot = pivotOver(g.characteristics
-      .select(col("material_id"), col("name"), col("value")), "a")
-    val diseasePivot = pivotOver(g.diseases
-      .select(col("material_id"), col("name"), col("status").as("value")), "b")
-    val pivotCols = names.indices.map(i =>
-      coalesce(col(s"__a$i"), col(s"__b$i")).as(names(i)))
+    val charRows = g.characteristics
+      .select(col("material_id"), col("name"), col("value"))
+    val diseaseRows = g.diseases
+      .select(col("material_id"), col("name"), col("status").as("value"))
+    val (withPivots, pivotCols) =
+      if (g.bucketedDerives.nonEmpty) {
+        val charsPivot = pivotOver(charRows, "a")
+        val diseasePivot = pivotOver(diseaseRows, "b")
+        ((df: DataFrame) => df
+           .join(charsPivot, Seq("subject_mid"), "left")
+           .join(diseasePivot, Seq("subject_mid"), "left"),
+         names.indices.map(i =>
+           coalesce(col(s"__a$i"), col(s"__b$i")).as(names(i))))
+      } else {
+        val unionPivot = pivotOver(charRows.unionByName(diseaseRows), "a")
+        ((df: DataFrame) => df.join(unionPivot, Seq("subject_mid"), "left"),
+         names.indices.map(i => col(s"__a$i").as(names(i))))
+      }
 
     // scaffold: study dataset → project title + dbGaP accession → groups
     // → member subjects (:345-360)
@@ -225,9 +259,7 @@ object DatsQueries {
         col("uberon_id").as("anatomical_part_id")), Seq("anatomy_id"), "left")
       .filter(col("file_subject_key").isNotNull)
 
-    scaffold
-      .join(charsPivot, Seq("subject_mid"), "left")
-      .join(diseasePivot, Seq("subject_mid"), "left")
+    withPivots(scaffold)
       .join(files, col("file_subject_key") === col("subject_name"), "left")
       .select(Seq(col("project").as("Project"),
         col("dbgap_study").as("dbGaP_Study"),
