@@ -438,6 +438,15 @@ object PlanAudit {
       "q7 must stay equi-join only at scale")
     assert(q7Plan.contains("hashpartitioning(subject_mid"),
       "q7's characteristics pivot must aggregate partitioned on the subject key")
+    // r18 shape pin: the pivot shape is keyed off the layout
+    // (DatsQueries — union on view graphs, per-source over bucketed
+    // scans). The union shape emits only __a<i> pivot columns; the
+    // per-source shape additionally emits __b<i> from the disease
+    // pivot. A __b0 here means the view path is paying the second
+    // aggregation + scaffold join the sf10 A/B priced at 1.12×
+    // (ab_sf10.jsonl: union/per-source geomean 0.894 on views).
+    assert(!q7Plan.contains("__b0"),
+      "q7 direct (view graph) must use the single union pivot — no disease-pivot columns")
     // materialized deployment (EntityStore parquet): Q3's typed member
     // hop must reach the materials scan as a PARTITION filter (the
     // table is written partitioned by material_type — whole directories
@@ -475,6 +484,13 @@ object PlanAudit {
       "q7-mat must read the entity tables as bucketed catalog scans")
     assert(!q7mPlan.contains("Exchange hashpartitioning(subject_mid"),
       "q7-mat's pivot/merge must ride the bucketed distribution — no subject-key exchange")
+    // r18 shape pin, other direction: over the bucketed layout the
+    // per-source split must be in force (its two pivots are what the
+    // zero-exchange assertion above rides; losing the split would pass
+    // that assertion vacuously only at small sf where AQE folds the
+    // union — the __b0 column is the structural witness).
+    assert(q7mPlan.contains("__b0"),
+      "q7-mat (bucketed layout) must use the per-source pivots — disease-pivot columns present")
     // q4 over the materialized tables (r18): the derivesFrom chain's
     // corpus-sized FK side (every file's extract, the 60M-row branch at
     // sf10) must read the derives_from-bucketed edge face so its
