@@ -74,6 +74,22 @@ class DatsRoundTripSpec extends SparkTestBase {
     assertSameAnswers(EntityStore.loadBucketed(spark, dir))
   }
 
+  test("EntityStore bucketed, face-less: an r17-layout dir (no derives_edges) still answers identically") {
+    // loadBucketed's compat contract (EntityStore.scala): a dir written
+    // before the derives_edges face existed loads with bucketedDerives
+    // = None, so Q4 falls back to deriving the chain from materials and
+    // Q7 takes the union-pivot branch — the answers must not depend on
+    // which branch ran. This is the only spec that exercises the
+    // face-less fallback OVER bucketed catalog scans (the plain-parquet
+    // test above has no catalog; the bucketed test above has the face).
+    val dir = java.nio.file.Files.createTempDirectory("dats_rt_nf").toString
+    EntityStore.saveBucketed(graph, dir, buckets = 5, derivesFace = false)
+    val reread = EntityStore.loadBucketed(spark, dir)
+    assert(reread.bucketedDerives.isEmpty,
+      "a face-less dir must load with bucketedDerives = None")
+    assertSameAnswers(reread)
+  }
+
   test("K1+S15 on the TOPMed graph: consent groups, GUID files, MD5 dimensions round-trip") {
     // a second entity-shape family: consent StudyGroups, CRAM+VCF file
     // datasets keyed by GUID files, MD5 carried as a file-dataset
