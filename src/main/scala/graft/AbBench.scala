@@ -44,38 +44,13 @@ object AbBench {
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    def jstr(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    def record(name: String, secs: Double): Unit = {
-      val line = s"""{"name":"${jstr(name)}","secs":$secs,"sf":"${jstr(dir)}"}"""
-      println(line)
-      java.nio.file.Files.writeString(out, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    }
-    def timed(f: => Unit): Double = {
-      System.gc()
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def sentinel(tag: String): Unit = {
-      val load = try java.nio.file.Files
-        .readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+").take(3).mkString(",") catch { case _: Throwable => "" }
-      System.gc()
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
-      val calib = (System.nanoTime() - t0) / 1e9
-      val line = s"""{"name":"sentinel_$tag","loadavg":[$load],""" +
-        s""""calib_sec":$calib,"sf":"${jstr(dir)}"}"""
-      println(line)
-      java.nio.file.Files.writeString(out, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    }
+    // shared scaffolding ([[BenchKit]]): one escape table / timing /
+    // sentinel protocol across instruments, so these rows are directly
+    // comparable to DatsModeBench's
+    def record(name: String, secs: Double): Unit =
+      BenchKit.record(out, name, secs, dir)
+    def timed(f: => Unit): Double = BenchKit.timed(f)
+    def sentinel(tag: String): Unit = BenchKit.sentinel(spark, out, tag, dir)
     def bench(name: String, df: () => DataFrame): Unit = {
       def once(): Double = timed(df().count())
       once() // untimed warm-up
@@ -106,6 +81,7 @@ object AbBench {
       DatsQueries.listSubjectSamples(gFace.copy(bucketedDerives = None))
         .explain("formatted")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.io.EntityStore.dropBucketed(spark, matDir)
       spark.stop(); return
     }
 
@@ -115,9 +91,14 @@ object AbBench {
     bench("winnow_precat",
       () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
 
-    // (1) the face's write cost, adjacently in both orders
+    // (1) the face's write cost, adjacently in both orders. The dirs
+    // are kept (not dropped per-write) until after winnow_postcat so
+    // the catalog-state A/B below sees the registered tables; then all
+    // four full layout copies are reclaimed instead of leaking in /tmp.
+    val matAbDirs = scala.collection.mutable.Buffer.empty[String]
     def mat(face: Boolean): Double = {
       val d = java.nio.file.Files.createTempDirectory("graft_ab_").toString
+      matAbDirs += d
       timed(graft.io.EntityStore.saveBucketed(
         DatsGen.graph(spark, dir), d, derivesFace = face))
     }
@@ -129,6 +110,7 @@ object AbBench {
     // (3b) winnow AFTER the materialize writes registered catalog tables
     bench("winnow_postcat",
       () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
+    matAbDirs.foreach(graft.io.EntityStore.dropBucketed(spark, _))
 
     // (1) Q4 over one shared layout, face used vs ignored, both orders
     val matDir = java.nio.file.Files.createTempDirectory("graft_ab_").toString
@@ -147,6 +129,7 @@ object AbBench {
     bench("q7_direct_union_2", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
 
     sentinel("end")
+    graft.io.EntityStore.dropBucketed(spark, matDir)
     spark.stop()
   }
 }

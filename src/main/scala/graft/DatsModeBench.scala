@@ -27,44 +27,13 @@ object DatsModeBench {
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    // escape interpolated strings so a quote/backslash in a path can't
-    // produce a malformed JSONL line
-    def jstr(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-    def record(name: String, secs: Double): Unit = {
-      val line = s"""{"name":"${jstr(name)}","secs":$secs,"sf":"${jstr(dir)}"}"""
-      println(line)
-      java.nio.file.Files.writeString(out, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    }
-    def timed(f: => Unit): Double = {
-      System.gc()
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-
-    // load sentinel (r16 verdict #2): same protocol as Bench — loadavg +
-    // a fixed single-task calibration kernel, recorded as JSONL rows at
-    // start and end so mode numbers are comparable across machine states
-    def sentinel(tag: String): Unit = {
-      val load = try java.nio.file.Files
-        .readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+").take(3).mkString(",") catch { case _: Throwable => "" }
-      System.gc()
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
-      val calib = (System.nanoTime() - t0) / 1e9
-      val line = s"""{"name":"sentinel_$tag","loadavg":[$load],"calib_sec":$calib,"sf":"${jstr(dir)}"}"""
-      println(line)
-      java.nio.file.Files.writeString(out, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    }
+    // shared scaffolding ([[BenchKit]]): escaping, timing, and the
+    // r16-verdict-#2 load sentinel live in ONE place so this
+    // instrument's rows stay protocol-identical to AbBench's
+    def record(name: String, secs: Double): Unit =
+      BenchKit.record(out, name, secs, dir)
+    def timed(f: => Unit): Double = BenchKit.timed(f)
+    def sentinel(tag: String): Unit = BenchKit.sentinel(spark, out, tag, dir)
 
     // same warm-up discipline as Bench: JVM/codegen + parquet footers
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -86,6 +55,9 @@ object DatsModeBench {
         () => DatsGen.queryOver(n, graft.io.EntityStore.loadBucketed(spark, matDir)))
     }
     sentinel("end")
+    // the per-run layout is throwaway — don't leak a full entity-table
+    // copy under /tmp per invocation
+    graft.io.EntityStore.dropBucketed(spark, matDir)
     spark.stop()
   }
 }

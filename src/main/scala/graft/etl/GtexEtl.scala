@@ -34,16 +34,24 @@ object GtexEtl {
       /** P9 — diseases(material_id, name, disease_id, status): per-subject
         * bearerOfDisease rows (harmonized hypertension status). */
       diseases: DataFrame,
-      /** Set ONLY by [[graft.io.EntityStore.loadBucketed]]: the
-        * derivesFrom edge face — `materials` projected to (material_id,
-        * material_type, role, name, derives_from), written bucketed by
-        * `derives_from` so the chain queries' FK sides arrive
-        * pre-distributed on their join key (Q4's extract→sample hop is
-        * the corpus-sized one). Presence of this face also marks the
-        * graph as the bucketed catalog layout, which is what lets the
-        * per-source Q7 pivot ride scan partitioning; view graphs and
-        * the plain parquet layout leave it None and the queries fall
-        * back to deriving the same relations from `materials`. */
+      /** Two roles, both load-bearing for the query planner:
+        * (1) the derivesFrom chain relation — `materials` projected to
+        * (material_id, material_type, role, name, derives_from). On a
+        * face-bearing bucketed layout this is the derives_edges table
+        * (bucketed by `derives_from`, so Q4's corpus-sized FK scan
+        * arrives pre-distributed on its join key); on a face-less
+        * bucketed dir [[graft.io.EntityStore.loadBucketed]] derives it
+        * from the bucketed materials table instead.
+        * (2) presence is the BUCKETED-LAYOUT MARKER: `nonEmpty` tells
+        * Q7 its input scans carry bucket distributions, flipping the
+        * pivot to the per-source shape that rides them. Normally set
+        * only by loadBucketed, but any producer whose scans really are
+        * hash-distributed may set it — AbBench sets a placeholder on a
+        * view graph precisely to A/B the shape switch in isolation
+        * (legitimate for Q7, which reads only the marker's presence;
+        * a placeholder would be WRONG for Q4, which reads the rows).
+        * View graphs and the plain parquet layout leave it None and
+        * the queries derive the chain from `materials`. */
       bucketedDerives: Option[DataFrame] = None)
 
   // ---- column specs (ccmm/gtex/parsers/portal_files.py:16-108) ----

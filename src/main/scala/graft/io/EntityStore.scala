@@ -158,24 +158,65 @@ object EntityStore {
           .select("material_id", "material_type", "role", "name",
             "derives_from"),
         "derives_from")
+    else {
+      // a face-less RE-materialize of a dir that previously had a face
+      // must not leave the stale face behind: [[loadBucketed]] would
+      // resurrect it and Q4 would silently join the OLD graph's
+      // extracts against the new samples. Drop both the catalog entry
+      // and the external data dir so "overwrite per table" holds for
+      // the face too.
+      val spark = g.materials.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, DerivesEdges)}")
+      val p = new org.apache.hadoop.fs.Path(s"$out/$DerivesEdges")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ()
+    }
+  }
+
+  /** Drop everything [[saveBucketed]] created for `out`: the catalog
+    * entries (session-scoped, but they otherwise outlive a deleted data
+    * dir and dangle) and the data directory itself. The cleanup half of
+    * the deployment contract — instruments that materialize throwaway
+    * layouts (AbBench's A/B copies, DatsModeBench's per-run dir) call
+    * this instead of leaking full entity-table copies under /tmp. */
+  def dropBucketed(spark: SparkSession, out: String): Unit = {
+    (Bucketed.keys.toSeq :+ DerivesEdges).foreach(name =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, name)}"))
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
   }
 
   /** Read a graph back from [[saveBucketed]]'s layout: bucketed tables
     * through the catalog (so scans carry the bucket distribution),
-    * plain dims straight from parquet. */
+    * plain dims straight from parquet.
+    *
+    * `bucketedDerives` is ALWAYS set here — its presence marks "the
+    * scans under this graph carry bucket distributions", which is what
+    * the Q7 pivot shape keys off, and that property holds with or
+    * without the face. A face-less (r17-layout) dir gets the chain
+    * relation DERIVED from the bucketed materials table instead: Q4
+    * answers identically through the same plan the r17 layout had (the
+    * projection is materials-bucketed, so the extract→sample hop pays
+    * its one exchange), while Q7 still rides the per-source pivots
+    * over the material_id-bucketed characteristics/diseases scans —
+    * conflating the two would re-introduce the corpus-sized
+    * subject-key shuffle on exactly the dirs that can avoid it. */
   def loadBucketed(spark: SparkSession, out: String): EntityGraph = {
     def r(name: String): DataFrame =
       if (Bucketed.contains(name)) spark.table(tableName(out, name))
       else spark.read.parquet(s"$out/$name")
+    val materials = r("materials")
+    val derives =
+      if (spark.catalog.tableExists(tableName(out, DerivesEdges)))
+        spark.table(tableName(out, DerivesEdges))
+      else materials.filter(col("derives_from").isNotNull)
+        .select("material_id", "material_type", "role", "name",
+          "derives_from")
     EntityGraph(r("datasets"), r("identifiers"), r("studies"),
-      r("study_groups"), r("group_members"), r("materials"),
+      r("study_groups"), r("group_members"), materials,
       r("anatomical_parts"), r("characteristics"), r("dimensions"),
       r("distributions"), r("data_acquisitions"), r("diseases"),
-      // tolerate a face-less (r17-layout) dir: queries fall back to
-      // deriving the chain relations from materials
-      bucketedDerives =
-        if (spark.catalog.tableExists(tableName(out, DerivesEdges)))
-          Some(spark.table(tableName(out, DerivesEdges)))
-        else None)
+      bucketedDerives = Some(derives))
   }
 }

@@ -76,17 +76,34 @@ class DatsRoundTripSpec extends SparkTestBase {
 
   test("EntityStore bucketed, face-less: an r17-layout dir (no derives_edges) still answers identically") {
     // loadBucketed's compat contract (EntityStore.scala): a dir written
-    // before the derives_edges face existed loads with bucketedDerives
-    // = None, so Q4 falls back to deriving the chain from materials and
-    // Q7 takes the union-pivot branch — the answers must not depend on
-    // which branch ran. This is the only spec that exercises the
-    // face-less fallback OVER bucketed catalog scans (the plain-parquet
-    // test above has no catalog; the bucketed test above has the face).
+    // before the derives_edges face existed still loads — the chain
+    // relation comes DERIVED from the bucketed materials table (so Q4
+    // plans exactly like the r17 layout did) and bucketedDerives stays
+    // set, because its presence marks scan bucketing and that holds
+    // with or without the face: Q7 must keep the per-source pivots
+    // here, not regress to the view-path union shuffle. The answers
+    // must not depend on which source the chain relation came from.
     val dir = java.nio.file.Files.createTempDirectory("dats_rt_nf").toString
     EntityStore.saveBucketed(graph, dir, buckets = 5, derivesFace = false)
     val reread = EntityStore.loadBucketed(spark, dir)
-    assert(reread.bucketedDerives.isEmpty,
-      "a face-less dir must load with bucketedDerives = None")
+    assert(reread.bucketedDerives.nonEmpty,
+      "a face-less bucketed dir must still carry the layout marker (derived chain relation)")
+    assertSameAnswers(reread)
+  }
+
+  test("EntityStore bucketed: a face-less re-materialize drops the stale face") {
+    // overwrite semantics for the face (EntityStore.saveBucketed): a
+    // second materialize of the SAME dir with derivesFace = false must
+    // not leave the first write's derives_edges behind — a stale face
+    // would silently answer Q4 from the old graph's extract rows.
+    val dir = java.nio.file.Files.createTempDirectory("dats_rt_ow").toString
+    EntityStore.saveBucketed(graph, dir, buckets = 5)
+    EntityStore.saveBucketed(graph, dir, buckets = 5, derivesFace = false)
+    val reread = EntityStore.loadBucketed(spark, dir)
+    // the marker survives (scans are still bucketed) but the relation
+    // must be the materials-derived one, not the dropped table
+    assert(!new java.io.File(s"$dir/derives_edges").exists(),
+      "the stale derives_edges data dir must be deleted")
     assertSameAnswers(reread)
   }
 
