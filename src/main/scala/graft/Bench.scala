@@ -69,14 +69,10 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq.empty }
-    def calibSec(): Double = {
-      System.gc()
-      val t0 = System.nanoTime()
-      // one partition ⇒ one task ⇒ a fixed amount of single-thread work;
-      // contention from other processes shows up directly in its time
-      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // the ONE calibration kernel ([[BenchKit.calibSec]]), shared with
+    // the JSONL instruments so every artifact's calib_sec measures the
+    // same fixed single-thread work and stays cross-comparable
+    def calibSec(): Double = BenchKit.calibSec(spark)
     def sentinelJson(load: Seq[Double], calib: Double): String =
       s"""{"loadavg":[${load.mkString(",")}],"calib_sec":$calib}"""
     calibSec() // untimed warm-up: codegen/JIT for the kernel itself

@@ -10,10 +10,10 @@ import org.apache.spark.sql.SparkSession
   * value is cross-artifact comparability — a sentinel kernel or escape
   * table that drifted between two instruments would make their rows
   * silently incomparable, which is the exact failure the sentinel
-  * exists to rule out. [[Bench]] embeds the same calibration kernel in
-  * its single-JSON-line artifact (a different schema the driver
-  * tail-parses); if the kernel changes here, change it there in the
-  * same commit.
+  * exists to rule out. [[Bench]] keeps its own single-JSON-line
+  * artifact schema (the driver tail-parses it) but calls
+  * [[calibSec]] for its sentinel numbers, so the kernel has exactly
+  * one definition.
   */
 object BenchKit {
 
@@ -43,16 +43,24 @@ object BenchKit {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** The calibration kernel: one partition ⇒ one task ⇒ a fixed amount
+    * of single-thread work, so contention from other processes shows up
+    * directly in its wall-time. Every artifact's calib_sec — [[Bench]]'s
+    * single-line schema and the JSONL instruments' sentinel rows — runs
+    * THIS definition, so the numbers are cross-comparable by
+    * construction. */
+  def calibSec(spark: SparkSession): Double = timed(
+    spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect())
+
   /** Load sentinel (r16 verdict #2): /proc/loadavg plus the wall-time
-    * of a FIXED single-task calibration kernel, recorded as a JSONL
-    * row. Fixed single-thread work moves 1:1 with machine contention,
-    * so any two artifacts can be compared on calibrated numbers: if
-    * calib_sec moved, the machine moved, not the plans. */
+    * of the FIXED calibration kernel, recorded as a JSONL row. Fixed
+    * single-thread work moves 1:1 with machine contention, so any two
+    * artifacts can be compared on calibrated numbers: if calib_sec
+    * moved, the machine moved, not the plans. */
   def sentinel(spark: SparkSession, out: Path, tag: String, sf: String): Unit = {
     val load = try Files.readString(Paths.get("/proc/loadavg"))
       .split("\\s+").take(3).mkString(",") catch { case _: Throwable => "" }
-    val calib = timed(
-      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect())
+    val calib = calibSec(spark)
     writeLine(out, s"""{"name":"sentinel_$tag","loadavg":[$load],""" +
       s""""calib_sec":$calib,"sf":"${jstr(sf)}"}""")
   }
