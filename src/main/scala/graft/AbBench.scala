@@ -62,74 +62,87 @@ object AbBench {
     Seq("region", "nation", "customer", "orders", "lineitem")
       .foreach(n => Tables.load(spark, dir, n).count())
 
-    // per-source pivot forced on a view graph = the r17 direct plan;
-    // the marker relation itself is never read by tabularDump
+    // per-source pivot forced on a view graph = the r17 direct plan.
+    // The marker carries the REAL chain relation (EntityStore's single
+    // definition), so even though tabularDump reads only its presence,
+    // the graph stays fully valid — a Q4 over it would answer
+    // correctly, not silently empty as a placeholder would.
     def persourceView() = {
       val g = DatsGen.graph(spark, dir)
-      g.copy(bucketedDerives = Some(g.materials.limit(0)))
+      g.copy(bucketedDerives = Some(
+        graft.io.EntityStore.chainRelation(g.materials)))
     }
 
-    if (flags("--explain")) {
-      val matDir = java.nio.file.Files.createTempDirectory("graft_ab_").toString
-      DatsGen.materialize(spark, dir, matDir)
-      val gFace = graft.io.EntityStore.loadBucketed(spark, matDir)
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      println("===== q4_mat WITH derives face (auto-broadcast off) =====")
-      DatsQueries.listSubjectSamples(gFace).explain("formatted")
-      println("===== q4_mat WITHOUT face — r17 plan (auto-broadcast off) =====")
-      DatsQueries.listSubjectSamples(gFace.copy(bucketedDerives = None))
-        .explain("formatted")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      graft.io.EntityStore.dropBucketed(spark, matDir)
-      spark.stop(); return
-    }
-
-    sentinel("start")
-
-    // (3a) winnow BEFORE any catalog table exists in the session
-    bench("winnow_precat",
-      () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
-
-    // (1) the face's write cost, adjacently in both orders. The dirs
-    // are kept (not dropped per-write) until after winnow_postcat so
-    // the catalog-state A/B below sees the registered tables; then all
-    // four full layout copies are reclaimed instead of leaking in /tmp.
-    val matAbDirs = scala.collection.mutable.Buffer.empty[String]
-    def mat(face: Boolean): Double = {
+    // every layout this run creates, reclaimed in the finally below so
+    // a mid-run failure (bad sfDir, OOM, a failing query) cannot leak
+    // full entity-table copies under /tmp
+    val createdDirs = scala.collection.mutable.Buffer.empty[String]
+    def newLayoutDir(): String = {
       val d = java.nio.file.Files.createTempDirectory("graft_ab_").toString
-      matAbDirs += d
-      timed(graft.io.EntityStore.saveBucketed(
-        DatsGen.graph(spark, dir), d, derivesFace = face))
+      createdDirs += d
+      d
     }
-    record("materialize_face_1", mat(face = true))
-    record("materialize_noface_1", mat(face = false))
-    record("materialize_noface_2", mat(face = false))
-    record("materialize_face_2", mat(face = true))
+    def dropAll(): Unit = createdDirs.foreach(d =>
+      try graft.io.EntityStore.dropBucketed(spark, d)
+      catch { case _: Throwable => () })
 
-    // (3b) winnow AFTER the materialize writes registered catalog tables
-    bench("winnow_postcat",
-      () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
-    matAbDirs.foreach(graft.io.EntityStore.dropBucketed(spark, _))
+    try {
+      if (flags("--explain")) {
+        val matDir = newLayoutDir()
+        DatsGen.materialize(spark, dir, matDir)
+        val gFace = graft.io.EntityStore.loadBucketed(spark, matDir)
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        println("===== q4_mat WITH derives face (auto-broadcast off) =====")
+        DatsQueries.listSubjectSamples(gFace).explain("formatted")
+        println("===== q4_mat WITHOUT face — r17 plan (auto-broadcast off) =====")
+        DatsQueries.listSubjectSamples(gFace.copy(bucketedDerives = None))
+          .explain("formatted")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return
+      }
 
-    // (1) Q4 over one shared layout, face used vs ignored, both orders
-    val matDir = java.nio.file.Files.createTempDirectory("graft_ab_").toString
-    graft.io.EntityStore.saveBucketed(DatsGen.graph(spark, dir), matDir)
-    val gFace = graft.io.EntityStore.loadBucketed(spark, matDir)
-    val gBase = gFace.copy(bucketedDerives = None)
-    bench("q4_face_1", () => DatsQueries.listSubjectSamples(gFace))
-    bench("q4_noface_1", () => DatsQueries.listSubjectSamples(gBase))
-    bench("q4_noface_2", () => DatsQueries.listSubjectSamples(gBase))
-    bench("q4_face_2", () => DatsQueries.listSubjectSamples(gFace))
+      sentinel("start")
 
-    // (2) Q7 direct pivot shapes, both orders
-    bench("q7_direct_union_1", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
-    bench("q7_direct_persource_1", () => DatsGen.queryOver(7, persourceView()))
-    bench("q7_direct_persource_2", () => DatsGen.queryOver(7, persourceView()))
-    bench("q7_direct_union_2", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
+      // (3a) winnow BEFORE any catalog table exists in the session
+      bench("winnow_precat",
+        () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
 
-    sentinel("end")
-    graft.io.EntityStore.dropBucketed(spark, matDir)
-    spark.stop()
+      // (1) the face's write cost, adjacently in both orders. The dirs
+      // are kept (not dropped per-write) until after winnow_postcat so
+      // the catalog-state A/B below sees the registered tables.
+      def mat(face: Boolean): Double =
+        timed(graft.io.EntityStore.saveBucketed(
+          DatsGen.graph(spark, dir), newLayoutDir(), derivesFace = face))
+      record("materialize_face_1", mat(face = true))
+      record("materialize_noface_1", mat(face = false))
+      record("materialize_noface_2", mat(face = false))
+      record("materialize_face_2", mat(face = true))
+
+      // (3b) winnow AFTER the materialize writes registered catalog tables
+      bench("winnow_postcat",
+        () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
+
+      // (1) Q4 over one shared layout, face used vs ignored, both orders
+      val matDir = newLayoutDir()
+      graft.io.EntityStore.saveBucketed(DatsGen.graph(spark, dir), matDir)
+      val gFace = graft.io.EntityStore.loadBucketed(spark, matDir)
+      val gBase = gFace.copy(bucketedDerives = None)
+      bench("q4_face_1", () => DatsQueries.listSubjectSamples(gFace))
+      bench("q4_noface_1", () => DatsQueries.listSubjectSamples(gBase))
+      bench("q4_noface_2", () => DatsQueries.listSubjectSamples(gBase))
+      bench("q4_face_2", () => DatsQueries.listSubjectSamples(gFace))
+
+      // (2) Q7 direct pivot shapes, both orders
+      bench("q7_direct_union_1", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
+      bench("q7_direct_persource_1", () => DatsGen.queryOver(7, persourceView()))
+      bench("q7_direct_persource_2", () => DatsGen.queryOver(7, persourceView()))
+      bench("q7_direct_union_2", () => DatsGen.queryOver(7, DatsGen.graph(spark, dir)))
+
+      sentinel("end")
+    } finally {
+      dropAll()
+      spark.stop()
+    }
   }
 }

@@ -42,22 +42,27 @@ object DatsModeBench {
 
     sentinel("start")
     val matDir = java.nio.file.Files.createTempDirectory("graft_dats_mode_").toString
-    record("materialize", timed(DatsGen.materialize(spark, dir, matDir)))
+    // the per-run layout is throwaway — reclaim it in the finally so
+    // even a mid-run failure (bad sfDir, OOM, a failing query) cannot
+    // leak a full entity-table copy under /tmp
+    try {
+      record("materialize", timed(DatsGen.materialize(spark, dir, matDir)))
 
-    def bench(name: String, df: () => org.apache.spark.sql.DataFrame): Unit = {
-      def once(): Double = timed(df().count())
-      once() // untimed warm-up
-      record(name, (1 to reps).map(_ => once()).min)
+      def bench(name: String, df: () => org.apache.spark.sql.DataFrame): Unit = {
+        def once(): Double = timed(df().count())
+        once() // untimed warm-up
+        record(name, (1 to reps).map(_ => once()).min)
+      }
+      (1 to 7).foreach { n =>
+        bench(s"q${n}_direct", () => DatsGen.queryOver(n, DatsGen.graph(spark, dir)))
+        bench(s"q${n}_mat",
+          () => DatsGen.queryOver(n, graft.io.EntityStore.loadBucketed(spark, matDir)))
+      }
+      sentinel("end")
+    } finally {
+      try graft.io.EntityStore.dropBucketed(spark, matDir)
+      catch { case _: Throwable => () }
+      spark.stop()
     }
-    (1 to 7).foreach { n =>
-      bench(s"q${n}_direct", () => DatsGen.queryOver(n, DatsGen.graph(spark, dir)))
-      bench(s"q${n}_mat",
-        () => DatsGen.queryOver(n, graft.io.EntityStore.loadBucketed(spark, matDir)))
-    }
-    sentinel("end")
-    // the per-run layout is throwaway — don't leak a full entity-table
-    // copy under /tmp per invocation
-    graft.io.EntityStore.dropBucketed(spark, matDir)
-    spark.stop()
   }
 }

@@ -82,25 +82,14 @@ object ScoreShareProbe {
       },
       "idonly" -> scored(_ => lit(1.0)))
 
-    def jstr(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     variants.foreach { case (name, df) => contract(df) } // untimed warm-up pass
     variants.foreach { case (name, df) =>
-      val secs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        contract(df)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      val line = s"""{"variant":"${jstr(name)}","secs":$secs,""" +
-        s""""pairs":${n * perVec},"per_vec":$perVec,"sf":"${jstr(dir)}"}"""
-      println(line)
-      java.nio.file.Files.writeString(out, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      // [[BenchKit]] scaffolding: same escape table and GC-bracketed
+      // timing as every other JSONL instrument
+      val secs = (1 to reps).map(_ => BenchKit.timed(contract(df))).min
+      BenchKit.writeLine(out,
+        s"""{"variant":"${BenchKit.jstr(name)}","secs":$secs,""" +
+          s""""pairs":${n * perVec},"per_vec":$perVec,"sf":"${BenchKit.jstr(dir)}"}""")
     }
     spark.stop()
   }

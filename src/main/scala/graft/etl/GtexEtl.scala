@@ -45,13 +45,12 @@ object GtexEtl {
         * (2) presence is the BUCKETED-LAYOUT MARKER: `nonEmpty` tells
         * Q7 its input scans carry bucket distributions, flipping the
         * pivot to the per-source shape that rides them. Normally set
-        * only by loadBucketed, but any producer whose scans really are
-        * hash-distributed may set it — AbBench sets a placeholder on a
-        * view graph precisely to A/B the shape switch in isolation
-        * (legitimate for Q7, which reads only the marker's presence;
-        * a placeholder would be WRONG for Q4, which reads the rows).
-        * View graphs and the plain parquet layout leave it None and
-        * the queries derive the chain from `materials`. */
+        * only by loadBucketed; any other producer MUST set it to the
+        * real chain relation (EntityStore.chainRelation is the single
+        * definition) because Q4 reads the ROWS, not just the presence —
+        * AbBench does exactly that to A/B the Q7 shape switch on a
+        * view graph. View graphs and the plain parquet layout leave it
+        * None and the queries derive the chain from `materials`. */
       bucketedDerives: Option[DataFrame] = None)
 
   // ---- column specs (ccmm/gtex/parsers/portal_files.py:16-108) ----

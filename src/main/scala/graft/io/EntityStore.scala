@@ -60,6 +60,18 @@ object EntityStore {
     "distributions" -> "dataset_id",
     "data_acquisitions" -> "dataset_id")
 
+  /** The derivesFrom chain relation: materials' five chain columns.
+    * THE single definition of the face's schema — [[saveBucketed]]
+    * writes it (re-bucketed by the parent key) and [[loadBucketed]]
+    * derives it for face-less dirs, so the two layouts can never
+    * drift column-wise. Also the correct value for any producer that
+    * sets `bucketedDerives` itself (the field carries real chain ROWS,
+    * not just a marker — Q4 reads them). */
+  def chainRelation(materials: DataFrame): DataFrame =
+    materials.filter(col("derives_from").isNotNull)
+      .select("material_id", "material_type", "role", "name",
+        "derives_from")
+
   private def tables(g: EntityGraph): Seq[(String, DataFrame)] = Seq(
     "datasets" -> g.datasets,
     "identifiers" -> g.identifiers,
@@ -153,11 +165,7 @@ object EntityStore {
     // reproduces the r17 layout — kept so the write cost of the face
     // can be A/B-priced in one JVM.
     if (derivesFace)
-      bucketedWrite(DerivesEdges,
-        g.materials.filter(col("derives_from").isNotNull)
-          .select("material_id", "material_type", "role", "name",
-            "derives_from"),
-        "derives_from")
+      bucketedWrite(DerivesEdges, chainRelation(g.materials), "derives_from")
     else {
       // a face-less RE-materialize of a dir that previously had a face
       // must not leave the stale face behind: [[loadBucketed]] would
@@ -210,9 +218,7 @@ object EntityStore {
     val derives =
       if (spark.catalog.tableExists(tableName(out, DerivesEdges)))
         spark.table(tableName(out, DerivesEdges))
-      else materials.filter(col("derives_from").isNotNull)
-        .select("material_id", "material_type", "role", "name",
-          "derives_from")
+      else chainRelation(materials)
     EntityGraph(r("datasets"), r("identifiers"), r("studies"),
       r("study_groups"), r("group_members"), materials,
       r("anatomical_parts"), r("characteristics"), r("dimensions"),

@@ -71,7 +71,8 @@ class DatsRoundTripSpec extends SparkTestBase {
     // would misalign joins and fail loudly here
     val dir = java.nio.file.Files.createTempDirectory("dats_rt_bk").toString
     EntityStore.saveBucketed(graph, dir, buckets = 5)
-    assertSameAnswers(EntityStore.loadBucketed(spark, dir))
+    try assertSameAnswers(EntityStore.loadBucketed(spark, dir))
+    finally EntityStore.dropBucketed(spark, dir)
   }
 
   test("EntityStore bucketed, face-less: an r17-layout dir (no derives_edges) still answers identically") {
@@ -85,10 +86,12 @@ class DatsRoundTripSpec extends SparkTestBase {
     // must not depend on which source the chain relation came from.
     val dir = java.nio.file.Files.createTempDirectory("dats_rt_nf").toString
     EntityStore.saveBucketed(graph, dir, buckets = 5, derivesFace = false)
-    val reread = EntityStore.loadBucketed(spark, dir)
-    assert(reread.bucketedDerives.nonEmpty,
-      "a face-less bucketed dir must still carry the layout marker (derived chain relation)")
-    assertSameAnswers(reread)
+    try {
+      val reread = EntityStore.loadBucketed(spark, dir)
+      assert(reread.bucketedDerives.nonEmpty,
+        "a face-less bucketed dir must still carry the layout marker (derived chain relation)")
+      assertSameAnswers(reread)
+    } finally EntityStore.dropBucketed(spark, dir)
   }
 
   test("EntityStore bucketed: a face-less re-materialize drops the stale face") {
@@ -99,12 +102,14 @@ class DatsRoundTripSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("dats_rt_ow").toString
     EntityStore.saveBucketed(graph, dir, buckets = 5)
     EntityStore.saveBucketed(graph, dir, buckets = 5, derivesFace = false)
-    val reread = EntityStore.loadBucketed(spark, dir)
-    // the marker survives (scans are still bucketed) but the relation
-    // must be the materials-derived one, not the dropped table
-    assert(!new java.io.File(s"$dir/derives_edges").exists(),
-      "the stale derives_edges data dir must be deleted")
-    assertSameAnswers(reread)
+    try {
+      val reread = EntityStore.loadBucketed(spark, dir)
+      // the marker survives (scans are still bucketed) but the relation
+      // must be the materials-derived one, not the dropped table
+      assert(!new java.io.File(s"$dir/derives_edges").exists(),
+        "the stale derives_edges data dir must be deleted")
+      assertSameAnswers(reread)
+    } finally EntityStore.dropBucketed(spark, dir)
   }
 
   test("K1+S15 on the TOPMed graph: consent groups, GUID files, MD5 dimensions round-trip") {
