@@ -29,9 +29,12 @@ import graft.query.{DatsGen, DatsQueries}
   *     0.77 → 1.66 s sf0.1 drift to machine vs state.
   *
   * `--explain` prints the two Q4 physical plans (auto-broadcast off)
-  * instead of timing.
+  * instead of timing. `--mat-only` runs ONLY the materialize face/noface
+  * pairings (r18 verdict #3: the r18 face-write A/B landed on a
+  * contended box — calib 0.22–0.37 s — so the face's write cost needs a
+  * calm-machine reprice without paying the full A/B suite per attempt).
   *
-  * Usage: runMain graft.AbBench [sfDir] [outJsonl] [reps] [--explain]
+  * Usage: runMain graft.AbBench [sfDir] [outJsonl] [reps] [--explain] [--mat-only]
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -104,16 +107,26 @@ object AbBench {
 
       sentinel("start")
 
-      // (3a) winnow BEFORE any catalog table exists in the session
-      bench("winnow_precat",
-        () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
-
       // (1) the face's write cost, adjacently in both orders. The dirs
       // are kept (not dropped per-write) until after winnow_postcat so
       // the catalog-state A/B below sees the registered tables.
       def mat(face: Boolean): Double =
         timed(graft.io.EntityStore.saveBucketed(
           DatsGen.graph(spark, dir), newLayoutDir(), derivesFace = face))
+
+      if (flags("--mat-only")) {
+        record("materialize_face_1", mat(face = true))
+        record("materialize_noface_1", mat(face = false))
+        record("materialize_noface_2", mat(face = false))
+        record("materialize_face_2", mat(face = true))
+        sentinel("end")
+        return
+      }
+
+      // (3a) winnow BEFORE any catalog table exists in the session
+      bench("winnow_precat",
+        () => SparkEntry.queries("text_winnow_fingerprint")(spark, dir))
+
       record("materialize_face_1", mat(face = true))
       record("materialize_noface_1", mat(face = false))
       record("materialize_noface_2", mat(face = false))

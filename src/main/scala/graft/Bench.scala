@@ -76,7 +76,9 @@ object Bench {
     def sentinelJson(load: Seq[Double], calib: Double): String =
       s"""{"loadavg":[${load.mkString(",")}],"calib_sec":$calib}"""
     calibSec() // untimed warm-up: codegen/JIT for the kernel itself
-    val sentinelStart = sentinelJson(loadavg(), calibSec())
+    val loadStart = loadavg()
+    val calibStart = calibSec()
+    val sentinelStart = sentinelJson(loadStart, calibStart)
 
     def resultLine(done: Seq[(String, Double, Option[String])], partial: Boolean,
         sentinelEnd: Option[String] = None): String = {
@@ -97,11 +99,23 @@ object Bench {
     /** Totals-only line for stdout: the full per-query line outgrew the
       * driver's finite stdout-tail capture at 59 queries (r8: rc=0 but
       * parsed:null), so stdout carries a compact summary the driver can
-      * always parse and the out-file keeps the per-query detail. */
-    def compactLine(done: Seq[(String, Double, Option[String])]): String = {
+      * always parse and the out-file keeps the per-query detail.
+      *
+      * Self-certifying (r18 verdict #1): the driver's BENCH artifact
+      * captures ONLY this line, so it carries the load sentinel's
+      * numbers itself — calib_start/end_sec (the fixed single-thread
+      * kernel's wall-time at suite start and end) and loadavg_start.
+      * A total that disagrees with another run's can then be attributed
+      * to machine state from the artifact alone: if calib moved, the
+      * machine moved, not the plans (r18: a 25% driver/builder gap
+      * needed builder-side artifacts to explain). */
+    def compactLine(done: Seq[(String, Double, Option[String])],
+        calibEnd: Double): String = {
       val ok = done.collect { case (_, s, None) => s }
       val nErr = done.count(_._3.isDefined)
-      s"""{"metric":"total","value":${ok.sum},"unit":"sec","n":${done.size},"failed":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ok.sum},"unit":"sec","n":${done.size},"failed":$nErr,""" +
+        s""""calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,""" +
+        s""""loadavg_start":[${loadStart.mkString(",")}],"sf":"$sfDir"}"""
     }
 
     // The descent-refined graph is ONE logical artifact consumed by five
@@ -193,13 +207,14 @@ object Bench {
     }
     // end-of-suite sentinel, then rewrite the final result line with both
     // measurements so the artifact carries the machine's state bracket
-    val sentinelEnd = sentinelJson(loadavg(), calibSec())
+    val calibEnd = calibSec()
+    val sentinelEnd = sentinelJson(loadavg(), calibEnd)
     java.nio.file.Files.writeString(outPath,
       resultLine(done.toSeq, partial = done.size < selected.size,
         sentinelEnd = Some(sentinelEnd)) + "\n")
     // the stdout route stays: the driver parses the ONE printed JSON line —
     // compact totals only (per-query numbers live in SPARK_GRAFT_BENCH_OUT)
-    println(compactLine(done.toSeq))
+    println(compactLine(done.toSeq, calibEnd))
     spark.stop()
   }
 }

@@ -15,27 +15,34 @@ import graft.query.DatsQueries
   * where inputDir holds the portal/manifest files (see FIXTURES.md §1-4).
   */
 object GtexPipeline {
+
+  private def ifExists(p: String): Option[String] =
+    Some(p).filter(x => new java.io.File(x).exists())
+
+  /** The portal/manifest input wiring for `inDir` — shared with
+    * [[EtlBench]], which wall-clocks the same build this main runs. */
+  def inputs(inDir: String): GtexEtl.Inputs = GtexEtl.Inputs(
+    subjectsPath = s"$inDir/GTEx_v7_Annotations_SubjectPhenotypesDS.txt",
+    samplesPath = s"$inDir/GTEx_v7_Annotations_SampleAttributesDS.txt",
+    wgsManifestPath = s"$inDir/wgs_cram_manifest.txt",
+    rnaseqManifestPath = s"$inDir/rnaseq_cram_manifest.txt",
+    doiPath = s"$inDir/doi_manifest.txt",
+    dbgapDataDictPath = ifExists(
+      s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml"),
+    // J10: study skeleton from the scrape when present
+    dbgapStudiesScrapePath = ifExists(s"$inDir/dbgap_studies.txt"),
+    dbgapVarReportPath = ifExists(
+      s"$inDir/dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml"))
+
   def main(args: Array[String]): Unit = {
     val inDir = args.lift(0).getOrElse("src/test/resources/gtex")
     val outJson = args.lift(1).getOrElse("/tmp/gtex_dats.json")
     val spark = Tables.session("gtex-pipeline")
 
-    def ifExists(p: String): Option[String] =
-      Some(p).filter(x => new java.io.File(x).exists())
-    val varReport = ifExists(
-      s"$inDir/dbgap_dir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.var_report.xml")
-    val dataDict = ifExists(
-      s"$inDir/phs000424.v7.pht002742.v7.p2.GTEx_Subject.data_dict.xml")
-    val graph = GtexEtl.build(spark, GtexEtl.Inputs(
-      subjectsPath = s"$inDir/GTEx_v7_Annotations_SubjectPhenotypesDS.txt",
-      samplesPath = s"$inDir/GTEx_v7_Annotations_SampleAttributesDS.txt",
-      wgsManifestPath = s"$inDir/wgs_cram_manifest.txt",
-      rnaseqManifestPath = s"$inDir/rnaseq_cram_manifest.txt",
-      doiPath = s"$inDir/doi_manifest.txt",
-      dbgapDataDictPath = dataDict,
-      // J10: study skeleton from the scrape when present
-      dbgapStudiesScrapePath = ifExists(s"$inDir/dbgap_studies.txt"),
-      dbgapVarReportPath = varReport))
+    val in = inputs(inDir)
+    val varReport = in.dbgapVarReportPath
+    val dataDict = in.dbgapDataDictPath
+    val graph = GtexEtl.build(spark, in)
 
     DatsJsonWriter.write(graph, outJson)
     println(s"[pipeline] wrote DATS JSON-LD to $outJson " +

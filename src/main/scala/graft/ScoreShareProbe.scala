@@ -85,10 +85,14 @@ object ScoreShareProbe {
     variants.foreach { case (name, df) => contract(df) } // untimed warm-up pass
     variants.foreach { case (name, df) =>
       // [[BenchKit]] scaffolding: same escape table and GC-bracketed
-      // timing as every other JSONL instrument
+      // timing as every other JSONL instrument. PROTOCOL CHANGE at v2
+      // (r18): BenchKit.timed precedes each rep with System.gc(), which
+      // the pre-r18 inline timing did not — rows without a `protocol`
+      // field (tools/score_share_sf1.jsonl) are v1 and NOT like-for-like
+      // comparable with these.
       val secs = (1 to reps).map(_ => BenchKit.timed(contract(df))).min
       BenchKit.writeLine(out,
-        s"""{"variant":"${BenchKit.jstr(name)}","secs":$secs,""" +
+        s"""{"variant":"${BenchKit.jstr(name)}","secs":$secs,"protocol":2,""" +
           s""""pairs":${n * perVec},"per_vec":$perVec,"sf":"${BenchKit.jstr(dir)}"}""")
     }
     spark.stop()

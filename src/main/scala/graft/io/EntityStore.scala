@@ -72,19 +72,22 @@ object EntityStore {
       .select("material_id", "material_type", "role", "name",
         "derives_from")
 
-  private def tables(g: EntityGraph): Seq[(String, DataFrame)] = Seq(
-    "datasets" -> g.datasets,
-    "identifiers" -> g.identifiers,
-    "studies" -> g.studies,
-    "study_groups" -> g.studyGroups,
-    "group_members" -> g.groupMembers,
-    "materials" -> g.materials,
-    "anatomical_parts" -> g.anatomicalParts,
-    "characteristics" -> g.characteristics,
-    "dimensions" -> g.dimensions,
-    "distributions" -> g.distributions,
-    "data_acquisitions" -> g.dataAcquisitions,
-    "diseases" -> g.diseases)
+  private val TableAccessors: Seq[(String, EntityGraph => DataFrame)] = Seq(
+    "datasets" -> (_.datasets),
+    "identifiers" -> (_.identifiers),
+    "studies" -> (_.studies),
+    "study_groups" -> (_.studyGroups),
+    "group_members" -> (_.groupMembers),
+    "materials" -> (_.materials),
+    "anatomical_parts" -> (_.anatomicalParts),
+    "characteristics" -> (_.characteristics),
+    "dimensions" -> (_.dimensions),
+    "distributions" -> (_.distributions),
+    "data_acquisitions" -> (_.dataAcquisitions),
+    "diseases" -> (_.diseases))
+
+  private def tables(g: EntityGraph): Seq[(String, DataFrame)] =
+    TableAccessors.map { case (n, f) => n -> f(g) }
 
   /** Write every entity table under `out/<name>`. One pass per table —
     * each write is a distributed parquet job; nothing is collected. */
@@ -109,8 +112,11 @@ object EntityStore {
 
   /** Catalog table name for a materialize dir — content-addressed so
     * concurrent materializations of different dirs in one session never
-    * collide, and a re-load of the same dir resolves the same tables. */
-  private def tableName(out: String, name: String): String = {
+    * collide, and a re-load of the same dir resolves the same tables.
+    * `private[graft]` so specs can assert catalog state (e.g. that a
+    * face-less re-materialize dropped the stale derives_edges ENTRY,
+    * not just its data dir). */
+  private[graft] def tableName(out: String, name: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(out.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"graft_mat_${h}_$name"
@@ -191,7 +197,19 @@ object EntityStore {
     (Bucketed.keys.toSeq :+ DerivesEdges).foreach(name =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, name)}"))
     val p = new org.apache.hadoop.fs.Path(out)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // guard the recursive delete: a wrong or truncated argument (a
+    // parent dir, a data dir this object never wrote) must not be
+    // deleted irrecoverably. A [[saveBucketed]] dir — even one whose
+    // write failed partway — contains at least one entity-table subdir;
+    // anything else is not ours to remove.
+    if (fs.exists(p)) {
+      val names = TableAccessors.map(_._1) :+ DerivesEdges
+      require(names.exists(n => fs.exists(new org.apache.hadoop.fs.Path(p, n))),
+        s"refusing to recursively delete $out: no entity-table subdir — " +
+          "not a saveBucketed layout")
+      fs.delete(p, true)
+    }
     ()
   }
 

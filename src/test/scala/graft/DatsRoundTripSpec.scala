@@ -42,8 +42,9 @@ class DatsRoundTripSpec extends SparkTestBase {
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.map(String.valueOf).mkString(""))
 
-  private def assertSameAnswers(reread: GtexEtl.EntityGraph): Unit = {
-    val direct = queries(graph).toMap
+  private def assertSameAnswers(reread: GtexEtl.EntityGraph,
+      base: => GtexEtl.EntityGraph = graph): Unit = {
+    val direct = queries(base).toMap
     queries(reread).foreach { case (name, df) =>
       val (expect, got) = (rows(direct(name)), rows(df))
       assert(got.nonEmpty, s"$name returned no rows — a vacuous round-trip")
@@ -98,17 +99,33 @@ class DatsRoundTripSpec extends SparkTestBase {
     // overwrite semantics for the face (EntityStore.saveBucketed): a
     // second materialize of the SAME dir with derivesFace = false must
     // not leave the first write's derives_edges behind — a stale face
-    // would silently answer Q4 from the old graph's extract rows.
+    // would silently answer Q4 from the old graph's extract rows. The
+    // second write uses a PERTURBED graph (all RNA-extract rows dropped),
+    // so a resurrected stale face would put the first graph's RNA rows
+    // back into Q4's answer and fail the comparison — re-materializing
+    // the identical graph here would make the answer check vacuous
+    // (r18 advice).
+    import org.apache.spark.sql.functions.col
+    val perturbed = graph.copy(materials = graph.materials.filter(
+      !(col("material_type") === "extract" && col("role") === "RNA extract")))
     val dir = java.nio.file.Files.createTempDirectory("dats_rt_ow").toString
     EntityStore.saveBucketed(graph, dir, buckets = 5)
-    EntityStore.saveBucketed(graph, dir, buckets = 5, derivesFace = false)
+    EntityStore.saveBucketed(perturbed, dir, buckets = 5, derivesFace = false)
     try {
       val reread = EntityStore.loadBucketed(spark, dir)
       // the marker survives (scans are still bucketed) but the relation
-      // must be the materials-derived one, not the dropped table
+      // must be the materials-derived one, not the dropped table —
+      // gone from BOTH the data dir and the session catalog
       assert(!new java.io.File(s"$dir/derives_edges").exists(),
         "the stale derives_edges data dir must be deleted")
-      assertSameAnswers(reread)
+      assert(!spark.catalog.tableExists(EntityStore.tableName(dir, "derives_edges")),
+        "the stale derives_edges catalog entry must be dropped")
+      // the perturbation must be material to Q4, or the stale-face
+      // comparison below proves nothing
+      assert(rows(DatsQueries.listSubjectSamples(perturbed)) !==
+        rows(DatsQueries.listSubjectSamples(graph)),
+        "perturbation did not change Q4 — the stale-face check is vacuous")
+      assertSameAnswers(reread, base = perturbed)
     } finally EntityStore.dropBucketed(spark, dir)
   }
 
