@@ -16,13 +16,21 @@ import graft.query.DatsGen
   * timed once, separately — it is the deployment's one-off cost, not a
   * per-query cost.
   *
-  * Usage: runMain graft.DatsModeBench [sfDir] [outJsonl] [reps]
+  * `--direct-only` skips the materialize and the q*_mat rows — for scale
+  * points whose SOURCE parquet fits the sandbox but whose entity-table
+  * layout + write-shuffle spill does not (r19: the sf100 materialize
+  * exhausted the disk at ~60 GB consumed; the direct family needs no
+  * layout, so its decade points stay measurable).
+  *
+  * Usage: runMain graft.DatsModeBench [sfDir] [outJsonl] [reps] [--direct-only]
   */
 object DatsModeBench {
   def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = java.nio.file.Paths.get(args.lift(1).getOrElse("dats_mode_bench.jsonl"))
-    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = java.nio.file.Paths.get(pos.lift(1).getOrElse("dats_mode_bench.jsonl"))
+    val reps = pos.lift(2).map(_.toInt).getOrElse(1)
     val spark = Tables.session("dats-mode-bench",
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,12 +49,16 @@ object DatsModeBench {
       .foreach(n => Tables.load(spark, dir, n).count())
 
     sentinel("start")
-    val matDir = java.nio.file.Files.createTempDirectory("graft_dats_mode_").toString
+    val directOnly = flags("--direct-only")
+    val matDir =
+      if (directOnly) "" // no layout in direct-only mode
+      else java.nio.file.Files.createTempDirectory("graft_dats_mode_").toString
     // the per-run layout is throwaway — reclaim it in the finally so
     // even a mid-run failure (bad sfDir, OOM, a failing query) cannot
     // leak a full entity-table copy under /tmp
     try {
-      record("materialize", timed(DatsGen.materialize(spark, dir, matDir)))
+      if (!directOnly)
+        record("materialize", timed(DatsGen.materialize(spark, dir, matDir)))
 
       def bench(name: String, df: () => org.apache.spark.sql.DataFrame): Unit = {
         def once(): Double = timed(df().count())
@@ -55,13 +67,15 @@ object DatsModeBench {
       }
       (1 to 7).foreach { n =>
         bench(s"q${n}_direct", () => DatsGen.queryOver(n, DatsGen.graph(spark, dir)))
-        bench(s"q${n}_mat",
-          () => DatsGen.queryOver(n, graft.io.EntityStore.loadBucketed(spark, matDir)))
+        if (!directOnly)
+          bench(s"q${n}_mat",
+            () => DatsGen.queryOver(n, graft.io.EntityStore.loadBucketed(spark, matDir)))
       }
       sentinel("end")
     } finally {
-      try graft.io.EntityStore.dropBucketed(spark, matDir)
-      catch { case _: Throwable => () }
+      if (!directOnly)
+        try graft.io.EntityStore.dropBucketed(spark, matDir)
+        catch { case _: Throwable => () }
       spark.stop()
     }
   }
