@@ -33,12 +33,24 @@ import graft.query.{DatsGen, DatsQueries}
   * pairings (r18 verdict #3: the r18 face-write A/B landed on a
   * contended box — calib 0.22–0.37 s — so the face's write cost needs a
   * calm-machine reprice without paying the full A/B suite per attempt).
+  * `--q4parts` A/Bs q4-direct under 32 vs 256 shuffle partitions in one
+  * JVM (r19: the sf100 point hit the single-box spill wall — q4's
+  * sf10→sf100 step was 15.7× at 32 partitions. The cluster guidance in
+  * [[Tables.session]] says "raise partitions at scale" because per-task
+  * working sets shrink with the partition count and spill falls with
+  * them; this mode converts that claim into an order-cancelled
+  * measurement at the exact scale point that exposed the wall).
   *
-  * Usage: runMain graft.AbBench [sfDir] [outJsonl] [reps] [--explain] [--mat-only]
+  * Usage: runMain graft.AbBench [sfDir] [outJsonl] [reps]
+  *        [--explain] [--mat-only] [--q4parts]
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    // a typo'd mode flag must fail loudly, not silently run the full
+    // (possibly hours-long) A/B suite instead of the mode asked for
+    val known = Set("--explain", "--mat-only", "--q4parts")
+    require(flags.subsetOf(known), s"unknown flags: ${flags -- known} (known: $known)")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = java.nio.file.Paths.get(pos.lift(1).getOrElse("ab_bench.jsonl"))
@@ -106,6 +118,31 @@ object AbBench {
       }
 
       sentinel("start")
+
+      if (flags("--q4parts")) {
+        // single-rep per cell: each run is minutes at the scale points
+        // this mode exists for, so order cancellation (not rep-min)
+        // carries the noise control; the warm-up run page-caches the
+        // source parquet so no cell pays the cold read.
+        // AQE partition COALESCING is pinned off for the cells: at
+        // small sanity-check scale points it would merge the
+        // 256-partition cells back toward 32 and the A/B would falsely
+        // read "partition count doesn't matter" (at sf100 per-partition
+        // shuffle sizes dwarf the 64 MB advisory target, so coalescing
+        // is a no-op there either way — the pin makes every sf honest).
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        def q4At(parts: Int): Double = {
+          spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          timed(DatsGen.queryOver(4, DatsGen.graph(spark, dir)).count())
+        }
+        q4At(32) // untimed warm-up
+        record("q4_direct_p32_1", q4At(32))
+        record("q4_direct_p256_1", q4At(256))
+        record("q4_direct_p256_2", q4At(256))
+        record("q4_direct_p32_2", q4At(32))
+        sentinel("end")
+        return
+      }
 
       // (1) the face's write cost, adjacently in both orders. The dirs
       // are kept (not dropped per-write) until after winnow_postcat so

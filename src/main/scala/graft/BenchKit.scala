@@ -52,6 +52,18 @@ object BenchKit {
   def calibSec(spark: SparkSession): Double = timed(
     spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect())
 
+  /** Recursively delete a directory tree, children first (best-effort:
+    * already-missing entries are tolerated). ONE copy shared by the
+    * instruments' temp-dir cleanup and [[graft.query.DatsGen]]'s
+    * shutdown hook, so a future fix (symlinks, error reporting) cannot
+    * miss a duplicate. */
+  def deleteTree(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally walk.close()
+  }
+
   /** Load sentinel (r16 verdict #2): /proc/loadavg plus the wall-time
     * of the FIXED calibration kernel, recorded as a JSONL row. Fixed
     * single-thread work moves 1:1 with machine contention, so any two

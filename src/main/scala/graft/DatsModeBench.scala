@@ -27,6 +27,10 @@ import graft.query.DatsGen
 object DatsModeBench {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    // a typo'd --direct-only must fail loudly, not silently attempt the
+    // full materialize (the disk-exhausting case the flag exists to skip)
+    require(flags.subsetOf(Set("--direct-only")),
+      s"unknown flags: ${flags - "--direct-only"} (known: --direct-only)")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = java.nio.file.Paths.get(pos.lift(1).getOrElse("dats_mode_bench.jsonl"))

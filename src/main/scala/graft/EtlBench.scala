@@ -37,8 +37,17 @@ object EtlBench {
 
     def sentinel(tag: String): Unit = BenchKit.sentinel(spark, out, tag, dir)
     def bench(name: String, sf: String)(f: => Unit): Unit = {
-      f // untimed warm-up rep, same discipline as Bench/DatsModeBench
-      BenchKit.record(out, name, (1 to reps).map(_ => BenchKit.timed(f)).min, sf)
+      // clear caches per rep, OUTSIDE the clock, same discipline as
+      // Bench: GtexEtl.build caches subtrees (samples, scraped), so
+      // without this the timed reps would read the warm-up rep's
+      // InMemoryRelations and the row would be blind to regressions in
+      // exactly the ingest/join work it exists to clock
+      def once(): Double = {
+        Caches.release(); spark.catalog.clearCache()
+        BenchKit.timed(f)
+      }
+      once() // untimed warm-up rep, same discipline as Bench/DatsModeBench
+      BenchKit.record(out, name, (1 to reps).map(_ => once()).min, sf)
     }
 
     // JVM/codegen warm-up, then the sentinel bracket
@@ -67,12 +76,7 @@ object EtlBench {
       }
       sentinel("end")
     } finally {
-      try {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        finally walk.close()
-      } catch { case _: Throwable => () }
+      try BenchKit.deleteTree(tmp) catch { case _: Throwable => () }
       spark.stop()
     }
   }

@@ -200,14 +200,18 @@ object EntityStore {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // guard the recursive delete: a wrong or truncated argument (a
     // parent dir, a data dir this object never wrote) must not be
-    // deleted irrecoverably. A [[saveBucketed]] dir — even one whose
-    // write failed partway — contains at least one entity-table subdir;
-    // anything else is not ours to remove.
+    // deleted irrecoverably. A [[saveBucketed]] dir contains at least
+    // one entity-table subdir; an EMPTY dir is also accepted — callers
+    // createTempDirectory before materializing, so a materialize that
+    // fails before its first table write leaves one, and refusing it
+    // would break their "cannot leak under /tmp" cleanup contract.
+    // Anything else is not ours to remove.
     if (fs.exists(p)) {
       val names = TableAccessors.map(_._1) :+ DerivesEdges
-      require(names.exists(n => fs.exists(new org.apache.hadoop.fs.Path(p, n))),
-        s"refusing to recursively delete $out: no entity-table subdir — " +
-          "not a saveBucketed layout")
+      require(fs.listStatus(p).isEmpty ||
+          names.exists(n => fs.exists(new org.apache.hadoop.fs.Path(p, n))),
+        s"refusing to recursively delete $out: non-empty with no " +
+          "entity-table subdir — not a saveBucketed layout")
       fs.delete(p, true)
     }
     ()

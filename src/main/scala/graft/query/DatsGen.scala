@@ -314,14 +314,9 @@ object DatsGen {
   // so reclaim them at JVM exit — without this every Bench/Verify
   // process left a full entity-table copy under /tmp
   locally {
-    def rm(root: java.nio.file.Path): Unit = {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
-    }
     sys.addShutdownHook(matDirs.values.foreach(d =>
-      try rm(java.nio.file.Paths.get(d)) catch { case _: Throwable => () }))
+      try graft.BenchKit.deleteTree(java.nio.file.Paths.get(d))
+      catch { case _: Throwable => () }))
   }
 
   /** The entity tables for `dir`, materialized ONCE per process into a
