@@ -22,15 +22,21 @@ import graft.query.DatsGen
   * exhausted the disk at ~60 GB consumed; the direct family needs no
   * layout, so its decade points stay measurable).
   *
-  * Usage: runMain graft.DatsModeBench [sfDir] [outJsonl] [reps] [--direct-only]
+  * Usage: runMain graft.DatsModeBench [sfDir] [outJsonl] [reps]
+  *        [--direct-only] [--only=N[,M...]]
   */
 object DatsModeBench {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
     // a typo'd --direct-only must fail loudly, not silently attempt the
     // full materialize (the disk-exhausting case the flag exists to skip)
-    require(flags.subsetOf(Set("--direct-only")),
-      s"unknown flags: ${flags - "--direct-only"} (known: --direct-only)")
+    val onlyArg = flags.collectFirst { case f if f.startsWith("--only=") =>
+      f.stripPrefix("--only=").split(",").map(_.trim.toInt).toSet }
+    require((flags.filterNot(_.startsWith("--only="))).subsetOf(Set("--direct-only")),
+      s"unknown flags: ${flags.filterNot(_.startsWith("--only=")) - "--direct-only"} " +
+        "(known: --direct-only, --only=N[,M...])")
+    onlyArg.foreach(s => require(s.nonEmpty && s.forall(n => n >= 1 && n <= 7),
+      s"--only takes query numbers 1-7, got $s"))
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = java.nio.file.Paths.get(pos.lift(1).getOrElse("dats_mode_bench.jsonl"))
@@ -69,7 +75,10 @@ object DatsModeBench {
         once() // untimed warm-up
         record(name, (1 to reps).map(_ => once()).min)
       }
-      (1 to 7).foreach { n =>
+      // --only=N[,M...] restricts the query loop — for re-measuring a
+      // single decade-point row without paying the whole family (r19:
+      // q3's sf30 row needed a targeted recheck)
+      (1 to 7).filter(n => onlyArg.forall(_.contains(n))).foreach { n =>
         bench(s"q${n}_direct", () => DatsGen.queryOver(n, DatsGen.graph(spark, dir)))
         if (!directOnly)
           bench(s"q${n}_mat",

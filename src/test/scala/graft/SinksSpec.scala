@@ -52,4 +52,27 @@ class SinksSpec extends SparkTestBase {
     }
     assert(dumpHash() === dumpHash())
   }
+
+  test("EntityStore.dropBucketed guards its recursive delete") {
+    import graft.io.EntityStore
+    // (a) a non-empty dir that is NOT a saveBucketed layout is refused —
+    // a wrong or truncated argument must not delete arbitrary data
+    val notLayout = java.nio.file.Files.createTempDirectory("dats_guard_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$notLayout/precious.txt"), "not ours\n")
+    intercept[IllegalArgumentException](EntityStore.dropBucketed(spark, notLayout))
+    assert(new java.io.File(s"$notLayout/precious.txt").exists(),
+      "the refused delete must leave the dir untouched")
+    // (b) an EMPTY dir is accepted — callers createTempDirectory before
+    // materializing, so an early materialize failure leaves one and the
+    // cleanup contract says it must not leak
+    val empty = java.nio.file.Files.createTempDirectory("dats_guard_e_").toString
+    EntityStore.dropBucketed(spark, empty)
+    assert(!new java.io.File(empty).exists(), "an empty dir must be removed")
+    // (c) a missing dir is a no-op, and a real layout is removed
+    EntityStore.dropBucketed(spark, empty) // already gone — must not throw
+    java.nio.file.Files.walk(java.nio.file.Paths.get(notLayout))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
 }
