@@ -49,7 +49,7 @@ object AbBench {
     val flags = args.filter(_.startsWith("--")).toSet
     // a typo'd mode flag must fail loudly, not silently run the full
     // (possibly hours-long) A/B suite instead of the mode asked for
-    val known = Set("--explain", "--mat-only", "--q4parts")
+    val known = Set("--explain", "--mat-only", "--q4parts", "--q4collapse")
     require(flags.subsetOf(known), s"unknown flags: ${flags -- known} (known: $known)")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -118,6 +118,61 @@ object AbBench {
       }
 
       sentinel("start")
+
+      if (flags("--q4collapse")) {
+        // r19 candidate pricing (NOT shipped — a shipped plan change
+        // would invalidate the round's already-measured headline): Q4
+        // currently joins the corpus-sized extract side first and
+        // DISTINCTs after; the candidate collapses extracts to sample
+        // grain BEFORE the join — groupBy(sample_fk) + collect_set(role)
+        // + explode — which (a) shrinks the join's big side ~5× (one row
+        // per (sample, role) instead of one per extract), (b) is
+        // exchange-free on the bucketed face (the derives_from-hashed
+        // scan satisfies the groupBy clustering), and (c) leaves the
+        // final joins co-partitioned on sample_fk. Semantics-preserving:
+        // every output column is a function of (sample_fk, role) through
+        // unique sample/subject ids, and the final DISTINCT is kept, so
+        // the collapse only removes multiplicity the DISTINCT removed
+        // anyway — asserted below by a two-way except() before timing.
+        import org.apache.spark.sql.functions.{col, collect_set, explode}
+        def collapsed(g: graft.etl.GtexEtl.EntityGraph): DataFrame = {
+          val extractRoles = g.bucketedDerives.getOrElse(g.materials)
+            .filter(col("material_type") === "extract" &&
+              col("role").isin("DNA extract", "RNA extract"))
+            .select(col("role"), col("derives_from").as("sample_fk"))
+            .groupBy("sample_fk").agg(collect_set(col("role")).as("rs"))
+            .select(col("sample_fk"), explode(col("rs")).as("extract_role"))
+          val samples = g.materials.filter(col("material_type") === "sample")
+            .select(col("material_id").as("sample_id_"),
+              col("name").as("sample_name"), col("derives_from").as("subject_fk"))
+          val subjects = g.materials.filter(col("material_type") === "subject")
+            .select(col("material_id").as("subject_id_"), col("name").as("subject_name"))
+          extractRoles.join(samples, col("sample_fk") === col("sample_id_"))
+            .join(subjects, col("subject_fk") === col("subject_id_"))
+            .select(col("subject_name"), col("sample_name"), col("extract_role"))
+            .distinct().orderBy("subject_name", "sample_name", "extract_role")
+        }
+        val matDir = newLayoutDir()
+        DatsGen.materialize(spark, dir, matDir)
+        val gMat = graft.io.EntityStore.loadBucketed(spark, matDir)
+        val gView = DatsGen.graph(spark, dir)
+        // correctness first: the candidate must answer EXACTLY Q4
+        Seq("mat" -> gMat, "view" -> gView).foreach { case (tag, g) =>
+          val (old, neu) = (graft.query.DatsQueries.listSubjectSamples(g), collapsed(g))
+          require(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+            s"q4collapse($tag): candidate answers differ from shipped Q4")
+        }
+        bench("q4_mat_shipped_1", () => graft.query.DatsQueries.listSubjectSamples(gMat))
+        bench("q4_mat_collapsed_1", () => collapsed(gMat))
+        bench("q4_mat_collapsed_2", () => collapsed(gMat))
+        bench("q4_mat_shipped_2", () => graft.query.DatsQueries.listSubjectSamples(gMat))
+        bench("q4_view_shipped_1", () => graft.query.DatsQueries.listSubjectSamples(gView))
+        bench("q4_view_collapsed_1", () => collapsed(gView))
+        bench("q4_view_collapsed_2", () => collapsed(gView))
+        bench("q4_view_shipped_2", () => graft.query.DatsQueries.listSubjectSamples(gView))
+        sentinel("end")
+        return
+      }
 
       if (flags("--q4parts")) {
         // single-rep per cell: each run is minutes at the scale points
