@@ -41,8 +41,14 @@ import graft.query.{DatsGen, DatsQueries}
   * them; this mode converts that claim into an order-cancelled
   * measurement at the exact scale point that exposed the wall).
   *
+  * `--q4collapse` prices the (rejected) r19 Q4 pre-collapse candidate:
+  * an answer-checked A/B of collapsing extracts to sample grain before
+  * the join vs the shipped plan — kept runnable so the rejection stays
+  * reproducible.
+  *
   * Usage: runMain graft.AbBench [sfDir] [outJsonl] [reps]
-  *        [--explain] [--mat-only] [--q4parts]
+  *        [--explain] [--mat-only] [--q4parts] [--q4collapse]
+  * The four mode flags are mutually exclusive (at most one per run).
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +57,12 @@ object AbBench {
     // (possibly hours-long) A/B suite instead of the mode asked for
     val known = Set("--explain", "--mat-only", "--q4parts", "--q4collapse")
     require(flags.subsetOf(known), s"unknown flags: ${flags -- known} (known: $known)")
+    // the modes are mutually exclusive in effect (each early-returns or
+    // gates the suite), so two at once would silently run only the
+    // first-checked one — the exact silent-ignore the require above
+    // exists to prevent
+    require(flags.size <= 1,
+      s"mode flags are mutually exclusive, got ${flags.mkString(" ")}")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = java.nio.file.Paths.get(pos.lift(1).getOrElse("ab_bench.jsonl"))

@@ -30,8 +30,12 @@ object DatsModeBench {
     val flags = args.filter(_.startsWith("--")).toSet
     // a typo'd --direct-only must fail loudly, not silently attempt the
     // full materialize (the disk-exhausting case the flag exists to skip)
-    val onlyArg = flags.collectFirst { case f if f.startsWith("--only=") =>
-      f.stripPrefix("--only=").split(",").map(_.trim.toInt).toSet }
+    // collect ALL --only= flags and union them: collectFirst over the
+    // unordered Set would nondeterministically and silently drop one of
+    // two --only= flags (both pass the unknown-flag require below)
+    val onlySets = flags.filter(_.startsWith("--only=")).toSeq
+      .map(_.stripPrefix("--only=").split(",").map(_.trim.toInt).toSet)
+    val onlyArg = onlySets.reduceOption(_ union _)
     require((flags.filterNot(_.startsWith("--only="))).subsetOf(Set("--direct-only")),
       s"unknown flags: ${flags.filterNot(_.startsWith("--only=")) - "--direct-only"} " +
         "(known: --direct-only, --only=N[,M...])")

@@ -20,8 +20,11 @@ import graft.query.DatsGen
   *  - `etl_materialize` — the AT-SCALE ETL half at `sfDir`: entity
   *    graph derivation + the bucketed entity-table write
   *    ([[DatsGen.materialize]]), i.e. the deployment's write-once
-  *    step. Protocol-identical to DatsModeBench's `materialize` row,
-  *    duplicated here so one instrument carries both ETL halves.
+  *    step. Same timing scaffolding ([[BenchKit]]) as DatsModeBench's
+  *    `materialize` row but NOT like-for-like with it: DatsModeBench
+  *    times materialize once, cold, while this row takes min-of-reps
+  *    after an untimed warm-up (warm page cache), so it reads
+  *    systematically lower — compare within one instrument only.
   *
   * Usage: runMain graft.EtlBench [gtexFixtureDir] [sfDir] [outJsonl] [reps]
   */

@@ -194,26 +194,29 @@ object EntityStore {
     * layouts (AbBench's A/B copies, DatsModeBench's per-run dir) call
     * this instead of leaking full entity-table copies under /tmp. */
   def dropBucketed(spark: SparkSession, out: String): Unit = {
-    (Bucketed.keys.toSeq :+ DerivesEdges).foreach(name =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, name)}"))
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // guard the recursive delete: a wrong or truncated argument (a
-    // parent dir, a data dir this object never wrote) must not be
-    // deleted irrecoverably. A [[saveBucketed]] dir contains at least
-    // one entity-table subdir; an EMPTY dir is also accepted — callers
-    // createTempDirectory before materializing, so a materialize that
-    // fails before its first table write leaves one, and refusing it
-    // would break their "cannot leak under /tmp" cleanup contract.
-    // Anything else is not ours to remove.
-    if (fs.exists(p)) {
+    // guard the recursive delete FIRST, before any catalog mutation, so
+    // a refused call is side-effect-free (the catalog entries must not
+    // be gone when the require below throws): a wrong or truncated
+    // argument (a parent dir, a data dir this object never wrote) must
+    // not be deleted irrecoverably. A [[saveBucketed]] dir contains at
+    // least one entity-table subdir; an EMPTY dir is also accepted —
+    // callers createTempDirectory before materializing, so a
+    // materialize that fails before its first table write leaves one,
+    // and refusing it would break their "cannot leak under /tmp"
+    // cleanup contract. Anything else is not ours to remove.
+    val exists = fs.exists(p)
+    if (exists) {
       val names = TableAccessors.map(_._1) :+ DerivesEdges
       require(fs.listStatus(p).isEmpty ||
           names.exists(n => fs.exists(new org.apache.hadoop.fs.Path(p, n))),
         s"refusing to recursively delete $out: non-empty with no " +
           "entity-table subdir — not a saveBucketed layout")
-      fs.delete(p, true)
     }
+    (Bucketed.keys.toSeq :+ DerivesEdges).foreach(name =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, name)}"))
+    if (exists) fs.delete(p, true)
     ()
   }
 

@@ -60,9 +60,18 @@ class SinksSpec extends SparkTestBase {
     val notLayout = java.nio.file.Files.createTempDirectory("dats_guard_").toString
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$notLayout/precious.txt"), "not ours\n")
-    intercept[IllegalArgumentException](EntityStore.dropBucketed(spark, notLayout))
-    assert(new java.io.File(s"$notLayout/precious.txt").exists(),
-      "the refused delete must leave the dir untouched")
+    // ...and the refusal must be side-effect-free: catalog entries for
+    // the dir (hashed table names) must survive a refused call — the
+    // layout check runs BEFORE any catalog mutation
+    val catName = EntityStore.tableName(notLayout, "materials")
+    spark.sql(s"CREATE TABLE $catName (x INT) USING parquet")
+    try {
+      intercept[IllegalArgumentException](EntityStore.dropBucketed(spark, notLayout))
+      assert(new java.io.File(s"$notLayout/precious.txt").exists(),
+        "the refused delete must leave the dir untouched")
+      assert(spark.catalog.tableExists(catName),
+        "a refused dropBucketed must not have dropped the catalog entries")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $catName")
     // (b) an EMPTY dir is accepted — callers createTempDirectory before
     // materializing, so an early materialize failure leaves one and the
     // cleanup contract says it must not leak
