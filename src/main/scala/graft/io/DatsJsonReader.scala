@@ -27,11 +27,16 @@ import graft.etl.GtexEtl.EntityGraph
   * `distributions` — are iterated element-by-element off the parser, so
   * peak heap is the entity ROW buffers plus ONE bounded element subtree,
   * never the whole-document node tree plus its source string (the r16
-  * readTree shape). Measured by [[graft.DatsReadBench]] on a 217 MB
-  * writer-grammar document: total reader residency 4.41 → 2.62 GB
-  * (1.7×) — the ~1.8 GB tree+string overhead is eliminated outright;
-  * what remains is the entity row buffers both shapes share, which the
-  * document's row count, not the parse, dictates. At cluster scale the
+  * readTree shape). Measured by [[graft.DatsReadBench]] across a
+  * three-point document ladder (dats_read_bench_r20.jsonl): streaming
+  * residency 1.58/2.21/4.80 GB on 108/217/436 MB writer-grammar
+  * documents — 3.04× peak across a 4× document range, overall scaling
+  * exponent ≈0.8, i.e. LINEAR with no superlinear term in the token
+  * walk, so the reference's 420 MB instance ceiling costs ~4.8 GB of
+  * driver heap. The whole-tree shape pays 1.5–2.1× more at every
+  * point; what the streaming shape keeps is the entity row buffers
+  * both shapes share, which the document's row count, not the parse,
+  * dictates. At cluster scale the
   * deployment shape is [[EntityStore]] parquet — this reader exists for
   * reference-format interchange, not as the 100 TB path.
   *
