@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.Tables
+import graft.{Caches, Tables}
 
 /** Scalar projection / derivation operators (reference §2.3 P-family) and
   * multi-level grouping (R4), demonstrated over the star schema. All are
@@ -44,12 +44,40 @@ object Projections {
 
   /** Multi-level rollup totals (reference R4 multilevel index,
     * ccmm/util.py:8-19, as a grouping-sets program). NULL group keys are
-    * labelled 'ALL' so the output is engine-portable. */
+    * labelled 'ALL' so the output is engine-portable.
+    *
+    * Shape: ONE corpus shuffle on the real (status, priority) key, then
+    * the subtotal levels RE-AGGREGATE the tiny grouped result (counts
+    * sum, exact DECIMAL partials sum) instead of `.rollup`'s Expand
+    * tripling every input row before the shuffle — strictly less data
+    * moved at scale. It is also what makes the semantics ANSI: the
+    * grand-total level is a global (ungrouped) aggregate, which emits
+    * its row over EMPTY input too, exactly like SQL's ROLLUP `()`
+    * grouping set — Spark's Expand-based rollup returns zero rows
+    * there, diverging from the standard (caught by the r20 fuzz pass,
+    * fuzz_rel_r20.jsonl seed 0). */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
-    orders.rollup("o_orderstatus", "o_orderpriority")
+    // cached: consumed by all three union branches — without it each
+    // branch re-plans the corpus scan + shuffle (the plan showed three
+    // `Scan parquet` subtrees). The frame is group-cardinality-sized
+    // (≤ |statuses|·|priorities| rows), so the cache is trivially small
+    // at any scale; [[Caches]] owns its lifecycle.
+    val base = Caches.cached(orders.groupBy("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("d_total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("d_total")))
+    val lvl1 = base.groupBy("o_orderstatus")
+      .agg(sum("n_orders").as("n_orders"), sum("d_total").as("d_total"))
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    val lvl0 = base
+      .agg(coalesce(sum("n_orders"), lit(0L)).as("n_orders"),
+        sum("d_total").as("d_total"))
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    val cols = Seq("o_orderstatus", "o_orderpriority", "n_orders", "d_total")
+    base.select(cols.map(col): _*)
+      .unionByName(lvl1.select(cols.map(col): _*))
+      .unionByName(lvl0.select(cols.map(col): _*))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

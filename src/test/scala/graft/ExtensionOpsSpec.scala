@@ -826,4 +826,31 @@ class ExtensionOpsSpec extends SparkTestBase {
     }.toSet
     assert(got === expected)
   }
+
+  test("rel: ordersRollup emits the ANSI grand-total row over EMPTY input " +
+      "and matches the Expand-rollup shape on real data") {
+    // ANSI ROLLUP's () grouping set aggregates the whole (empty) input —
+    // one row, count 0, null total. Spark's .rollup returns zero rows
+    // there (fuzz seed 0, r20); the re-aggregation shape must not.
+    val dir = java.nio.file.Files.createTempDirectory("rollup_empty_").toString
+    spark.read.parquet(s"$sf/orders.parquet").limit(0)
+      .write.parquet(s"$dir/orders.parquet")
+    val empty = graft.operators.Projections.ordersRollup(spark, dir).collect()
+    assert(empty.length === 1)
+    assert(empty(0).getString(0) === "ALL" && empty(0).getString(1) === "ALL")
+    assert(empty(0).getLong(2) === 0L && empty(0).isNullAt(3))
+    // non-empty: the re-aggregation levels must reproduce the legacy
+    // single-pass Expand rollup exactly (counts AND exact decimal sums)
+    val legacy = spark.read.parquet(s"$sf/orders.parquet")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("d_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("d_total").cast("double").as("total_price"))
+    val got = graft.operators.Projections.ordersRollup(spark, sf)
+    assert(got.exceptAll(legacy).isEmpty && legacy.exceptAll(got).isEmpty)
+  }
 }

@@ -1,0 +1,280 @@
+#!/usr/bin/env python3
+"""Seeded differential fuzz over the 17 rel_* queries (r19 verdict #5).
+
+The oracle gate is fixed-fixture; this harness generates randomized
+TPC-H-shaped tables per seed — random scales (including EMPTY tables),
+per-column null densities (including ALL-NULL columns), hot-key skew,
+dangling foreign keys, and tie-heavy value domains — then runs the
+existing Verify → DuckDB pipeline on each: `graft.Verify <dir> <out>
+<rel-names-csv>` followed by `tools/check.py <dir> <out>`. A seed
+passes iff every rel_* row is PASS (rows + schema + hash), i.e. the
+Spark plan and the DuckDB oracle agree on data the fixture never shaped.
+
+Deterministic: table contents are a pure function of the seed. Designated
+edge seeds force the shapes the r19 verdict called out (empty groups,
+all-null columns, ties in O3 top-1 / A4 representative / A5 profile).
+
+Usage: python3 tools/fuzz_rel.py [nSeeds] [outJsonl] [--keep]
+       (defaults: 24 seeds, fuzz_rel_r20.jsonl; scratch dirs under
+        /tmp/fuzz_rel are removed per-seed unless --keep or FAIL)
+"""
+import json
+import os
+import random
+import re
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REL_NAMES = [
+    "rel_pricing_summary", "rel_revenue_by_nation",
+    "rel_orders_per_customer_histogram", "rel_top_order_per_customer",
+    "rel_customers_without_orders", "rel_priorities_by_status",
+    "rel_nations_with_presence", "rel_status_by_priority_pivot",
+    "rel_customer_order_stats", "rel_parts_ever_ordered",
+    "rel_order_reconciliation", "rel_part_enrichment",
+    "rel_orders_rollup", "rel_customer_deciles", "rel_customer_unpivot",
+    "rel_representative_values", "rel_column_profile",
+]
+
+# tables the rel family reads; the rest are symlinked from the static
+# fixture dir because check.py registers a DuckDB view for all ten
+REL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]
+STATIC_DIR = "/root/testdata/sf0.001"
+STATIC_TABLES = ["events", "documents", "embeddings"]
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PTYPES = ["ECONOMY", "PROMO", "LARGE", "MEDIUM", "SMALL", "STANDARD",
+          "ANODIZED STEEL", "BURNISHED TIN"]  # last two hit the ELSE branch
+EPOCH_94 = 757382400          # 1994-01-01 UTC, seconds
+EPOCH_00 = 946684800          # 2000-01-01 UTC, seconds
+
+
+def money(rng, lo=1.0, hi=500000.0):
+    return round(rng.uniform(lo, hi), 2)
+
+
+def ts_us(rng):
+    return rng.randrange(EPOCH_94, EPOCH_00) * 1_000_000
+
+
+def mask(rng, vals, density):
+    """Null out ~density of vals (1.0 = all-null column)."""
+    if density <= 0:
+        return vals
+    return [None if rng.random() < density else v for v in vals]
+
+
+def gen_tables(seed):
+    """Build all seven rel tables for one seed. Returns {name: (schema,
+    columns-dict)} plus a human note of the forced edge shape."""
+    rng = random.Random(seed)
+    edge = seed % 8  # designated edge shapes cycle with the seed
+    note = {0: "empty orders", 1: "empty lineitem", 2: "empty customer",
+            3: "all-null l_quantity", 4: "all-null c_acctbal",
+            5: "single-row groups (1 order per key)", 6: "heavy ties",
+            7: "plain random"}[edge]
+
+    n_region = rng.randint(1, 6)
+    n_nation = rng.randint(1, 30)
+    n_cust = 0 if edge == 2 else rng.randint(1, 800)
+    n_supp = rng.randint(0, 40)
+    n_part = rng.randint(0, 500)
+    n_orders = 0 if edge == 0 else (n_cust if edge == 5 and n_cust else rng.randint(1, 4000))
+    n_line = 0 if edge == 1 else rng.randint(1, 12000)
+
+    # null densities for nullable (non-key) columns
+    def dens():
+        return rng.choice([0.0, 0.0, 0.02, 0.1, 0.3])
+    tie = edge == 6
+    tie_prices = [money(rng) for _ in range(4)]
+    tie_quants = [1.0, 2.0, 5.0]
+
+    region = {
+        "r_regionkey": list(range(n_region)),
+        "r_name": [f"REGION_{i}" for i in range(n_region)],
+    }
+    nation = {
+        "n_nationkey": list(range(n_nation)),
+        "n_name": [f"NATION_{i:02d}" for i in range(n_nation)],
+        # occasional dangling region ref exercises the inner-join drop
+        "n_regionkey": [rng.randrange(n_region + (2 if rng.random() < .1 else 0))
+                        for _ in range(n_nation)],
+    }
+    cust_keys = list(range(1, n_cust + 1))
+    customer = {
+        "c_custkey": cust_keys,
+        "c_name": mask(rng, [f"Customer#{k:09d}" for k in cust_keys], dens()),
+        "c_nationkey": mask(rng, [rng.randrange(n_nation + 2) for _ in cust_keys], dens()),
+        "c_acctbal": (
+            [None] * n_cust if edge == 4 else
+            mask(rng, [rng.choice(tie_prices) if tie else money(rng, -999.99, 9999.99)
+                       for _ in cust_keys], dens())),
+        "c_mktsegment": mask(rng, [rng.choice(SEGMENTS) for _ in cust_keys], dens()),
+    }
+    supp_keys = list(range(1, n_supp + 1))
+    supplier = {
+        "s_suppkey": supp_keys,
+        "s_name": [f"Supplier#{k:09d}" for k in supp_keys],
+        "s_nationkey": mask(rng, [rng.randrange(n_nation + 2) for _ in supp_keys], dens()),
+        "s_acctbal": mask(rng, [money(rng, -999.99, 9999.99) for _ in supp_keys], dens()),
+    }
+    part_keys = list(range(1, n_part + 1))
+    part = {
+        "p_partkey": part_keys,
+        "p_name": mask(rng, [f"part {rng.choice(['ivory','azure','linen','misty','deep'])} "
+                             f"{rng.choice(['rose','tan','plum','puff','bisque'])}"
+                             for _ in part_keys], dens()),
+        # always Brand#<digits>: the oracle CASTs the regex capture to
+        # BIGINT and DuckDB hard-errors casting '' (a digitless brand
+        # would test the ORACLE's fragility, not the engine)
+        "p_brand": mask(rng, [f"Brand#{rng.randint(1, 55)}" for _ in part_keys], dens()),
+        "p_type": mask(rng, [rng.choice(PTYPES) for _ in part_keys], dens()),
+        "p_size": mask(rng, [rng.randint(1, 50) for _ in part_keys], dens()),
+        "p_retailprice": mask(rng, [money(rng, 900, 2100) for _ in part_keys], dens()),
+    }
+    order_keys = list(range(1, n_orders + 1))
+    hot = cust_keys[:max(1, min(10, n_cust))] if n_cust else []
+
+    def pick_cust():
+        if rng.random() < 0.05 or not n_cust:      # dangling FK
+            return n_cust + rng.randint(1, 100)
+        if hot and rng.random() < 0.6:             # hot-key skew
+            return rng.choice(hot)
+        return rng.randint(1, n_cust)
+    if edge == 5 and n_cust:
+        o_cust = list(cust_keys)                    # exactly one order each
+    else:
+        o_cust = [pick_cust() for _ in order_keys]
+    orders = {
+        "o_orderkey": order_keys,
+        "o_custkey": o_cust,
+        "o_orderstatus": mask(rng, [rng.choice("FOP") for _ in order_keys], dens()),
+        "o_totalprice": mask(rng, [rng.choice(tie_prices) if (tie or rng.random() < .2)
+                                   else money(rng) for _ in order_keys], dens()),
+        "o_orderdate": mask(rng, [ts_us(rng) for _ in order_keys], dens()),
+        "o_orderpriority": mask(rng, [rng.choice(PRIORITIES) for _ in order_keys], dens()),
+    }
+    line = {
+        "l_orderkey": [rng.choice(order_keys) if (order_keys and rng.random() > .05)
+                       else n_orders + rng.randint(1, 50) for _ in range(n_line)],
+        "l_partkey": [rng.choice(part_keys) if (part_keys and rng.random() > .05)
+                      else n_part + rng.randint(1, 50) for _ in range(n_line)],
+        "l_suppkey": [rng.choice(supp_keys) if (supp_keys and rng.random() > .05)
+                      else n_supp + rng.randint(1, 20) for _ in range(n_line)],
+        "l_linenumber": [rng.randint(1, 7) for _ in range(n_line)],
+        "l_quantity": (
+            [None] * n_line if edge == 3 else
+            mask(rng, [rng.choice(tie_quants) if (tie or rng.random() < .3)
+                       else float(rng.randint(1, 50)) for _ in range(n_line)], dens())),
+        "l_extendedprice": mask(rng, [money(rng, 900, 105000) for _ in range(n_line)], dens()),
+        "l_discount": mask(rng, [round(rng.uniform(0, .1), 2) for _ in range(n_line)], dens()),
+        "l_tax": mask(rng, [round(rng.uniform(0, .08), 2) for _ in range(n_line)], dens()),
+        "l_returnflag": mask(rng, [rng.choice("ANR") for _ in range(n_line)], dens()),
+        "l_linestatus": mask(rng, [rng.choice("FO") for _ in range(n_line)], dens()),
+        "l_shipdate": mask(rng, [ts_us(rng) for _ in range(n_line)], dens()),
+    }
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": line}, note
+
+
+# arrow types mirroring the driver's testdata exactly (timestamps are
+# naive micros — isAdjustedToUTC=false — like /root/testdata's files)
+SCHEMAS = {
+    "region": {"r_regionkey": pa.int32(), "r_name": pa.string()},
+    "nation": {"n_nationkey": pa.int32(), "n_name": pa.string(),
+               "n_regionkey": pa.int32()},
+    "customer": {"c_custkey": pa.int64(), "c_name": pa.string(),
+                 "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+                 "c_mktsegment": pa.string()},
+    "supplier": {"s_suppkey": pa.int64(), "s_name": pa.string(),
+                 "s_nationkey": pa.int32(), "s_acctbal": pa.float64()},
+    "part": {"p_partkey": pa.int64(), "p_name": pa.string(),
+             "p_brand": pa.string(), "p_type": pa.string(),
+             "p_size": pa.int32(), "p_retailprice": pa.float64()},
+    "orders": {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+               "o_orderstatus": pa.string(), "o_totalprice": pa.float64(),
+               "o_orderdate": pa.timestamp("us"),
+               "o_orderpriority": pa.string()},
+    "lineitem": {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+                 "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+                 "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
+                 "l_discount": pa.float64(), "l_tax": pa.float64(),
+                 "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+                 "l_shipdate": pa.timestamp("us")},
+}
+
+
+def write_dir(tables, d):
+    os.makedirs(d, exist_ok=True)
+    for name, cols in tables.items():
+        sch = pa.schema(list(SCHEMAS[name].items()))
+        arrays = [pa.array(cols[f.name], type=f.type) for f in sch]
+        pq.write_table(pa.table(arrays, schema=sch), f"{d}/{name}.parquet")
+    for t in STATIC_TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{STATIC_DIR}/{t}.parquet", dst)
+
+
+def run_seed(seed, keep):
+    base = f"/tmp/fuzz_rel/seed{seed}"
+    outd = f"/tmp/fuzz_rel/out{seed}"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(outd, ignore_errors=True)
+    tables, note = gen_tables(seed)
+    write_dir(tables, base)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", JVM_MEM="8g")
+    v = subprocess.run(
+        [f"{REPO}/tools/run_main.sh", "graft.Verify", base, outd,
+         ",".join(REL_NAMES)],
+        capture_output=True, text=True, env=env, timeout=900)
+    vline = [l for l in v.stdout.splitlines() if l.startswith("[verify]")]
+    c = subprocess.run(
+        [sys.executable, f"{REPO}/tools/check.py", base, outd],
+        capture_output=True, text=True, timeout=300)
+    m = re.search(r"== (\d+) pass, (\d+) fail ==", c.stdout)
+    n_pass, n_fail = (int(m.group(1)), int(m.group(2))) if m else (0, -1)
+    failed = [l.split()[1].rstrip(":") for l in c.stdout.splitlines()
+              if l.startswith("FAIL")]
+    row = {"seed": seed, "edge": note,
+           "rows": {t: len(next(iter(cols.values()), []))
+                    for t, cols in tables.items()},
+           "pass": n_pass, "fail": n_fail, "failed": failed,
+           "verify": vline[0] if vline else (v.stderr.splitlines() or ["?"])[-1][:200]}
+    ok = n_fail == 0 and n_pass == len(REL_NAMES)
+    if ok and not keep:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(outd, ignore_errors=True)
+    if not ok:
+        print(c.stdout[-2000:], file=sys.stderr)
+    return row, ok
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    keep = "--keep" in sys.argv
+    n = int(args[0]) if args else 24
+    out = args[1] if len(args) > 1 else "fuzz_rel_r20.jsonl"
+    all_ok = True
+    with open(out, "a") as f:
+        for seed in range(n):
+            row, ok = run_seed(seed, keep)
+            all_ok &= ok
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            print(("PASS" if ok else "FAIL"), json.dumps(row))
+    print("== fuzz", "ALL GREEN ==" if all_ok else "HAS FAILURES ==")
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
