@@ -22,21 +22,65 @@ BANNED = set(sys.argv[1:])
 
 
 def unquote(p: bytes) -> bytes:
-    """fast-export C-quotes paths containing specials; ours are plain,
-    but unquote defensively so a quoted banned path cannot slip by."""
-    if p.startswith(b'"') and p.endswith(b'"'):
-        return (
-            p[1:-1]
-            .replace(b"\\t", b"\t")
-            .replace(b"\\n", b"\n")
-            .replace(b'\\"', b'"')
-            .replace(b"\\\\", b"\\")
-        )
-    return p
+    """Decode one git C-quoted path: a single left-to-right scan
+    handling the backslash escapes git emits (\\a \\b \\f \\n \\r \\t \\v
+    \\" \\\\ and 1-3 digit octal for non-ASCII bytes). Sequential
+    .replace() calls would mis-decode paths whose DATA contains a
+    backslash (the \\\\ must be resolved in stream order, not last)."""
+    if not (p.startswith(b'"') and p.endswith(b'"') and len(p) >= 2):
+        return p
+    body = p[1:-1]
+    out = bytearray()
+    i = 0
+    esc = {b"a"[0]: 7, b"b"[0]: 8, b"f"[0]: 12, b"n"[0]: 10,
+           b"r"[0]: 13, b"t"[0]: 9, b"v"[0]: 11,
+           b'"'[0]: 34, b"\\"[0]: 92}
+    while i < len(body):
+        c = body[i]
+        if c != 92:  # not a backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= len(body):
+            raise ValueError(f"dangling backslash in quoted path {p!r}")
+        c = body[i]
+        if c in esc:
+            out.append(esc[c])
+            i += 1
+        elif 48 <= c <= 55:  # 1-3 octal digits
+            j = i
+            while j < len(body) and j < i + 3 and 48 <= body[j] <= 55:
+                j += 1
+            out.append(int(body[i:j], 8))
+            i = j
+        else:
+            raise ValueError(f"unknown escape \\{chr(c)} in quoted path {p!r}")
+    return bytes(out)
+
+
+def take_path(s: bytes):
+    """Split one path token off the front of `s`: a quoted path ends at
+    its closing unescaped quote, an unquoted one at the next space (or
+    end). Returns (decoded_path, rest_after_separator)."""
+    if s.startswith(b'"'):
+        i = 1
+        while i < len(s):
+            if s[i] == 92:  # backslash: skip the escaped byte
+                i += 2
+                continue
+            if s[i] == 34:  # closing quote
+                return unquote(s[: i + 1]), s[i + 2:]
+            i += 1
+        raise ValueError(f"unterminated quoted path in {s!r}")
+    sp = s.find(b" ")
+    if sp < 0:
+        return s, b""
+    return s[:sp], s[sp + 1:]
 
 
 def banned(path: bytes) -> bool:
-    return unquote(path).decode("utf-8", "replace") in BANNED
+    return path.decode("utf-8", "replace") in BANNED
 
 
 def main() -> None:
@@ -62,16 +106,29 @@ def main() -> None:
                 remaining -= len(chunk)
             continue
         tag = line[:2]
-        if tag in (b"M ", b"D "):
-            # filemodify: M <mode> <dataref> <path>; filedelete: D <path>
-            path = line.rstrip(b"\n").split(b" ", 3 if tag == b"M " else 1)[-1]
+        if tag == b"M ":
+            # filemodify: M <mode> <dataref> <path-to-eol>
+            parts = line.rstrip(b"\n").split(b" ", 3)
+            path = unquote(parts[3])
             if banned(path):
+                # an `inline` dataref carries its blob in the NEXT data
+                # block; dropping the M line alone would leave that
+                # block dangling and corrupt the stream. fast-export
+                # never emits inline, so refuse rather than mis-filter.
+                if parts[2] == b"inline":
+                    raise ValueError(
+                        f"cannot drop inline filemodify for {path!r}")
+                continue
+        elif tag == b"D ":
+            if banned(unquote(line.rstrip(b"\n")[2:])):
                 continue
         elif tag in (b"R ", b"C "):
-            # rename/copy: <src> <dst> — drop if either side is banned
-            # (a rename FROM a banned path would resurrect its content)
-            parts = line.rstrip(b"\n").split(b" ", 2)
-            if len(parts) == 3 and (banned(parts[1]) or banned(parts[2])):
+            # rename/copy: <src> <dst>, either may be quoted — drop if
+            # either side is banned (a rename FROM a banned path would
+            # resurrect its content at the new name)
+            src, rest = take_path(line.rstrip(b"\n")[2:])
+            dst, _ = take_path(rest)
+            if banned(src) or banned(dst):
                 continue
         out.write(line)
 

@@ -261,11 +261,21 @@ def run_seed(seed, keep):
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    keep = "--keep" in sys.argv
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    # a typo'd flag must fail loudly, not silently delete the scratch
+    # dirs the operator asked --keep to preserve (same rule the Scala
+    # instruments enforce on their mode flags)
+    unknown = flags - {"--keep"}
+    if unknown:
+        sys.exit(f"unknown flags {sorted(unknown)} (known: --keep)")
+    keep = "--keep" in flags
     n = int(args[0]) if args else 24
     out = args[1] if len(args) > 1 else "fuzz_rel_r20.jsonl"
     all_ok = True
-    with open(out, "a") as f:
+    # truncate: the artifact must describe exactly ONE run — appending
+    # would let a later failing run's rows coexist with a committed
+    # all-green record
+    with open(out, "w") as f:
         for seed in range(n):
             row, ok = run_seed(seed, keep)
             all_ok &= ok

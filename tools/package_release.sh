@@ -36,13 +36,18 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="${1:?usage: tools/package_release.sh <outDir> [--snapshot]}"
 MODE="${2:-rewrite}"
+# a mistyped mode flag must fail loudly, not silently publish the full
+# history when the operator asked for the no-history snapshot form
+case "$MODE" in rewrite|--snapshot) ;; *)
+  echo "unknown mode '$MODE' (known: --snapshot, or omit for rewrite)" >&2
+  exit 2 ;;
+esac
 [ -e "$OUT" ] && { echo "refusing: $OUT exists" >&2; exit 2; }
 
-# round-artifact paths excluded from the package (ARCHITECTURE.md names
-# the first three; the rest are per-round judge/driver artifacts a
-# library release has no business shipping)
-BANNED_PATHS=(LEAKCHECK.json VERDICT.md ADVICE.md)
-EXTRA_SNAPSHOT_DROPS=(PROGRESS.jsonl)
+# round-artifact paths excluded from the package in BOTH modes
+# (ARCHITECTURE.md names the first three; PROGRESS.jsonl is a per-round
+# driver artifact a library release has no business shipping either)
+BANNED_PATHS=(LEAKCHECK.json VERDICT.md ADVICE.md PROGRESS.jsonl)
 
 # Internal-pattern sweep classes, mirroring the driver scanner's
 # categories (internal-url, internal-import/pkg, internal-bucket,
@@ -63,15 +68,33 @@ PATTERNS=(
 
 sweep() { # sweep <label> <producer-cmd...> — grep the produced bytes
   local label="$1"; shift
+  # FAIL CLOSED: a dead or partial producer must abort the gate, not
+  # report 0 hits over whatever bytes it happened to emit before dying.
+  # Materialize the dump once (also: one producer run per label instead
+  # of one per pattern) and check ITS exit status before any grep.
+  local dump
+  dump=$(mktemp /tmp/pkg_sweep.XXXXXX)
+  if ! "$@" > "$dump"; then
+    echo "SWEEP ABORT [$label]: producer failed — scan incomplete, NOT clean" >&2
+    rm -f "$dump"; exit 4
+  fi
   local total=0
   for pat in "${PATTERNS[@]}"; do
+    # grep -c prints the count BEFORE its no-match exit 1, so `|| true`
+    # plus the emptiness check below distinguishes no-match (n=0) from
+    # a grep ERROR (rc 2, nothing on stdout)
     local n
-    n=$("$@" | grep -a -c -E "$pat" || true)
+    n=$(grep -a -c -E "$pat" "$dump" || true)
+    if [ -z "$n" ]; then
+      echo "SWEEP ABORT [$label]: grep errored on pattern $pat — NOT clean" >&2
+      rm -f "$dump"; exit 4
+    fi
     if [ "$n" -ne 0 ]; then
       echo "SWEEP HIT [$label] pattern $pat: $n line(s)" >&2
       total=$((total + n))
     fi
   done
+  rm -f "$dump"
   echo "sweep[$label]: $total hit-line(s) across ${#PATTERNS[@]} patterns"
   [ "$total" -eq 0 ]
 }
@@ -80,7 +103,7 @@ mkdir -p "$OUT"
 if [ "$MODE" = "--snapshot" ]; then
   echo "== snapshot mode: tracked tree, fresh single-commit history =="
   git -C "$REPO" archive HEAD | tar -x -C "$OUT"
-  for p in "${BANNED_PATHS[@]}" "${EXTRA_SNAPSHOT_DROPS[@]}"; do rm -f "$OUT/$p"; done
+  for p in "${BANNED_PATHS[@]}"; do rm -f "$OUT/$p"; done
   git -C "$OUT" init -q -b main
   git -C "$OUT" add -A
   git -C "$OUT" -c user.name=release -c user.email=release@localhost \
