@@ -729,7 +729,7 @@ object Oracles {
   val evtValueQuantiles: String =
     """WITH c AS (SELECT event_type,
       |  CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS n
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |cum AS (SELECT event_type, cents,
       |  sum(n) OVER (PARTITION BY event_type ORDER BY cents
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -878,9 +878,14 @@ object Oracles {
       |) t ORDER BY c_custkey, attr""".stripMargin
 
   /** As-of join — the DuckDB twin of EventOps.asofJoin. Same tagged
-    * union + running last_value(IGNORE NULLS) program; the tie-break
-    * column is non-null only on the order side, so the engines'
-    * differing null orderings cannot change the carried value. */
+    * union + running last_value(IGNORE NULLS) program. The carried
+    * (orderkey, totalprice) ride in ONE struct so the pair stays
+    * COHERENT: two independent IGNORE-NULLS windows (the pre-r20 shape)
+    * silently backfilled a null totalprice from an EARLIER order while
+    * keeping the later order's key — caught by the r20 evt fuzz
+    * (fuzz_evt_r20.jsonl seed 1), where the Spark side's atomic struct
+    * carry was RIGHT and this oracle was wrong. Undated orders are
+    * filtered on both sides (no position on the as-of timeline). */
   val evtAsofJoin: String =
     """WITH u AS (
       | SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side, event_id,
@@ -888,13 +893,15 @@ object Oracles {
       | FROM events
       | UNION ALL
       | SELECT o_custkey, epoch_ms(o_orderdate), 0, NULL, o_orderkey, o_totalprice
-      | FROM orders),
+      | FROM orders WHERE o_orderdate IS NOT NULL),
       |w AS (SELECT *,
-      |  last_value(CASE WHEN side = 0 THEN o_orderkey END IGNORE NULLS) OVER win AS lk,
-      |  last_value(CASE WHEN side = 0 THEN o_totalprice END IGNORE NULLS) OVER win AS lp
+      |  last_value(CASE WHEN side = 0
+      |    THEN struct_pack(ok := o_orderkey, op := o_totalprice) END
+      |   IGNORE NULLS) OVER win AS lo
       | FROM u WINDOW win AS (PARTITION BY k ORDER BY t, side, o_orderkey
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |SELECT event_id, k AS user_id, t AS ms, lk AS o_orderkey, lp AS o_totalprice
+      |SELECT event_id, k AS user_id, t AS ms,
+      | (lo).ok AS o_orderkey, (lo).op AS o_totalprice
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
   /** Point-in-interval range join — the DuckDB twin of

@@ -142,6 +142,14 @@ object EventOps {
         col("event_id"), lit(null).cast("long").as("o_orderkey"),
         lit(null).cast("double").as("o_totalprice"))
     val o = orders
+      // an as-of join carries the latest row whose TIME is <= the probe
+      // time; a row with a null timestamp has no position on that
+      // timeline and must never be carried. Filter explicitly: without
+      // this, Spark's ascending sort puts null-t rows FIRST (they'd be
+      // "carried" by every earlier-than-any-order event) while DuckDB
+      // sorts them last — the same oracle SQL diverges on null dates
+      // (r20 evt fuzz; the oracle filters o_orderdate IS NOT NULL too)
+      .filter(col("o_orderdate").isNotNull)
       // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned to
       // UTC, so the cast matches DuckDB's epoch_ms reading exactly
       .select(col("o_custkey").as("k"),
@@ -322,6 +330,14 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wtot = Window.partitionBy("event_type")
     counts
+      // quantiles are over OBSERVED values: a null cents bucket (null
+      // `value` upstream) is excluded from both the ranks and the
+      // totals. Without this pin the bucket's position in the
+      // cumulative window is dialect-default null ORDERING — Spark
+      // sorts nulls first ascending, DuckDB last — and the same oracle
+      // SQL diverges the moment data carries null values (r20 evt fuzz
+      // design note; the oracle filters `value IS NOT NULL` to match).
+      .filter(col("cents").isNotNull)
       .withColumn("cum", sum(col("n")).over(wcum))
       .withColumn("total", sum(col("n")).over(wtot))
       .withColumn("q_ppm", explode(array(qs.map(lit): _*)))
@@ -378,7 +394,15 @@ object EventOps {
     * then profile it per event type (reference A5 var_report stats). */
   def propsProfile(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
-      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      // nullif BEFORE the cast: regexp_extract returns '' on a no-match
+      // (props without a "k", e.g. '{}' or another key) and under ANSI
+      // mode ''.cast(long) THROWS instead of yielding null — caught by
+      // the r20 evt fuzz (fuzz_evt_r20.jsonl); the oracle uses the same
+      // nullif(regexp_extract(..), '') shape, so both engines agree the
+      // no-match rows are the n_null rows
+      .withColumn("k",
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+          .cast("long"))
     events.groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

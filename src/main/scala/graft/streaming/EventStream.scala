@@ -321,6 +321,10 @@ object EventStream {
         lit(-1L).as("o_orderkey"), lit(0.0).as("o_totalprice"))
     val o = spark.readStream.schema(oSchema)
       .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      // twin parity with the batch side's r20 pin: an undated order has
+      // no position on the as-of timeline (and a null ms would NPE the
+      // non-nullable AsofInput.ms encoder)
+      .filter(col("o_orderdate").isNotNull)
       .select(col("o_custkey").as("user_id"), lit(0).as("side"),
         lit(-1L).as("event_id"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),

@@ -853,4 +853,41 @@ class ExtensionOpsSpec extends SparkTestBase {
     val got = graft.operators.Projections.ordersRollup(spark, sf)
     assert(got.exceptAll(legacy).isEmpty && legacy.exceptAll(got).isEmpty)
   }
+
+  test("evt: propsProfile tolerates no-match and null props under ANSI " +
+      "and counts them as n_null") {
+    // regexp_extract returns '' on a no-match and ANSI ''.cast(long)
+    // THROWS — caught by the r20 evt fuzz; the nullif pin makes the
+    // no-match rows the n_null rows, matching the oracle
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("props_ansi_").toString
+    Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0, "{\"k\": 7}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "view", 1.0, "{\"j\": 5}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 1L, "view", 1.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.operators.EventOps.propsProfile(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 4L && r(0).getLong(2) === 3L) // n, n_null
+    assert(r(0).getLong(3) === 7L && r(0).getLong(4) === 7L) // min_k, max_k
+  }
+
+  test("evt: asofJoin never carries an undated order") {
+    // an order with a null o_orderdate has no position on the as-of
+    // timeline; without the explicit filter Spark's nulls-first
+    // ascending sort would 'carry' it for every pre-first-order event
+    // (r20 evt fuzz divergence vs DuckDB's nulls-last)
+    import spark.implicits._
+    val events = Seq((10L, 1L, 5000L)).toDF("event_id", "user_id", "ms")
+    val orders = Seq(
+      (100L, 1L, Some(java.sql.Timestamp.valueOf("1970-01-01 00:00:01")), 11.0),
+      (200L, 1L, None: Option[java.sql.Timestamp], 99.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.operators.EventOps.asofJoinFrom(events, orders).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(3) === 100L && r(0).getDouble(4) === 11.0,
+      "the dated order must be carried, never the undated one")
+  }
 }

@@ -15,8 +15,13 @@ edge seeds force the shapes the r19 verdict called out (empty groups,
 all-null columns, ties in O3 top-1 / A4 representative / A5 profile).
 
 Usage: python3 tools/fuzz_rel.py [nSeeds] [outJsonl] [--keep]
-       (defaults: 24 seeds, fuzz_rel_r20.jsonl; scratch dirs under
-        /tmp/fuzz_rel are removed per-seed unless --keep or FAIL)
+       [--family=rel|evt]
+       (defaults: 24 seeds, family rel, fuzz_<family>_r20.jsonl; scratch
+        dirs under /tmp/fuzz_rel are removed per-seed unless --keep or
+        FAIL. --family=evt fuzzes the 12 batch event queries instead:
+        a randomized events table — tie-heavy timestamps, null values,
+        malformed props, single-user/single-type/empty shapes — beside
+        the same seed's rel tables, whose orders feed evt_asof_join.)
 """
 import json
 import os
@@ -41,13 +46,26 @@ REL_NAMES = [
     "rel_orders_rollup", "rel_customer_deciles", "rel_customer_unpivot",
     "rel_representative_values", "rel_column_profile",
 ]
+# the batch event family (evt_asof_join also reads orders, which the
+# same seed's rel generator provides with an overlapping user domain).
+# Event-row contract: event_id/ts/user_id/event_type are non-null (an
+# event without identity, time, actor, or kind is not an event); value
+# and props are nullable/malformed-able — that is where the engines'
+# null handling gets fuzzed.
+EVT_NAMES = [
+    "evt_sessionize", "evt_hourly_rollup", "evt_running_total",
+    "evt_props_profile", "evt_retention", "evt_asof_join",
+    "evt_range_join", "evt_funnel", "evt_stickiness", "evt_anomaly",
+    "evt_transition_matrix", "evt_value_quantiles",
+]
+FAMILIES = {"rel": REL_NAMES, "evt": EVT_NAMES}
 
-# tables the rel family reads; the rest are symlinked from the static
+# tables the generators produce; the rest are symlinked from the static
 # fixture dir because check.py registers a DuckDB view for all ten
 REL_TABLES = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"]
 STATIC_DIR = "/root/testdata/sf0.001"
-STATIC_TABLES = ["events", "documents", "embeddings"]
+STATIC_TABLES = ["documents", "embeddings"]  # + events unless generated
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -186,6 +204,67 @@ def gen_tables(seed):
             "lineitem": line}, note
 
 
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+TS_2024 = 1704067200  # 2024-01-01 UTC, seconds
+
+
+def gen_events(seed, n_cust):
+    """Randomized events table. The user domain overlaps the same seed's
+    customer keys (so evt_asof_join's orders side genuinely matches);
+    edge shapes cycle with the seed: ties in (user, ms) exercise the
+    event_id tie-break every windowed op depends on."""
+    rng = random.Random(seed * 7919 + 13)  # decorrelate from gen_tables
+    edge = seed % 8
+    note = {0: "empty events", 1: "single user", 2: "one event per user",
+            3: "all-null value", 4: "duplicate-ts heavy",
+            5: "single event type", 6: "null/malformed props heavy",
+            7: "plain random"}[edge]
+    n = 0 if edge == 0 else rng.randint(1, 6000)
+    users = max(1, n_cust)
+    hot = list(range(1, min(8, users) + 1))
+
+    def pick_user(i):
+        if edge == 1:
+            return 1
+        if edge == 2:
+            return i + 1  # every event its own user
+        if hot and rng.random() < 0.5:
+            return rng.choice(hot)
+        return rng.randint(1, users)
+
+    # ~5-week second-resolution window → retention cohorts with k 0..3+
+    def pick_ts():
+        if edge == 4 and rng.random() < 0.7:
+            # draw from a tiny grid so many (user, ms) pairs collide and
+            # only the event_id tie-break orders them
+            return (TS_2024 + 60 * rng.randint(0, 50)) * 1_000_000
+        return (TS_2024 + rng.randint(0, 35 * 86400)) * 1_000_000
+
+    def pick_props():
+        r = rng.random()
+        if edge == 6:
+            r *= 0.5  # skew toward the degenerate shapes
+        if r < 0.08:
+            return None
+        if r < 0.16:
+            return "{}"
+        if r < 0.20:
+            return '{"j": %d}' % rng.randint(0, 99)
+        return '{"k": %d}' % rng.randint(0, 99)
+
+    types = [rng.choice(EVENT_TYPES)] if edge == 5 else EVENT_TYPES
+    return {
+        "event_id": list(range(n)),
+        "ts": [pick_ts() for _ in range(n)],
+        "user_id": [pick_user(i) for i in range(n)],
+        "event_type": [rng.choice(types) for _ in range(n)],
+        "value": ([None] * n if edge == 3 else
+                  mask(rng, [money(rng, 0.01, 500.0) for _ in range(n)],
+                       rng.choice([0.0, 0.05, 0.25]))),
+        "props": [pick_props() for _ in range(n)],
+    }, note
+
+
 # arrow types mirroring the driver's testdata exactly (timestamps are
 # naive micros — isAdjustedToUTC=false — like /root/testdata's files)
 SCHEMAS = {
@@ -210,6 +289,9 @@ SCHEMAS = {
                  "l_discount": pa.float64(), "l_tax": pa.float64(),
                  "l_returnflag": pa.string(), "l_linestatus": pa.string(),
                  "l_shipdate": pa.timestamp("us")},
+    "events": {"event_id": pa.int64(), "ts": pa.timestamp("us"),
+               "user_id": pa.int64(), "event_type": pa.string(),
+               "value": pa.float64(), "props": pa.string()},
 }
 
 
@@ -219,23 +301,26 @@ def write_dir(tables, d):
         sch = pa.schema(list(SCHEMAS[name].items()))
         arrays = [pa.array(cols[f.name], type=f.type) for f in sch]
         pq.write_table(pa.table(arrays, schema=sch), f"{d}/{name}.parquet")
-    for t in STATIC_TABLES:
+    for t in STATIC_TABLES + (["events"] if "events" not in tables else []):
         dst = f"{d}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{STATIC_DIR}/{t}.parquet", dst)
 
 
-def run_seed(seed, keep):
-    base = f"/tmp/fuzz_rel/seed{seed}"
-    outd = f"/tmp/fuzz_rel/out{seed}"
+def run_seed(seed, keep, family):
+    base = f"/tmp/fuzz_rel/{family}_seed{seed}"
+    outd = f"/tmp/fuzz_rel/{family}_out{seed}"
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(outd, ignore_errors=True)
     tables, note = gen_tables(seed)
+    if family == "evt":
+        ev, note = gen_events(seed, len(tables["customer"]["c_custkey"]))
+        tables = dict(tables, events=ev)
     write_dir(tables, base)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8", JVM_MEM="8g")
     v = subprocess.run(
         [f"{REPO}/tools/run_main.sh", "graft.Verify", base, outd,
-         ",".join(REL_NAMES)],
+         ",".join(FAMILIES[family])],
         capture_output=True, text=True, env=env, timeout=900)
     vline = [l for l in v.stdout.splitlines() if l.startswith("[verify]")]
     c = subprocess.run(
@@ -250,7 +335,7 @@ def run_seed(seed, keep):
                     for t, cols in tables.items()},
            "pass": n_pass, "fail": n_fail, "failed": failed,
            "verify": vline[0] if vline else (v.stderr.splitlines() or ["?"])[-1][:200]}
-    ok = n_fail == 0 and n_pass == len(REL_NAMES)
+    ok = n_fail == 0 and n_pass == len(FAMILIES[family])
     if ok and not keep:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(outd, ignore_errors=True)
@@ -265,19 +350,25 @@ def main():
     # a typo'd flag must fail loudly, not silently delete the scratch
     # dirs the operator asked --keep to preserve (same rule the Scala
     # instruments enforce on their mode flags)
-    unknown = flags - {"--keep"}
+    fam_flags = {f for f in flags if f.startswith("--family=")}
+    unknown = flags - {"--keep"} - fam_flags
     if unknown:
-        sys.exit(f"unknown flags {sorted(unknown)} (known: --keep)")
+        sys.exit(f"unknown flags {sorted(unknown)} (known: --keep, --family=rel|evt)")
+    if len(fam_flags) > 1:
+        sys.exit(f"multiple --family flags: {sorted(fam_flags)}")
+    family = next(iter(fam_flags), "--family=rel").split("=", 1)[1]
+    if family not in FAMILIES:
+        sys.exit(f"unknown family '{family}' (known: {sorted(FAMILIES)})")
     keep = "--keep" in flags
     n = int(args[0]) if args else 24
-    out = args[1] if len(args) > 1 else "fuzz_rel_r20.jsonl"
+    out = args[1] if len(args) > 1 else f"fuzz_{family}_r20.jsonl"
     all_ok = True
     # truncate: the artifact must describe exactly ONE run — appending
     # would let a later failing run's rows coexist with a committed
     # all-green record
     with open(out, "w") as f:
         for seed in range(n):
-            row, ok = run_seed(seed, keep)
+            row, ok = run_seed(seed, keep, family)
             all_ok &= ok
             f.write(json.dumps(row) + "\n")
             f.flush()
