@@ -890,7 +890,7 @@ object Oracles {
     """WITH u AS (
       | SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side, event_id,
       |  CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice
-      | FROM events
+      | FROM events WHERE ts IS NOT NULL
       | UNION ALL
       | SELECT o_custkey, epoch_ms(o_orderdate), 0, NULL, o_orderkey, o_totalprice
       | FROM orders WHERE o_orderdate IS NOT NULL),

@@ -138,6 +138,11 @@ object EventOps {
   /** [[asofJoin]] over explicit (event_id, user_id, ms) / orders frames. */
   def asofJoinFrom(events: DataFrame, orders: DataFrame): DataFrame = {
     val e = events
+      // symmetric with the orders-side pin below: a PROBE with no
+      // timestamp has no as-of position either — without the filter a
+      // null-ms event sorts first in Spark / last in DuckDB and the
+      // carried answer diverges the same way the orders side did
+      .filter(col("ms").isNotNull)
       .select(col("user_id").as("k"), col("ms").as("t"), lit(1).as("side"),
         col("event_id"), lit(null).cast("long").as("o_orderkey"),
         lit(null).cast("double").as("o_totalprice"))

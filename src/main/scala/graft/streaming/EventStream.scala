@@ -316,6 +316,9 @@ object EventStream {
     val oSchema = spark.read.parquet(s"$dir/orders.parquet").schema
     val e = spark.readStream.schema(eSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // symmetric with the orders branch below: a probe with no
+      // timestamp has no as-of position (and would NPE AsofInput.ms)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), lit(1).as("side"), col("event_id"),
         graft.Tables.epochMs(eSchema).as("ms"),
         lit(-1L).as("o_orderkey"), lit(0.0).as("o_totalprice"))

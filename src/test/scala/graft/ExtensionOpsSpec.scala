@@ -881,8 +881,12 @@ class ExtensionOpsSpec extends SparkTestBase {
     // (r20 evt fuzz divergence vs DuckDB's nulls-last)
     import spark.implicits._
     val events = Seq((10L, 1L, 5000L)).toDF("event_id", "user_id", "ms")
+    // epoch-based Timestamps, NOT Timestamp.valueOf: valueOf parses the
+    // wall-clock string in the host JVM's default zone (unpinned here),
+    // which would shift the order past the event on western-hemisphere
+    // machines and error the test
     val orders = Seq(
-      (100L, 1L, Some(java.sql.Timestamp.valueOf("1970-01-01 00:00:01")), 11.0),
+      (100L, 1L, Some(new java.sql.Timestamp(1000L)), 11.0),
       (200L, 1L, None: Option[java.sql.Timestamp], 99.0))
       .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val r = graft.operators.EventOps.asofJoinFrom(events, orders).collect()

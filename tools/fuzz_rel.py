@@ -15,13 +15,17 @@ edge seeds force the shapes the r19 verdict called out (empty groups,
 all-null columns, ties in O3 top-1 / A4 representative / A5 profile).
 
 Usage: python3 tools/fuzz_rel.py [nSeeds] [outJsonl] [--keep]
-       [--family=rel|evt]
+       [--family=rel|evt|text|dedup]
        (defaults: 24 seeds, family rel, fuzz_<family>_r20.jsonl; scratch
         dirs under /tmp/fuzz_rel are removed per-seed unless --keep or
         FAIL. --family=evt fuzzes the 12 batch event queries instead:
         a randomized events table — tie-heavy timestamps, null values,
         malformed props, single-user/single-type/empty shapes — beside
-        the same seed's rel tables, whose orders feed evt_asof_join.)
+        the same seed's rel tables, whose orders feed evt_asof_join.
+        --family=text fuzzes the 19 text ops and --family=dedup the 6
+        document dedup ops, both over a randomized documents table;
+        dedup_minhash_lsh is scored subset+recall>=0.9, approximate by
+        design.)
 """
 import json
 import os
@@ -394,13 +398,20 @@ def _score_lsh(base, outd):
     import glob
 
     import duckdb
+
+    # a Spark-side CRASH must never rescore to PASS: with no output
+    # files got=∅ and (on a no-pairs seed) exact=∅, which would read as
+    # recall 1.0 — bail on the error marker or absent parquet instead
+    files = glob.glob(f"{outd}/dedup_minhash_lsh/*.parquet")
+    if os.path.exists(f"{outd}/dedup_minhash_lsh/_ERROR.txt") or not files:
+        return False, -1.0
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{base}/documents.parquet')")
     sql = json.load(open(f"{outd}/oracle_sql.json"))["dedup_minhash_lsh"]
     exact = set(map(tuple, con.execute(sql).fetchall()))
     rows = []
-    for f in glob.glob(f"{outd}/dedup_minhash_lsh/*.parquet"):
+    for f in files:
         rows.extend(pq.read_table(f).to_pylist())
     got = set(tuple(r[c] for c in ("doc_a", "doc_b", "jaccard")) for r in rows)
     recall = 1.0 if not exact else len(got & exact) / len(exact)
@@ -414,11 +425,15 @@ def run_seed(seed, keep, family):
     shutil.rmtree(outd, ignore_errors=True)
     tables, note = gen_tables(seed)
     if family == "evt":
-        ev, note = gen_events(seed, len(tables["customer"]["c_custkey"]))
+        ev, evt_note = gen_events(seed, len(tables["customer"]["c_custkey"]))
         tables = dict(tables, events=ev)
+        # keep BOTH notes: evt_asof_join is fuzzed against the rel
+        # generator's orders shape too, and the artifact should say so
+        note = f"{evt_note} / rel: {note}"
     elif family in ("text", "dedup"):
-        docs, note = gen_documents(seed)
+        docs, doc_note = gen_documents(seed)
         tables = dict(tables, documents=docs)
+        note = f"{doc_note} / rel: {note}"
     write_dir(tables, base)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8", JVM_MEM="8g")
     v = subprocess.run(
