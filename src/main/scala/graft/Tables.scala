@@ -51,6 +51,39 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5, "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read"). A small single-file parquet table scans as ONE split, so
+    * every expensive per-row expression downstream — tokenize, md5
+    * shingle hashing, vector quantization — runs single-threaded while
+    * the other cores idle (measured r21: the shingle-cache build was a
+    * 1.45 s single-task stage at sf0.1 on local[32]). When the scan
+    * yields fewer partitions than the cluster's default parallelism,
+    * round-robin repartition to that parallelism; at real corpus scale
+    * the scan already has ≥ cores splits and this is a plan-time NO-OP
+    * (no job runs — `rdd.getNumPartitions` only plans the scan).
+    * Round-robin, not keyed: even spread under any key skew, and
+    * deterministic under Spark's sort-before-repartition default.
+    * Column pruning still reaches the parquet scan (the optimizer
+    * pushes the pruning projection below the exchange); callers put the
+    * expensive expressions ABOVE the spread so they run fanned out.
+    * Only sound where downstream results are partition-order
+    * independent — true of every call site (integer/min/max/count
+    * aggregates, equi-joins, rank windows with total tiebreaks). */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // gate on the RELATION SIZE, not df.rdd.getNumPartitions: building
+    // the RDD physically plans (and codegen-compiles) a throwaway query
+    // — measured ~0.2 s per call, charged to every bench rep. The stats
+    // walk is plan-metadata only. A scan of b bytes yields ≥ target
+    // splits whenever b ≥ target · maxPartitionBytes, so past that size
+    // the scan already fans out and the repartition is skipped.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(target) * maxSplit) df else df.repartition(target)
+  }
+
   /** Spark session tuned for the local[32] test harness. The settings that
     * matter at cluster scale (AQE, skew handling) are on by default in
     * Spark 4.x; shuffle partitions are sized for the local harness and would

@@ -51,7 +51,10 @@ object DedupOps {
     * the doc, so no distinct shuffle is needed either, and hashing to
     * 8-byte longs happens before the explode leaves the scan stage. */
   private[graft] def shingleTable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread the scan BEFORE tokenization: the cache materialization is
+    // where the tokenizer runs, and a single-split toy-scale scan would
+    // run it on one core (Tables.spread — no-op at real scale)
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val toks = Caches.cached(docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     toks.select(col("doc_id"),
       explode(transform(shingles(col("toks"), 3), s => baseHash60(s))).as("h"))
@@ -61,7 +64,8 @@ object DedupOps {
     * duplicate-line drop U4, ccmm/mgd/human_homologs.py:39-42). Every doc
     * maps to the smallest doc_id sharing its normalized-text md5. */
   def exact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread before the per-row md5/tokenize work (no-op at real scale)
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val norm = concat_ws(" ", tokens(col("text")))
     docs.select(col("doc_id"), md5(norm).as("fp"))
       .withColumn("canonical_id", min(col("doc_id")).over(
@@ -442,7 +446,12 @@ object DedupOps {
     transform(col("embedding"),
       x => round(x.cast("double") * 1000000).cast("long"))
 
-  /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity. */
+  /** vec_id, label, qv (quantized), nrm — shared by dedup + similarity.
+    * NOT spread (r21): several consumers filter on vec_id (KMeans seed
+    * rows, the recall gates' eval query set) and a repartition above the
+    * scan would block that pushdown; the quantize HOFs are cheap next to
+    * the pair work every consumer does afterwards (measured: spreading
+    * here regressed sim_ivf_topk/dedup_embedding_auto ~2×). */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings").select(
       col("vec_id"), col("label"), quantizeExpr.as("qv"))

@@ -1289,7 +1289,7 @@ object SimilarityOps {
   /** The one corpus-scale stage, CACHED so [[topComponent]] and
     * [[componentScores]] composed in one query share the single pass:
     * one row of (n, s1[dim], s2[dim·(dim+1)/2]) exact moments. */
-  private def momentsOf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def momentsOf(spark: SparkSession, dir: String): DataFrame = {
     val dim = DedupOps.Dim
     val q = DedupOps.quantized(spark, dir).select(col("qv"))
     graft.Caches.cached(
@@ -1297,7 +1297,76 @@ object SimilarityOps {
         .select(col("m.n").as("n"), col("m.s1").as("s1"), col("m.s2").as("s2")))
   }
 
+  /** Driver-side power iteration (r21): the moments row is O(dim²)
+    * numbers — a constant of the SCHEMA, not the corpus — so everything
+    * after the one distributed moments pass is dimension-sized integer
+    * arithmetic. The previous DataFrame form ran it as 10 chained
+    * matvec+rescale rounds with a 64-row localCheckpoint each: ~20
+    * driver-synchronous Spark jobs per query for work a single thread
+    * finishes in microseconds (guide §5: the driver should do no DATA
+    * work — a 64×64 matrix is not data; same bounded-collect class as
+    * Q7's pivot-name discovery). Arithmetic is replicated operation for
+    * operation in BigInt (`div` = truncate-toward-zero on the explicit
+    * non-negative operands, the same sign-split CASE shape), and the
+    * final double conversions use BigDecimal/long paths identical to
+    * Spark's Decimal.toDouble — byte-identical output, proven by
+    * TopComponentParitySpec against [[topComponentFromDistributed]] and
+    * end-to-end by the sim_top_component / sim_component_scores oracle
+    * rows. */
   private def topComponentFrom(m: DataFrame): DataFrame = {
+    val dim = DedupOps.Dim
+    val spark = m.sparkSession
+    val row = m.select(col("n"), col("s1"), col("s2")).head()
+    val n = BigInt(row.getLong(0))
+    val s1 = row.getSeq[java.math.BigDecimal](1).map(d => BigInt(d.toBigInteger)).toArray
+    val s2 = row.getSeq[java.math.BigDecimal](2).map(d => BigInt(d.toBigInteger)).toArray
+    // raw c_ij = n·s2_ij − s1_i·s1_j, mirrored — same as the tri/full frames
+    def pi(i: Int, j: Int): Int = dim * i - i * (i - 1) / 2 + (j - i)
+    val c = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = n * s2(pi(i, j)) - s1(i) * s1(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    // cscale = greatest(max(abs(c)) div 1e12, 1): `div` truncates toward
+    // zero; abs(c) is non-negative so that is floor, as in the SQL form
+    val one = BigInt(1)
+    val cscale = (c.flatten.map(_.abs).max / BigInt(1000000000000L)) max one
+    // scaled = CASE WHEN c < 0 THEN -((-c) div cscale) ELSE c div cscale
+    val sc = c.map(_.map(x => if (x < 0) -((-x) / cscale) else x / cscale))
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => sc(i)(j) * v(j)).sum)
+    val M = BigInt(1000000L)
+    var v = Array.fill(dim)(M)
+    for (_ <- 1 to 10) {
+      val x = matvec(v)
+      val mx = x.map(_.abs).max max one
+      v = x.map(xi => if (xi < 0) -((-xi) * M / mx) else xi * M / mx)
+    }
+    val xf = matvec(v)
+    val vtcv = (0 until dim).map(i => xf(i) * v(i)).sum
+    val vtv = (0 until dim).map(i => v(i) * v(i)).sum
+    // Decimal(38,0).cast(double) == BigDecimal.doubleValue — replicate
+    // the exact operation order of the Column expression:
+    // ((vtcv / vtv) * cscale) / ((n · n) · 1e12)
+    def d(x: BigInt): Double = new java.math.BigDecimal(x.bigInteger).doubleValue
+    val eig = d(vtcv) / d(vtv) * d(cscale) / (d(n) * d(n) * 1e12)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0 until dim).map(i => org.apache.spark.sql.Row(i.toLong, v(i).toLong, eig)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component_ppm",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("eigenvalue",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+      .orderBy("i")
+  }
+
+  /** The pre-r21 DataFrame-iterated form, kept as the parity witness for
+    * the spec (TopComponentParitySpec asserts byte-identical output to
+    * the driver-side [[topComponentFrom]] on the test corpus). */
+  private[graft] def topComponentFromDistributed(m: DataFrame): DataFrame = {
     val dim = DedupOps.Dim
     val spark = m.sparkSession
     val tri = m.select(col("n"), col("s1"), col("s2"),

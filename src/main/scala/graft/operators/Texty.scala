@@ -71,7 +71,7 @@ object TextOps {
     * than trusted to a broadcast that OOMs on a 100 TB vocabulary; the
     * final top-k is a per-doc window over ≤ |doc vocabulary| rows. */
   def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val tf = docs.select(col("doc_id"), explode(Texty.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .transform(graft.Caches.cached(_)) // read twice: df aggregate + attach join
@@ -86,7 +86,11 @@ object TextOps {
   }
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // Tables.spread on every documents scan below: tokenization (and the
+    // md5 hashing several ops do) is the expensive per-row step and runs
+    // in the scan stage — a toy-scale single-split file would run it on
+    // one core; the spread is a plan-time no-op at real corpus scale
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
       .agg(
@@ -105,7 +109,7 @@ object TextOps {
     * ccmm/gtex/parsers/util.py:52-99). Integer counts → one final double
     * formula, so the score is bit-deterministic. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val stop = Seq("the", "a")
     docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "lang")
@@ -137,6 +141,9 @@ object TextOps {
     * Per-key build rows are ≤ n_languages, so the shuffled join's build
     * side stays tiny even on stopword-class hot tokens. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    // not spread: the token relation is evaluated twice (profile build +
+    // doc-token counts), and the A/B showed the doubled repartition
+    // consistently losing to the single-task tokenize here
     val docs = Tables.load(spark, dir, "documents")
     val tok = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -161,7 +168,8 @@ object TextOps {
     * The alternation's branches are disjoint character classes, so the
     * count is engine-independent. One narrow projection, no shuffle. */
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // the regex segmentation is the hot row expression — spread the scan
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val subword = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     docs.select(
       col("doc_id"),
@@ -176,7 +184,7 @@ object TextOps {
     * whitespace-normalized text plus a 60-bit numeric fingerprint — the key
     * that exact dedup groups on. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val norm = concat_ws(" ", tokens(col("text")))
     docs.select(
       col("doc_id"),
@@ -235,10 +243,14 @@ object TextOps {
     // moves the ~1-doc-per-row frame onto doc_id BEFORE the k-gram
     // explode, so the per-doc rolling window below runs without ever
     // shuffling the exploded (×len) gram rows.
-    val d = docs.select(col("doc_id"), norm.as("nt"))
+    // repartition the RAW scan first (it was below the projection until
+    // r21): with the tokenizing/lowering projection ABOVE the exchange,
+    // the normalization runs fanned out across the shuffle's partitions
+    // instead of inside the single-split scan task
+    val d = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), norm.as("nt"))
       .withColumn("ng", length(col("nt")) - lit(k - 1))
       .filter(col("ng") >= w) // need at least one full window
-      .repartition(col("doc_id"))
       .transform(graft.Caches.cached(_))
     val grams = d.select(col("doc_id"), col("ng"),
       posexplode(expr(s"transform(sequence(1, length(nt) - ${k - 1})," +
@@ -266,7 +278,7 @@ object TextOps {
     * independently exactly as a sharded packer would. */
   def packSequences(spark: SparkSession, dir: String,
                     budget: Long = 2048L): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
     docs.select(col("doc_id"), col("lang"),
@@ -302,7 +314,7 @@ object TextOps {
     * co-shuffle shape instead. */
   def decontaminate(spark: SparkSession, dir: String,
                     evalMod: Long = 20L): DataFrame =
-    decontaminateFrom(Tables.load(spark, dir, "documents"), evalMod)
+    decontaminateFrom(Tables.spread(Tables.load(spark, dir, "documents")), evalMod)
 
   def decontaminateFrom(docs: DataFrame, evalMod: Long = 20L): DataFrame = {
     // cache the tokenized column BEFORE the shingle lambda: the barrier
@@ -343,7 +355,7 @@ object TextOps {
     * like the rest of the family, no skew (a gram key exists only
     * within its document). */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionFrom(Tables.load(spark, dir, "documents"))
+    repetitionFrom(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def repetitionFrom(docs: DataFrame): DataFrame = {
     // NON-distinct n-grams: repetition is exactly what array_distinct erases
@@ -388,7 +400,7 @@ object TextOps {
     * hash gate directly. */
   def mixturePlan(spark: SparkSession, dir: String,
                   budgetTokens: Long = 5000L): DataFrame =
-    mixturePlanFrom(Tables.load(spark, dir, "documents"), budgetTokens)
+    mixturePlanFrom(Tables.spread(Tables.load(spark, dir, "documents")), budgetTokens)
 
   def mixturePlanFrom(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
     docs.select(col("lang"), col("source"),
@@ -424,7 +436,7 @@ object TextOps {
     * no stratum exceeds would leave the gate untested. */
   def mixtureApply(spark: SparkSession, dir: String,
                    budgetTokens: Long = 200L): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val plan = mixturePlanFrom(docs, budgetTokens).select("lang", "source", "rate_ppm")
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(broadcast(plan), Seq("lang", "source"))
@@ -472,7 +484,7 @@ object TextOps {
     * ≤ |sources|² rows — driver-safe by construction. */
   def crossSourceOverlap(spark: SparkSession, dir: String,
                          k: Int = 8, maxDf: Int = 64): DataFrame =
-    crossSourceOverlapFrom(Tables.load(spark, dir, "documents"), k, maxDf)
+    crossSourceOverlapFrom(Tables.spread(Tables.load(spark, dir, "documents")), k, maxDf)
 
   def crossSourceOverlapFrom(docs: DataFrame, k: Int = 8,
                              maxDf: Int = 64): DataFrame = {
@@ -527,7 +539,7 @@ object TextOps {
     * which is what makes chunk dedup cheaper than document near-dup. */
   def chunkDedup(spark: SparkSession, dir: String,
                  chunkTokens: Int = 16): DataFrame =
-    chunkDedupFrom(Tables.load(spark, dir, "documents"), chunkTokens)
+    chunkDedupFrom(Tables.spread(Tables.load(spark, dir, "documents")), chunkTokens)
 
   def chunkDedupFrom(docs: DataFrame, chunkTokens: Int = 16): DataFrame = {
     val chunks = docs
@@ -586,8 +598,9 @@ object TextOps {
     * stays partition-parallel. */
   def corpusShuffle(spark: SparkSession, dir: String,
                     seed: String = "epoch0"): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val n = docs.count()
+    val raw = Tables.load(spark, dir, "documents")
+    val n = raw.count() // parquet-metadata count — over the raw scan
+    val docs = Tables.spread(raw) // the md5 keying is the hot row step
     val nb = math.min((n + 4095L) / 4096L, 65536L).max(1L)
     val keyed = docs.select(col("doc_id"),
         Texty.baseHash60(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("k"))
@@ -638,7 +651,7 @@ object TextOps {
     * vocabulary is unbounded — never a broadcast build side), one
     * per-doc roll-up. The 1-row total broadcasts. */
   def selfInformation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val tok = graft.Caches.cached(
       docs.select(col("doc_id"), explode(Texty.tokens(col("text"))).as("tok")))
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -673,7 +686,7 @@ object TextOps {
   val VocabCoverageK: Int = 32
 
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val tok = graft.Caches.cached(
       docs.select(explode(Texty.tokens(col("text"))).as("tok")))
     val cf = tok.groupBy("tok").agg(count(lit(1)).as("cf"))
