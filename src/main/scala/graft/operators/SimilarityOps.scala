@@ -352,10 +352,13 @@ object SimilarityOps {
     val blocked = q.join(probes.hint("shuffle_hash"), "vec_id")
     // list populations here are probe-EXPANDED (≤ 2n rows), which is the
     // actual pair-space driver, so the cap sees the doubled occupancy
+    // no pair DISTINCT (r21): a pair sharing both probed lists repeats
+    // with the same cosine and mutualize's TopKEdgesAgg collapses it in
+    // its bounded buffer — the full candidate-relation dedup exchange
+    // was pure overhead (output unchanged, oracle-proven)
     val scored = DedupOps.saltedBlockCosines(
         capSplit(blocked, voronoiCap(n, nlist), narrow = probes), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
-      .distinct()
     mutualize(scored)
   }
 
@@ -414,7 +417,10 @@ object SimilarityOps {
   def knnGraphBits(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
-    mutualize(bitsScored(q, n))
+    // dedup = false (r21): multi-table collisions repeat with the same
+    // cosine and mutualize's TopKEdgesAgg collapses them in its buffer —
+    // the full-relation distinct exchange is redundant (output unchanged)
+    mutualize(bitsScored(q, n, dedup = false))
   }
 
   /** The bit-signature candidate relation behind [[knnGraphBits]] —
@@ -438,11 +444,12 @@ object SimilarityOps {
         capSplit(blocked, CapFactor * targetList, narrow = narrow,
           broadcastSizes = false), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
-    // dedup = false for the descent seed: a pair colliding in several
-    // tables repeats (same cosine) and TopKEdgesAgg collapses it in its
-    // buffer, so the full-relation dedup exchange is pure overhead
-    // there. The bits GRAPH keeps the distinct — mutualize's rank
-    // windows require set semantics on their input.
+    // dedup = false everywhere TopKEdgesAgg consumes the pairs (the
+    // descent seed AND, as of r21, the bits graph via mutualize): a pair
+    // colliding in several tables repeats with the same cosine and the
+    // bounded buffer collapses it — the full-relation dedup exchange is
+    // pure overhead there. The flag stays for consumers that need true
+    // set semantics (none in the suite today).
     if (dedup) scored.distinct() else scored
   }
 
@@ -717,21 +724,24 @@ object SimilarityOps {
       // bounded neighborhood: out-edges + top-k' in-edges per node,
       // plus the static mix partners when configured. Exploration width
       // follows the staged schedule: on a narrow round the out side of
-      // the (always full-k'-wide) graph needs an explicit re-rank — a
-      // window over the n·k'-row EDGE relation, noise next to the
-      // k'²·n-row candidate volume the narrowing removes.
+      // the (always full-k'-wide) graph needs an explicit re-rank.
+      // Both re-ranks run as the bounded TopKEdgesAgg (r21), not
+      // row_number windows: the aggregate map-side-combines the n·k'-row
+      // edge relation to ≤ kdt entries per node before its exchange,
+      // where the window sort-shuffled the whole relation each round
+      // (same tie-break — cosine DESC, id ASC — and sd is a set, so the
+      // buffer's duplicate collapse is a no-op; byte-identical output).
       val kdt = kdOf(round)
+      def topNbrs(group: String, other: String): DataFrame =
+        sd.groupBy(col(group))
+          .agg(graft.functions.VectorFunctions.topEdges(
+            col(other), col("cosine"), kdt).as("tk"))
+          .select(col(group).as("center"), explode(col("tk")).as("e"))
+          .select(col("center"), col("e.dst").as("nbr"))
       val outEdges =
-        if (kdt < kd)
-          sd.withColumn("ornk", row_number().over(
-              Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)))
-            .filter(col("ornk") <= kdt)
-            .select(col("src").as("center"), col("dst").as("nbr"))
+        if (kdt < kd) topNbrs("src", "dst")
         else sd.select(col("src").as("center"), col("dst").as("nbr"))
-      val inTop = sd.withColumn("irnk", row_number().over(
-          Window.partitionBy("dst").orderBy(col("cosine").desc, col("src").asc)))
-        .filter(col("irnk") <= kdt)
-        .select(col("dst").as("center"), col("src").as("nbr"))
+      val inTop = topNbrs("dst", "src")
       val und = mixEdges.foldLeft(outEdges.unionByName(inTop))(_ unionByName _)
         .distinct().localCheckpoint()
       // Incremental FoF (NN-Descent's "new/old" cut — Dong, Moses, Li,
@@ -844,8 +854,12 @@ object SimilarityOps {
           f"sd_rows=${sd.count()}%d und_rows=$undRows%d")
     }
     prevUsed.foreach(DedupOps.unpersistCheckpoint)
+    // no distinct (r21): a mutual pair appears in sd in both directions
+    // with the same cosine; mutualize's TopKEdgesAgg collapses the copies
+    // in its buffer, so the dedup exchange of the n·k'-row final edge
+    // relation is redundant (output unchanged, oracle-proven)
     mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
-        greatest(col("src"), col("dst")).as("idb"), col("cosine")).distinct())
+        greatest(col("src"), col("dst")).as("idb"), col("cosine")))
   }
 
   /** Plan probe for the audit harness: the descent's seed contraction
@@ -933,10 +947,22 @@ object SimilarityOps {
         struct(col("ida").as("src"), col("idb").as("dst"), col("cosine")),
         struct(col("idb").as("src"), col("ida").as("dst"), col("cosine")))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.cosine"))
-    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    // per-endpoint top-k via the bounded TopKEdgesAgg (r21): the window
+    // form sort-shuffled the ENTIRE mirrored scored relation (2× the
+    // candidate pair space — the corpus-scale frame of every graph
+    // build); the aggregate map-side-combines each task down to ≤ k
+    // buffer entries per endpoint before the exchange, and its in-buffer
+    // duplicate collapse makes the callers' pair DISTINCT (one more full
+    // shuffle of the candidate relation) redundant — both removed.
+    // Output byte-identical to DISTINCT + row_number (the DuckDB twins
+    // keep that formulation; same argument as [[directedTopFrom]]).
     val topk = graft.Caches.cached(
-      directed.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= KGraph))
+      directed.groupBy("src")
+        .agg(graft.functions.VectorFunctions.topEdges(
+          col("dst"), col("cosine"), KGraph).as("tk"))
+        .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("src"), col("e.dst").as("dst"), col("e.cosine").as("cosine"),
+          (col("p") + 1).cast("long").as("rnk")))
     topk.as("f").join(topk.as("r").hint("shuffle_hash"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
       .filter(col("f.src") < col("f.dst"))
@@ -997,9 +1023,16 @@ object SimilarityOps {
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
           DedupOps.dotCosine("a", "b").as("cosine"))
-      val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-      pairs.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= KGraph)
+      // bounded top-k aggregate, not a row_number window (r21): the
+      // |eval|·n scored relation map-side-combines to ≤ k rows per query
+      // before the exchange instead of sort-shuffling whole (pairs are
+      // unique, so the buffer's dedup is a no-op; identical output)
+      pairs.groupBy("src")
+        .agg(graft.functions.VectorFunctions.topEdges(
+          col("dst"), col("cosine"), KGraph).as("tk"))
+        .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("src"), col("e.dst").as("dst"), col("e.cosine").as("cosine"),
+          (col("p") + 1).cast("long").as("rnk"))
     }
     val qset = q.filter(col("vec_id") < EvalQueries)
     val fwd = graft.Caches.cached(directedTopK(qset))
@@ -1059,13 +1092,24 @@ object SimilarityOps {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
 
-  private def rank(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor").asc)
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= K)
+  /** Shared per-query top-K tail (r21): the bounded dedup-ing
+    * [[graft.functions.TopKEdgesAgg]] instead of a row_number window —
+    * map-side combinable, so each task reduces its candidate rows to
+    * ≤ K per query before the exchange, where the window form
+    * sort-shuffled the WHOLE scored pair relation (|queries|·candidates
+    * rows; guide §2.3 "aggregate before you shuffle"). Output is
+    * byte-identical: same (cosine DESC, neighbor ASC) order, rnk =
+    * 1-based buffer position, duplicate collapse a no-op on the unique
+    * pair inputs every caller feeds (same equivalence argument as the
+    * descent contraction, [[directedTopFrom]]). */
+  private def rank(pairs: DataFrame): DataFrame =
+    pairs.groupBy("query_id")
+      .agg(graft.functions.VectorFunctions.topEdges(
+        col("neighbor"), col("cosine"), K).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("query_id"), col("e.dst").as("neighbor"),
+        col("e.cosine").as("cosine"), (col("p") + 1).cast("long").as("rnk"))
       .orderBy("query_id", "rnk")
-  }
 
   /** Integer PageRank over the mutual k-NN graph — semantic authority
     * scoring: vectors many vectors agree are their nearest neighbors
@@ -1123,39 +1167,50 @@ object SimilarityOps {
     val edges = g.unionByName(g.select(col("idb").as("ida"), col("ida").as("idb")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // LEAN materialization barriers, not plan-carrying caches: the loop
-    // references the edge relation `iters` times and the node-id frame
-    // iters+1 times, so both become shallow localCheckpoints — (src,
-    // dst, deg) is ≤ k·2n short rows, node ids one long column. Reading
-    // an InMemoryRelation whose lineage is a join over the cached
-    // ARRAY-bearing quantized frame instead cost ~0.7 s per round in
-    // deserialization and cache-scan stages (r11 measurement: the 10
+    // LEAN materialization barrier, not a plan-carrying cache: the loop
+    // references the edge relation `iters` times, so it becomes a
+    // shallow localCheckpoint — (src, dst, deg) is ≤ k·2n short rows.
+    // Reading an InMemoryRelation whose lineage is a join over the
+    // cached ARRAY-bearing quantized frame instead cost ~0.7 s per round
+    // in deserialization and cache-scan stages (r11 measurement: the 10
     // rounds fell from ~10-15 s to 0.2-0.5 s with lean checkpoints +
-    // lazy chaining). Both checkpoints are eager, so the graph build
-    // they absorb runs at FULL session parallelism, before the reduced
+    // lazy chaining). The checkpoint is eager, so the graph build it
+    // absorbs runs at FULL session parallelism, before the reduced
     // loop scope below.
     val out = edges.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
-    val nodeIds = nodes.select(col("vec_id")).localCheckpoint()
+    // ACTIVE nodes only in the loop (r21): an isolated node (no edges)
+    // never receives a contribution, so its rank is exactly 150000 +
+    // (850000·0) div 10⁶ = 150000 from round 1 on — re-joining the full
+    // node-id frame every round only re-derived that constant. The loop
+    // now iterates over edge-endpoint nodes (every active node receives
+    // ≥ 1 contribution per round because the mutual graph is symmetric,
+    // so the contribution aggregate itself enumerates all of them — the
+    // per-round left join back onto the node frame is gone: 10 joins +
+    // 10 node-frame exchanges removed, guide §2.4), and isolated nodes
+    // re-attach ONCE at the end via coalesce on the final left join.
+    // Output identical for any iters ≥ 1 (the suite always runs 10).
+    require(iters >= 1, "pageRankFrom: iters must be >= 1")
     // the rounds chain LAZILY — each is referenced exactly once by the
     // next, so nothing re-evaluates — and the single checkpoint at the
     // end materializes the whole chain INSIDE the reduced-parallelism
     // scope (laziness would otherwise defer planning past the restore)
     val ranks = IterLoop.withLoopPartitions(nodes.sparkSession, nodeCount) {
-      var r = nodeIds.withColumn("rank_ppm", lit(1000000L))
+      var r = out.select(col("src").as("vec_id")).distinct()
+        .withColumn("rank_ppm", lit(1000000L))
       (1 to iters).foreach { _ =>
-        val sums = r.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
+        r = r.join(out.hint("shuffle_hash"), col("vec_id") === col("src"))
           .select(col("dst"), expr("rank_ppm DIV deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("s"))
-        r = nodeIds.join(sums.hint("shuffle_hash"),
-            col("vec_id") === col("dst"), "left")
-          .select(col("vec_id"),
-            expr("150000L + (850000L * coalesce(s, 0L)) DIV 1000000L").as("rank_ppm"))
+          .select(col("dst").as("vec_id"),
+            expr("150000L + (850000L * s) DIV 1000000L").as("rank_ppm"))
       }
       r.localCheckpoint()
     }
-    ranks.join(deg.hint("shuffle_hash"), col("vec_id") === col("src"), "left")
+    nodes.select(col("vec_id"))
+      .join(ranks.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(deg.hint("shuffle_hash"), col("vec_id") === col("src"), "left")
       .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
-        col("rank_ppm"))
+        coalesce(col("rank_ppm"), lit(150000L)).as("rank_ppm"))
       .orderBy("vec_id")
   }
 
