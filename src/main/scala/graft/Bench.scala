@@ -142,7 +142,10 @@ object Bench {
         require(dir == d, s"shared refined graph was built for $dir, requested for $d")
       }
       if (refinedShared.isEmpty)
-        refinedShared = Some((d, graft.operators.SimilarityOps.knnGraphRefined(s, d)
+        // the unsorted edge supplier: consumers aggregate/join the edge
+        // set, so checkpointing the presentation-sorted form only paid a
+        // global sort nobody read (r21; same rows either way)
+        refinedShared = Some((d, graft.operators.SimilarityOps.knnGraphRefinedEdges(s, d)
           .select(col("ida"), col("idb")).localCheckpoint()))
       refinedShared.get._2
     }

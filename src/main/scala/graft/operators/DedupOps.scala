@@ -92,7 +92,16 @@ object DedupOps {
     * list is corpus-dependent and unbounded, so it is anti-joined away
     * co-shuffled on the shingle hash (hinted shuffle_hash, never a
     * broadcast build side). */
-  def ngramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame =
+    ngramJaccardPairs(spark, dir, maxDf).orderBy("doc_a", "doc_b")
+
+  /** [[ngramJaccard]] without the presentation sort (r21): the cluster
+    * fixpoints consume the pair SET — the global sort of the corpus-pair
+    * relation bought them nothing (guide §2.4, "an orderBy used only to
+    * make output deterministic"), and the cache/checkpoint boundaries
+    * they put above it stopped the optimizer from ever removing it. */
+  private[operators] def ngramJaccardPairs(spark: SparkSession, dir: String,
+                                           maxDf: Int = 64): DataFrame = {
     // shingles arrive as 60-bit longs: every downstream shuffle/join
     // moves 8-byte keys instead of ~20-byte strings, and the set
     // semantics are unchanged (within-pair collision odds ~1e-13)
@@ -118,7 +127,6 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
@@ -213,7 +221,7 @@ object DedupOps {
     // cache the pair relation: the symmetric union below consumes it
     // twice, and without the cache the whole shingle-join pipeline runs
     // twice (2 narrow columns, one row per near-dup pair — tiny)
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val pairs = ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
@@ -283,12 +291,18 @@ object DedupOps {
     * the driver, and convergence is an EXACT set-equality check
     * (count + except), not a heuristic. */
   def nearDupClustersStar(spark: SparkSession, dir: String): DataFrame =
-    starComponents(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+    starComponents(ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
 
   /** Component-min labeling (doc_id, cluster_id) of an undirected edge
     * list (doc_a, doc_b); every node incident to an edge is labeled.
     * Public: usable over any pair relation, not just the Jaccard graph. */
-  def starComponents(pairs: DataFrame): DataFrame = {
+  def starComponents(pairs: DataFrame): DataFrame =
+    starComponentsCore(pairs).orderBy("doc_id")
+
+  /** [[starComponents]] without the presentation sort — the composition
+    * seam for consumers that join or re-sort the labeling themselves
+    * (knn components, exemplars); see [[ngramJaccardPairs]]. */
+  private[graft] def starComponentsCore(pairs: DataFrame): DataFrame = {
     // invariant across rounds: edges are distinct and oriented (u, v)
     // with u > v
     def largeStar(e: DataFrame): DataFrame = {
@@ -339,7 +353,7 @@ object DedupOps {
     val members = cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val roots = cur.select(col("v")).distinct()
       .select(col("v").as("doc_id"), col("v").as("cluster_id"))
-    members.unionByName(roots).orderBy("doc_id")
+    members.unionByName(roots)
   }
 
   /** SimHash near-dup pairs: 60-bit sketch from per-shingle base hashes,

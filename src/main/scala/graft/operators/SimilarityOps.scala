@@ -268,7 +268,16 @@ object SimilarityOps {
     * key. Undirected pairs are scored ONCE (ida < idb) via
     * [[DedupOps.saltedBlockCosines]] and mirrored, so each candidate
     * edge pays exactly one 64-term native dot product. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphEdges(spark, dir).orderBy("ida", "idb")
+
+  /** [[knnGraph]] without the presentation sort — the composition seam
+    * (r21): consumers that aggregate or join the edge set (components,
+    * pagerank, exemplars, recall gates) were paying a global sort of the
+    * corpus-sized edge relation inside their caches/checkpoints for an
+    * ordering nothing downstream reads (guide §2.4, "an orderBy used
+    * only to make output deterministic"). Same rows. */
+  private[graft] def knnGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     val nlist = KMeans.autoNlist(n)
@@ -277,7 +286,7 @@ object SimilarityOps {
     val scored = DedupOps.saltedBlockCosines(
         capSplit(blocked, voronoiCap(n, nlist), narrow = asg), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
-    mutualize(scored)
+    mutualizeCore(scored)
   }
 
   /** The Voronoi family's split threshold: [[CapFactor]]× the BALANCED
@@ -339,7 +348,11 @@ object SimilarityOps {
     * deduplicated BEFORE ranking (identical cosine rows — one
     * `distinct`). [[knnRecall2]] prices the recall side of the trade;
     * the sf-pair cost curve prices this side. */
-  def knnGraph2(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph2(spark: SparkSession, dir: String): DataFrame =
+    knnGraph2Edges(spark, dir).orderBy("ida", "idb")
+
+  /** [[knnGraph2]] without the presentation sort (see [[knnGraphEdges]]). */
+  private[graft] def knnGraph2Edges(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     val nlist = KMeans.autoNlist(n)
@@ -359,7 +372,7 @@ object SimilarityOps {
     val scored = DedupOps.saltedBlockCosines(
         capSplit(blocked, voronoiCap(n, nlist), narrow = probes), "blk")
       .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cosine"))
-    mutualize(scored)
+    mutualizeCore(scored)
   }
 
   /** Bucket-size target for the bit-signature graph: the plane count
@@ -414,13 +427,17 @@ object SimilarityOps {
     * per-bucket sizes CO-SHUFFLED, not broadcast: the (table, bucket)
     * key space is ~n/64 rows, corpus-order, unlike the Voronoi family's
     * nlist-row planning table. */
-  def knnGraphBits(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraphBits(spark: SparkSession, dir: String): DataFrame =
+    knnGraphBitsEdges(spark, dir).orderBy("ida", "idb")
+
+  /** [[knnGraphBits]] without the presentation sort (see [[knnGraphEdges]]). */
+  private[graft] def knnGraphBitsEdges(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.Caches.cached(DedupOps.quantized(spark, dir))
     val n = graft.Tables.load(spark, dir, "embeddings").count()
     // dedup = false (r21): multi-table collisions repeat with the same
     // cosine and mutualize's TopKEdgesAgg collapses them in its buffer —
     // the full-relation distinct exchange is redundant (output unchanged)
-    mutualize(bitsScored(q, n, dedup = false))
+    mutualizeCore(bitsScored(q, n, dedup = false))
   }
 
   /** The bit-signature candidate relation behind [[knnGraphBits]] —
@@ -658,6 +675,12 @@ object SimilarityOps {
     * gate measures the recovery every round; the bits seed alone
     * measured 0.00 eval recall at sf10, r11). */
   def knnGraphRefined(spark: SparkSession, dir: String): DataFrame =
+    knnGraphRefinedTuned(spark, dir).orderBy("ida", "idb")
+
+  /** [[knnGraphRefined]] without the presentation sort (see
+    * [[knnGraphEdges]]) — the edge supplier the refined consumers and
+    * Bench's shared-build attribution compose over. */
+  private[graft] def knnGraphRefinedEdges(spark: SparkSession, dir: String): DataFrame =
     knnGraphRefinedTuned(spark, dir)
 
   /** [[knnGraphRefined]] with every dial exposed — the sweep surface the
@@ -858,7 +881,7 @@ object SimilarityOps {
     // with the same cosine; mutualize's TopKEdgesAgg collapses the copies
     // in its buffer, so the dedup exchange of the n·k'-row final edge
     // relation is redundant (output unchanged, oracle-proven)
-    mutualize(sd.select(least(col("src"), col("dst")).as("ida"),
+    mutualizeCore(sd.select(least(col("src"), col("dst")).as("ida"),
         greatest(col("src"), col("dst")).as("idb"), col("cosine")))
   }
 
@@ -942,7 +965,7 @@ object SimilarityOps {
     *    the mutuality self-join, so the forward/reverse sides share one
     *    materialization instead of each rebuilding
     *    quantize→train→block→score. */
-  private def mutualize(scored: DataFrame): DataFrame = {
+  private def mutualizeCore(scored: DataFrame): DataFrame = {
     val directed = scored.select(explode(array(
         struct(col("ida").as("src"), col("idb").as("dst"), col("cosine")),
         struct(col("idb").as("src"), col("ida").as("dst"), col("cosine")))).as("e"))
@@ -969,7 +992,6 @@ object SimilarityOps {
       .select(col("f.src").as("ida"), col("f.dst").as("idb"),
         col("f.cosine").as("cosine"),
         col("f.rnk").as("rnk_a"), col("r.rnk").as("rnk_b"))
-      .orderBy("ida", "idb")
   }
 
   /** Recall of the Voronoi-blocked mutual k-NN graph ([[knnGraph]],
@@ -990,27 +1012,27 @@ object SimilarityOps {
     * the blocked graph, and the recall ratio (vacuously 1.0 for a query
     * with no true mutual neighbor). */
   def knnRecall(spark: SparkSession, dir: String): DataFrame =
-    knnRecallOf(spark, dir, knnGraph(spark, dir))
+    knnRecallOf(spark, dir, knnGraphEdges(spark, dir))
 
   /** [[knnRecall]] for the 2-probe graph — the number that shows what
     * the second probe buys (measured: 1-probe ≈ 0.10 on the synthetic
     * corpus at sf0.01; the gate re-derives both every round). */
   def knnRecall2(spark: SparkSession, dir: String): DataFrame =
-    knnRecallOf(spark, dir, knnGraph2(spark, dir))
+    knnRecallOf(spark, dir, knnGraph2Edges(spark, dir))
 
   /** [[knnRecall]] for the bit-signature graph — the number that prices
     * [[knnGraphBits]]' linear-cost trade: signature recall DECAYS as the
     * plane count grows with the corpus, and this gate re-derives the
     * decay point every round instead of trusting the theory. */
   def knnRecallBits(spark: SparkSession, dir: String): DataFrame =
-    knnRecallOf(spark, dir, knnGraphBits(spark, dir))
+    knnRecallOf(spark, dir, knnGraphBitsEdges(spark, dir))
 
   /** [[knnRecall]] for the descent-refined graph — the gate that has to
     * show the refinement actually recovering the cross-bucket edges the
     * bits seed loses (same eval set, same ground truth, directly
     * comparable to [[knnRecallBits]] row by row). */
   def knnRecallRefined(spark: SparkSession, dir: String): DataFrame =
-    knnRecallOf(spark, dir, knnGraphRefined(spark, dir))
+    knnRecallOf(spark, dir, knnGraphRefinedEdges(spark, dir))
 
   /** The gate body behind every knnRecall* query — graph-agnostic, so
     * the sweep harness ([[graft.RecallGate]]) and Bench's shared-build
@@ -1072,7 +1094,7 @@ object SimilarityOps {
     * (r9/r10 verdicts flagged consuming the 1-probe graph while the
     * better one sat one call away). */
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
-    knnComponentsFrom(knnGraph2(spark, dir))
+    knnComponentsFrom(knnGraph2Edges(spark, dir))
 
   /** Connected components over the DESCENT-REFINED graph — the
     * linear-build composition: at ≥ 10⁸ vectors the 2-probe Voronoi
@@ -1081,13 +1103,13 @@ object SimilarityOps {
     * the largest gate scale, RECALL artifact); the component fixpoint
     * itself is scale-indifferent — it sees only (ida, idb). */
   def knnComponentsRefined(spark: SparkSession, dir: String): DataFrame =
-    knnComponentsFrom(knnGraphRefined(spark, dir))
+    knnComponentsFrom(knnGraphRefinedEdges(spark, dir))
 
   /** The fixpoint over an explicit edge relation — shared by the
     * 2-probe and refined compositions and by Bench's shared-build
     * attribution (which scores a pre-checkpointed graph). */
   private[graft] def knnComponentsFrom(graph: DataFrame): DataFrame =
-    DedupOps.starComponents(
+    DedupOps.starComponentsCore(
       graph.select(col("ida").as("doc_a"), col("idb").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
@@ -1129,12 +1151,12 @@ object SimilarityOps {
     * so contribution fan-out is bounded); localCheckpoint per round
     * cuts the lineage exactly as the cluster family does. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame =
-    pageRankOverGraph(spark, dir, knnGraph2(spark, dir), iters)
+    pageRankOverGraph(spark, dir, knnGraph2Edges(spark, dir), iters)
 
   /** PageRank over the DESCENT-REFINED graph — same recurrence, linear
     * graph build (the 100 TB composition; see [[knnComponentsRefined]]). */
   def pageRankRefined(spark: SparkSession, dir: String): DataFrame =
-    pageRankOverGraph(spark, dir, knnGraphRefined(spark, dir))
+    pageRankOverGraph(spark, dir, knnGraphRefinedEdges(spark, dir))
 
   private[graft] def pageRankOverGraph(spark: SparkSession, dir: String,
                                        graph: DataFrame, iters: Int = 10): DataFrame = {
@@ -1163,7 +1185,15 @@ object SimilarityOps {
     * other query) still plans under the session default. */
   private[operators] def pageRankFrom(nodes: DataFrame, g: DataFrame,
                                       iters: Int = 10,
-                                      nodeCount: Option[Long] = None): DataFrame = {
+                                      nodeCount: Option[Long] = None): DataFrame =
+    pageRankUnsorted(nodes, g, iters, nodeCount).orderBy("vec_id")
+
+  /** [[pageRankFrom]] without the presentation sort — for consumers that
+    * join the rank relation onward (exemplars), where the global sort of
+    * the node-sized frame buys nothing (guide §2.4). */
+  private def pageRankUnsorted(nodes: DataFrame, g: DataFrame,
+                               iters: Int = 10,
+                               nodeCount: Option[Long] = None): DataFrame = {
     val edges = g.unionByName(g.select(col("idb").as("ida"), col("ida").as("idb")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -1211,7 +1241,6 @@ object SimilarityOps {
       .join(deg.hint("shuffle_hash"), col("vec_id") === col("src"), "left")
       .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
         coalesce(col("rank_ppm"), lit(150000L)).as("rank_ppm"))
-      .orderBy("vec_id")
   }
 
   /** Cluster exemplars — the composed read-side of the whole similarity
@@ -1225,7 +1254,7 @@ object SimilarityOps {
     * sort. */
   def clusterExemplars(spark: SparkSession, dir: String): DataFrame =
     clusterExemplarsFrom(spark, dir,
-      knnGraph2(spark, dir).select(col("ida"), col("idb")))
+      knnGraph2Edges(spark, dir).select(col("ida"), col("idb")))
 
   /** [[clusterExemplars]] over the LINEAR bit-signature graph — the
     * consumer composition for corpora where the Voronoi build's n^1.5
@@ -1235,7 +1264,7 @@ object SimilarityOps {
     * point of the shared (ida, idb) edge-list seam. */
   def clusterExemplarsBits(spark: SparkSession, dir: String): DataFrame =
     clusterExemplarsFrom(spark, dir,
-      knnGraphBits(spark, dir).select(col("ida"), col("idb")))
+      knnGraphBitsEdges(spark, dir).select(col("ida"), col("idb")))
 
   /** [[clusterExemplars]] over the DESCENT-REFINED graph — the linear
     * composition that also carries at-scale RECALL: the bits graph's
@@ -1246,16 +1275,16 @@ object SimilarityOps {
     * large-corpus curation pipeline should run. */
   def clusterExemplarsRefined(spark: SparkSession, dir: String): DataFrame =
     clusterExemplarsFrom(spark, dir,
-      knnGraphRefined(spark, dir).select(col("ida"), col("idb")))
+      knnGraphRefinedEdges(spark, dir).select(col("ida"), col("idb")))
 
   private[graft] def clusterExemplarsFrom(spark: SparkSession, dir: String,
                                           graph: DataFrame): DataFrame = {
     val g = graft.Caches.cached(graph)
-    val comp = DedupOps.starComponents(
+    val comp = DedupOps.starComponentsCore(
         g.select(col("ida").as("doc_a"), col("idb").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
     val nodes = DedupOps.quantized(spark, dir).select(col("vec_id"))
-    val pr = pageRankFrom(nodes, g,
+    val pr = pageRankUnsorted(nodes, g,
         nodeCount = Some(graft.Tables.load(spark, dir, "embeddings").count()))
       .select(col("vec_id"), col("rank_ppm"))
     val w = Window.partitionBy("cluster_id")
