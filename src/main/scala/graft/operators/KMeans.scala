@@ -101,28 +101,28 @@ object KMeans {
       .agg(max(struct(col("scos"), (-col("cl")).as("ncl"))).as("m"))
       .select(col("vec_id"), (-col("m.ncl")).as("cl"))
 
-  /** Top-2 probe assignment against a centroid table: probe 1 is the
-    * standard argmax [[assign]]; probe 2 is the argmax over the REMAINING
-    * centroids, computed by attaching probe 1 (an n-row co-shuffled
-    * narrow join — corpus-length, never broadcast) and re-running the
-    * broadcast-assign pass with that centroid filtered out. Two
-    * map-side-combining aggregate passes: the equivalent `rn <= 2`
-    * window (which the oracle replays) would sort-shuffle the full
-    * n·nlist scored frame — the one shuffle this family never takes.
-    * Ties break identically to [[assign]] ((scos, -cl) lexicographic =
-    * `ORDER BY scos DESC, cl ASC`). A vector emits a second probe only
-    * when ≥ 2 centroids survive training. */
-  def assignTop2(q: DataFrame, cents: DataFrame): DataFrame = {
-    val first = assign(q, cents)
-    val q1 = q.join(first.withColumnRenamed("cl", "cl1").hint("shuffle_hash"), "vec_id")
-    val second = q1.crossJoin(broadcast(cents))
-      .filter(col("cl") =!= col("cl1"))
+  /** Top-2 probe assignment against a centroid table, in ONE
+    * map-side-combining pass (r21): the bounded
+    * [[graft.functions.TopKEdgesAgg]] keeps each vector's two best
+    * centroids under (scos DESC, cl ASC) — the same ordering as
+    * [[assign]]'s argmax and the oracle's `rn <= 2` window — so the
+    * corpus is scored against the broadcast centroids ONCE where the
+    * previous two-pass form (argmax, then argmax-over-remaining with
+    * probe 1 re-attached) paid n·nlist dot products twice plus an n-row
+    * co-shuffled join. Output rows identical: {argmax, argmax of the
+    * rest}, and a vector emits a second probe only when ≥ 2 centroids
+    * survive training (the buffer simply holds one entry otherwise).
+    * The buffer's duplicate collapse is a no-op (cl values are distinct
+    * per vector), and an all-NaN cosine vector degrades to the same
+    * smallest-two-cl pick as the struct-max form (both orderings treat
+    * NaN as greatest and tie to the smaller cl). */
+  def assignTop2(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cl"), centCos.as("scos"))
       .groupBy("vec_id")
-      .agg(max(struct(col("scos"), (-col("cl")).as("ncl"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncl")).as("cl"))
-    first.unionByName(second)
-  }
+      .agg(VectorFunctions.topEdges(col("cl"), col("scos"), 2).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("e"))
+      .select(col("vec_id"), col("e.dst").as("cl"))
 
   /** (cl, cv, cnrm): truncated integer means per list. The assignment
     * attach is an explicit co-shuffle — it is corpus-length, so letting
