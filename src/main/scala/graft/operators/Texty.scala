@@ -86,11 +86,13 @@ object TextOps {
   }
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
-    // Tables.spread on every documents scan below: tokenization (and the
-    // md5 hashing several ops do) is the expensive per-row step and runs
-    // in the scan stage — a toy-scale single-split file would run it on
-    // one core; the spread is a plan-time no-op at real corpus scale
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    // NOT spread (r21 re-measure): Tables.spread pays off where the
+    // per-row scan work is heavy (md5 shingling, regex segmentation —
+    // see the call sites below); here one tokenize pass is light enough
+    // that the round-robin exchange cost exceeded the single-core saving
+    // (0.25 → 0.47 s at sf0.1, reproduced twice) — same verdict as
+    // langId's A/B
+    val docs = Tables.load(spark, dir, "documents")
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
       .agg(
@@ -400,7 +402,10 @@ object TextOps {
     * hash gate directly. */
   def mixturePlan(spark: SparkSession, dir: String,
                   budgetTokens: Long = 5000L): DataFrame =
-    mixturePlanFrom(Tables.spread(Tables.load(spark, dir, "documents")), budgetTokens)
+    // not spread (r21 re-measure): size(tokens()) is one light pass and
+    // the fan-out exchange measured as a net loss (0.21 → 0.39 s at
+    // sf0.1, reproduced twice)
+    mixturePlanFrom(Tables.load(spark, dir, "documents"), budgetTokens)
 
   def mixturePlanFrom(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
     docs.select(col("lang"), col("source"),
@@ -436,7 +441,10 @@ object TextOps {
     * no stratum exceeds would leave the gate untested. */
   def mixtureApply(spark: SparkSession, dir: String,
                    budgetTokens: Long = 200L): DataFrame = {
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    // not spread (r21 re-measure, same basis as mixturePlan): the corpus
+    // branch is a 3-column projection and the plan branch one light
+    // tokenize pass — the exchange lost 0.43 → 0.60 s at sf0.1
+    val docs = Tables.load(spark, dir, "documents")
     val plan = mixturePlanFrom(docs, budgetTokens).select("lang", "source", "rate_ppm")
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(broadcast(plan), Seq("lang", "source"))
