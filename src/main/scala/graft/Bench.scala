@@ -215,8 +215,19 @@ object Bench {
     java.nio.file.Files.writeString(outPath,
       resultLine(done.toSeq, partial = done.size < selected.size,
         sentinelEnd = Some(sentinelEnd)) + "\n")
+    // per-query visibility for the driver (r21 verdict #5): one SMALL
+    // JSONL record per query printed AHEAD of the totals line. The r8
+    // stdout failure was ONE giant line outgrowing the driver's finite
+    // tail capture — many short lines are safe because the compact
+    // totals line stays LAST, so the tail parse always sees it intact,
+    // and a truncated capture only loses the earliest per-query rows.
+    done.foreach { case (name, secs, err) =>
+      println(s"""{"metric":"query","name":${jstr(name)},"secs":$secs,"err":${
+        err.map(jstr).getOrElse("null")}}""")
+    }
     // the stdout route stays: the driver parses the ONE printed JSON line —
-    // compact totals only (per-query numbers live in SPARK_GRAFT_BENCH_OUT)
+    // compact totals only (per-query numbers live in SPARK_GRAFT_BENCH_OUT
+    // and in the per-query records above)
     println(compactLine(done.toSeq, calibEnd))
     spark.stop()
   }

@@ -7,7 +7,12 @@ package graft
   *
   * Usage: runMain graft.ExplainBatch <outDir> <suffix> [name ...]
   * (no names = every suite query). SPARK_GRAFT_SF_DIR picks the data dir
-  * (default sf0.1 — the bench's scale, so the plans match the claims).
+  * (default sf0.1 — the bench's scale, so the plans match the claims);
+  * the dir must exist — the tool fails fast otherwise (r21 advice).
+  * CAVEAT: "only dumping plans" still EXECUTES the eager-checkpoint
+  * stages of the descent family (multi-second jobs) — the written plan
+  * is the composed tail over checkpoint leaves, which is exactly what
+  * executes at query time.
   *
   * Note: queries that build eager checkpoints while CONSTRUCTING their
   * DataFrame (the descent family) execute those stages during the dump —
@@ -16,10 +21,14 @@ package graft
   */
 object ExplainBatch {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ExplainBatch <outDir> <suffix> [name ...]")
+    require(args.length >= 2,
+      "usage: ExplainBatch <outDir> <suffix> [name ...] — NOTE: dumping a " +
+        "descent-family plan executes its eager checkpoint stages")
     val outDir = java.nio.file.Paths.get(args(0))
     val suffix = args(1)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+      s"data dir '$dir' does not exist — set SPARK_GRAFT_SF_DIR")
     java.nio.file.Files.createDirectories(outDir)
     val names =
       if (args.length > 2) args.drop(2).toSeq
