@@ -81,7 +81,18 @@ object Tables {
     // the scan already fans out and the repartition is skipped.
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= BigInt(target) * maxSplit) df else df.repartition(target)
+    // Spread only when the split DEFICIT is material (r21 verdict #1):
+    // the old gate (`bytes < target · maxSplit`) repartitioned whenever
+    // estimated splits < cores, so a mid-scale table at e.g. 1900 splits
+    // on a 2000-core cluster paid a FULL round-robin shuffle of the
+    // relation to raise parallelism ~5%. Requiring estSplits < target/4
+    // (i.e. the scan leaves ≥ 3/4 of the cores idle) keeps the fan-out
+    // where it pays — the pathological 1-to-few-split scans — and makes
+    // the marginal band a no-op. estSplits = ⌈bytes / maxSplit⌉; at toy
+    // scale (one ≤ 11 MB file) estSplits = 1 « target/4, so the local
+    // bench plans are unchanged.
+    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    if (estSplits * 4 >= BigInt(target)) df else df.repartition(target)
   }
 
   /** Spark session tuned for the local[32] test harness. The settings that
