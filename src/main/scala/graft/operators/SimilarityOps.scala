@@ -742,31 +742,46 @@ object SimilarityOps {
     // paper's new→old promotion happens on activation, so an entry the
     // hash skipped stays "new" and keeps drawing in later rounds.
     var prevUsed: Option[DataFrame] = None
-    (1 to rounds).foreach { round =>
+    // early-exit flag (r22): once a wide round generates ZERO new
+    // neighborhood entries, every remaining round is the identity — see
+    // the proof at the convergence check below.
+    var settled = false
+    (1 to rounds).foreach { round => if (!settled) {
       val roundT0 = System.nanoTime()
       // bounded neighborhood: out-edges + top-k' in-edges per node,
       // plus the static mix partners when configured. Exploration width
       // follows the staged schedule: on a narrow round the out side of
       // the (always full-k'-wide) graph needs an explicit re-rank.
-      // Both re-ranks run as the bounded TopKEdgesAgg (r21), not
-      // row_number windows: the aggregate map-side-combines the n·k'-row
-      // edge relation to ≤ kdt entries per node before its exchange,
-      // where the window sort-shuffled the whole relation each round
-      // (same tie-break — cosine DESC, id ASC — and sd is a set, so the
-      // buffer's duplicate collapse is a no-op; byte-identical output).
+      // FUSED (r22, guide §2.2): the out re-rank, the in re-rank and the
+      // (out ∪ in) DISTINCT — previously up to three exchanges of the
+      // n·k'-row relation per round — run as ONE aggregation over the
+      // mirrored edge relation: TopKEdgesAgg skips null inputs, so the
+      // out and in sides feed separate bounded buffers of the same
+      // groupBy, and the per-center array_distinct of the two k-lists
+      // replaces the global pair DISTINCT. Out-side k = kdt is exact on
+      // wide rounds too: each src holds ≤ k' out-edges, so top-k'
+      // returns all of them — identical to the unaggregated projection
+      // the unfused form used there. Same tie-break (cosine DESC, id
+      // ASC) as the pre-r21 windows; sd is a set, so the buffers'
+      // duplicate collapse is a no-op — byte-identical und set.
       val kdt = kdOf(round)
-      def topNbrs(group: String, other: String): DataFrame =
-        sd.groupBy(col(group))
-          .agg(graft.functions.VectorFunctions.topEdges(
-            col(other), col("cosine"), kdt).as("tk"))
-          .select(col(group).as("center"), explode(col("tk")).as("e"))
-          .select(col("center"), col("e.dst").as("nbr"))
-      val outEdges =
-        if (kdt < kd) topNbrs("src", "dst")
-        else sd.select(col("src").as("center"), col("dst").as("nbr"))
-      val inTop = topNbrs("dst", "src")
-      val und = mixEdges.foldLeft(outEdges.unionByName(inTop))(_ unionByName _)
-        .distinct().localCheckpoint()
+      val mirrored = sd.select(explode(array(
+          struct(col("src").as("center"), col("dst").as("nbr"),
+            col("cosine"), lit(true).as("is_out")),
+          struct(col("dst").as("center"), col("src").as("nbr"),
+            col("cosine"), lit(false).as("is_out")))).as("e"))
+        .select(col("e.center"), col("e.nbr"), col("e.cosine"), col("e.is_out"))
+      val fusedNbrs = mirrored.groupBy("center")
+        .agg(
+          graft.functions.VectorFunctions.topEdges(
+            when(col("is_out"), col("nbr")), col("cosine"), kdt).as("otk"),
+          graft.functions.VectorFunctions.topEdges(
+            when(!col("is_out"), col("nbr")), col("cosine"), kdt).as("itk"))
+        .select(col("center"), explode(array_distinct(concat(
+          transform(col("otk"), e => e("dst")),
+          transform(col("itk"), e => e("dst"))))).as("nbr"))
+      val und = mixEdges.foldLeft(fusedNbrs)((u, m) => u.unionByName(m).distinct())
+        .localCheckpoint()
       // Incremental FoF (NN-Descent's "new/old" cut — Dong, Moses, Li,
       // WWW 2011 §2.3): only pairs with at least one NEW neighborhood
       // entry are generated. An old-old pair through center c was
@@ -790,6 +805,38 @@ object SimilarityOps {
             Seq("center", "nbr"), "left")
           .select(col("center"), col("nbr"), col("seen").isNull.as("is_new"))
       }
+      // EARLY EXIT (r22, output-exact): if this round generated ZERO new
+      // neighborhood entries, every remaining round is the identity and
+      // the build can stop. Proof: with no new entries every `part` row
+      // has act = false (at any ρ — act requires is_new), so twoHop is
+      // empty and cand is exactly sd's own undirected edge set; the
+      // re-contraction of that set returns sd itself, because for every
+      // node u the candidate set out(u) ∪ in(u) CONTAINS out(u) — and
+      // out(u) is u's top-k' of the PREVIOUS round's full mirrored
+      // candidate relation, a superset of out(u) ∪ in(u) (directedTopFrom
+      // mirrors every scored pair, so in-edges were already candidates) —
+      // hence top-k' of the subset = top-k' of the superset = out(u)
+      // under the same total order (cosine DESC, id ASC; cosines are
+      // bit-deterministic per pair). sd unchanged and kdt constant past
+      // the staged window imply und and flagged repeat verbatim: zero
+      // new entries again, by induction to round `rounds`. Valid only
+      // once the exploration width has reached its final k' (inside the
+      // staged window the NEXT round widens the neighborhood and
+      // genuinely new entries appear). The DuckDB twin keeps unrolling
+      // the full `rounds` CTEs — the oracle rows remain an end-to-end
+      // proof that the skipped rounds are no-ops. Cost of the check: one
+      // limit-1 probe of the join of two checkpointed narrow relations;
+      // measured payoff at sf0.1: rounds 6-8 (~1.0 s each) were exactly
+      // this identity.
+      val widthFinal = round > earlyRounds || earlyKd >= kd
+      if (widthFinal && prevUsed.nonEmpty && flagged.filter(col("is_new")).isEmpty) {
+        prevUsed.foreach(DedupOps.unpersistCheckpoint)
+        prevUsed = Some(und)
+        settled = true
+        if (sys.env.contains("SPARK_GRAFT_DESCENT_LOG"))
+          println(f"[descent] round $round%d settled (no new entries) " +
+            f"secs=${(System.nanoTime() - roundT0) / 1e9}%.1f")
+      } else {
       // participants: every old entry plus the ρ%-activated new ones;
       // a skipped new entry sits this round out entirely
       val part =
@@ -875,7 +922,8 @@ object SimilarityOps {
         println(f"[descent] round $round%d " +
           f"secs=${(System.nanoTime() - roundT0) / 1e9}%.1f " +
           f"sd_rows=${sd.count()}%d und_rows=$undRows%d")
-    }
+      }
+    }}
     prevUsed.foreach(DedupOps.unpersistCheckpoint)
     // no distinct (r21): a mutual pair appears in sd in both directions
     // with the same cosine; mutualize's TopKEdgesAgg collapses the copies
@@ -1123,7 +1171,15 @@ object SimilarityOps {
     * byte-identical: same (cosine DESC, neighbor ASC) order, rnk =
     * 1-based buffer position, duplicate collapse a no-op on the unique
     * pair inputs every caller feeds (same equivalence argument as the
-    * descent contraction, [[directedTopFrom]]). */
+    * descent contraction, [[directedTopFrom]]).
+    *
+    * PRECONDITION (r21 advice): callers must feed UNIQUE (query_id,
+    * neighbor) pairs — true of all three today (brute cross-join, LSH
+    * with candidate distinct, single-assignment IVF). A caller feeding
+    * duplicates would see them collapsed to ONE rnk slot with the next
+    * neighbor pulled up, where the old row_number window ranked both
+    * copies; duplicates are only harmless when they carry identical
+    * cosine (the graph builds' invariant, not asserted here). */
   private def rank(pairs: DataFrame): DataFrame =
     pairs.groupBy("query_id")
       .agg(graft.functions.VectorFunctions.topEdges(
@@ -1190,7 +1246,16 @@ object SimilarityOps {
 
   /** [[pageRankFrom]] without the presentation sort — for consumers that
     * join the rank relation onward (exemplars), where the global sort of
-    * the node-sized frame buys nothing (guide §2.4). */
+    * the node-sized frame buys nothing (guide §2.4).
+    *
+    * PRECONDITION (r21 advice): every endpoint of `g` must appear in
+    * `nodes`. The active-nodes loop iterates over edge endpoints and only
+    * restricts to `nodes` at the final left join — a ghost endpoint
+    * outside `nodes` would feed rank into real nodes, where the pre-r21
+    * form (which re-joined `nodes` every round) excluded it. Every
+    * caller passes nodes = the full vector id set ⊇ all graph endpoints,
+    * so the two forms are output-identical today; a future caller with
+    * nodes ⊂ endpoints would not be. */
   private def pageRankUnsorted(nodes: DataFrame, g: DataFrame,
                                iters: Int = 10,
                                nodeCount: Option[Long] = None): DataFrame = {
@@ -1224,6 +1289,11 @@ object SimilarityOps {
     // next, so nothing re-evaluates — and the single checkpoint at the
     // end materializes the whole chain INSIDE the reduced-parallelism
     // scope (laziness would otherwise defer planning past the restore)
+    // AQE stays on in the scope (r22 negative result): although every
+    // join here is shuffle_hash-hinted, the balanced same-JVM A/B
+    // (tools/ab_r22_aqe.jsonl) measured AQE-off as 1.16× SLOWER on this
+    // loop — AQE's coalescing of the hinted exchanges is worth more
+    // than the per-exchange stage-job overhead. See IterLoop's note.
     val ranks = IterLoop.withLoopPartitions(nodes.sparkSession, nodeCount) {
       var r = out.select(col("src").as("vec_id")).distinct()
         .withColumn("rank_ppm", lit(1000000L))
