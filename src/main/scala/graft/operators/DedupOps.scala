@@ -246,6 +246,8 @@ object DedupOps {
     // the measured label count — the shared IterLoop discipline; every
     // action of the loop runs inside the scope (the seed checkpoint and
     // its count above already materialized the corpus lineage)
+    // AQE stays on in the scope: the balanced A/B measured AQE-off flat
+    // here (1.01×, tools/ab_r22_aqe.jsonl) — see IterLoop's note.
     IterLoop.withLoopPartitions(spark, Some(labels.count())) {
       while (curSum != prevSum && rounds < 50) {
         val nbrMin = edges.join(labels, col("src") === col("node"))
@@ -304,7 +306,25 @@ object DedupOps {
     * (knn components, exemplars); see [[ngramJaccardPairs]]. */
   private[graft] def starComponentsCore(pairs: DataFrame): DataFrame = {
     // invariant across rounds: edges are distinct and oriented (u, v)
-    // with u > v
+    // with u > v.
+    //
+    // r22 NEGATIVE RESULT, kept as shipped: two restructures of this
+    // loop were built and rejected on a same-JVM adjacent A/B (AbR22,
+    // tools/ab_r22_star.jsonl -- order-cancelled geomean 1.10-1.16x
+    // SLOWER across three reps in both orders): (a) dropping
+    // largeStar's distinct (smallStar is duplicate-insensitive, so the
+    // distinct is "only" a sharing barrier -- but without it each
+    // half-star's two references re-execute the child chain, because
+    // the partial-agg exchange and the join-probe exchange are not
+    // canonically equal and ReuseExchange cannot dedupe them; an
+    // explicit repartition as the shared exchange still lost), and
+    // (b) shuffle_hash hints + AQE disabled in the loop scope -- AQE's
+    // runtime broadcast conversion of the tiny per-round mins relations
+    // beats every static co-shuffle plan at bench scale, and at corpus
+    // scale AQE makes the same call from real sizes, so there is
+    // nothing to pin statically. The loop therefore KEEPS AQE and the
+    // r20 formulation (the balanced AQE A/B in tools/ab_r22_aqe.jsonl
+    // confirmed AQE-on across the loop family — see IterLoop's note).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .toDF("n", "nbr")
