@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Same-JVM adjacent A/B for the r22 loop-tail work (the AbBench
@@ -7,24 +8,25 @@ import org.apache.spark.sql.functions._
   * variant pair runs inside ONE JVM, adjacently, in BOTH orders, and the
   * analysis quotes the order-cancelled geomean).
   *
-  * This revision carries the BALANCED AQE pairs: the identical shipped
-  * code path runs twice with only [[graft.operators.IterLoop.aqeOverride]]
-  * flipped, so the measured delta is attributable to AQE's per-exchange
-  * stage-jobs versus its runtime join re-planning and nothing else.
+  * This revision carries the FIXPOINT-TAIL pairs — the shipped star
+  * loop (lazy per-round checkpoint materialized by its count, plus the
+  * star-forest structural convergence probe that stops one identity
+  * round early) against the r21 form (eager checkpoint + count,
+  * comparison-only convergence), both over the same pre-checkpointed
+  * edge relation with outputs asserted identical before timing:
   *
-  *  1. `pr_aqe_off` / `pr_aqe_on` — [[graft.operators.SimilarityOps.pageRankOverGraph]]
-  *     over a shared pre-checkpointed refined-graph edge relation
-  *     (build cost excluded); every loop join is shuffle_hash-hinted,
-  *     so the hypothesis is that AQE has nothing to improve here.
-  *  2. `cl_aqe_off` / `cl_aqe_on` — the full
-  *     [[graft.operators.DedupOps.nearDupClusters]] query (the label-
-  *     propagation loop is ~1/3 of it; the shingle pipeline ahead of it
-  *     is identical in both variants and order-cancels).
+  *  1. `star_probe_new` / `star_probe_old` — DedupOps.starComponentsCore
+  *     as shipped vs the r21 loop inlined verbatim.
+  *  2. `labels_new` / `labels_old` — the nearDupClusters label-
+  *     propagation loop's lazy-vs-eager checkpoint question, both
+  *     inlined over the same pair checkpoint (the shipped query buries
+  *     the loop under the shingle pipeline, which would dilute the A/B).
   *
-  * (The first revision of this tool carried the r22 star-contraction
-  * restructure pairs; their measurements live in tools/ab_r22_star.jsonl
-  * and the restructure was reverted on that evidence — see the negative-
-  * result note in DedupOps.starComponentsCore.)
+  * Prior revisions of this tool (measurements kept, code superseded):
+  * rev1 star restructure pairs → tools/ab_r22_star.jsonl (rejected,
+  * 1.10–1.16× slower); rev2 balanced AQE pairs via IterLoop.aqeOverride
+  * → tools/ab_r22_aqe.jsonl (AQE-off rejected: 1.16× slower on pagerank,
+  * flat on label propagation).
   *
   * Usage: runMain graft.AbR22 [sfDir] [outJsonl] [reps]
   */
@@ -40,39 +42,119 @@ object AbR22 {
     BenchKit.sentinel(spark, out, "start", dir)
 
     // one shared edge checkpoint — the exact relation Bench's derived
-    // consumers score (graph build cost excluded from every variant)
+    // consumers label (graph build cost excluded from every variant)
     val g = graft.operators.SimilarityOps.knnGraphRefinedEdges(spark, dir)
-      .select(col("ida"), col("idb")).localCheckpoint()
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b")).localCheckpoint()
     g.count()
     Caches.release(); spark.catalog.clearCache()
 
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    // ---- r21 starComponentsCore, inlined verbatim (eager checkpoints,
+    // comparison-only convergence)
+    def starOld(pairs: DataFrame): DataFrame = {
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          .toDF("n", "nbr")
+        val mins = sym.groupBy("n").agg(min("nbr").as("mn"))
+        sym.join(mins, "n")
+          .filter(col("nbr") > col("n"))
+          .select(col("nbr").as("u"), least(col("n"), col("mn")).as("v"))
+          .distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val mins = e.groupBy("u").agg(min("v").as("m"))
+        val j = e.join(mins, "u")
+        j.select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionByName(j.select(col("u"), col("m").as("v")))
+          .distinct()
+      }
+      var cur = pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
+        .distinct().localCheckpoint()
+      var curCount = cur.count()
+      var rounds = 0
+      var converged = false
+      graft.operators.IterLoop.withLoopPartitions(spark, Some(curCount)) {
+        while (!converged && rounds < 50) {
+          val next = smallStar(largeStar(cur)).localCheckpoint()
+          val nextCount = next.count()
+          converged = nextCount == curCount && next.except(cur).isEmpty
+          graft.operators.DedupOps.unpersistCheckpoint(cur)
+          cur = next
+          curCount = nextCount
+          rounds += 1
+        }
+      }
+      require(converged, s"old star contraction did not converge in $rounds rounds")
+      val members = cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      val roots = cur.select(col("v")).distinct()
+        .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+      members.unionByName(roots)
+    }
 
-    def prRun(): Unit =
-      noop(graft.operators.SimilarityOps.pageRankOverGraph(spark, dir, g, 10))
-    def clRun(): Unit =
-      noop(graft.operators.DedupOps.nearDupClusters(spark, dir))
+    def starNewRun(): Unit = { graft.operators.DedupOps.starComponentsCore(g).count(); () }
+    def starOldRun(): Unit = { starOld(g).count(); () }
 
-    def cycle(tag: String, aqeOff: Boolean, run: () => Unit): Unit = {
+    // equivalence gate before timing: identical labelings or abort
+    val newRows = graft.operators.DedupOps.starComponentsCore(g)
+      .orderBy("doc_id", "cluster_id").collect().toSeq
+    val oldRows = starOld(g).orderBy("doc_id", "cluster_id").collect().toSeq
+    require(newRows == oldRows,
+      s"star variants diverge: new=${newRows.size} rows old=${oldRows.size} rows")
+    println(s"[ab-r22] star variants identical (${newRows.size} rows)")
+
+    // ---- label propagation over the near-dup pair graph, lazy vs eager
+    // round checkpoints (loop only; same seed, same convergence rule)
+    val jp = graft.operators.DedupOps.ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    jp.count()
+    def labelLoop(lazyCkpt: Boolean): DataFrame = {
+      val edges = jp.unionByName(jp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").cache()
+      var labels = edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("label"))
+        .localCheckpoint(eager = !lazyCkpt)
+      def labelSum(df: DataFrame): Long =
+        Option(df.agg(sum(col("label"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      var prevSum = Long.MaxValue
+      var curSum = labelSum(labels)
+      var rounds = 0
+      graft.operators.IterLoop.withLoopPartitions(spark, Some(labels.count())) {
+        while (curSum != prevSum && rounds < 50) {
+          val nbrMin = edges.join(labels, col("src") === col("node"))
+            .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+          val next = labels.join(nbrMin, col("node") === col("dst"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+            .localCheckpoint(eager = !lazyCkpt)
+          prevSum = curSum
+          curSum = labelSum(next)
+          graft.operators.DedupOps.unpersistCheckpoint(labels)
+          labels = next
+          rounds += 1
+        }
+      }
+      require(curSum == prevSum, s"label propagation did not converge in $rounds rounds")
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }
+    def labelsNewRun(): Unit = { labelLoop(lazyCkpt = true).count(); () }
+    def labelsOldRun(): Unit = { labelLoop(lazyCkpt = false).count(); () }
+
+    def cycle(tag: String, run: () => Unit): Unit = {
       Caches.release(); spark.catalog.clearCache(); System.gc()
-      graft.operators.IterLoop.aqeOverride = Some(aqeOff)
-      try record(tag, BenchKit.timed(run()))
-      finally graft.operators.IterLoop.aqeOverride = None
+      record(tag, BenchKit.timed(run()))
     }
     // warm-ups, then reps in both orders, adjacently
-    prRun(); clRun()
+    starNewRun(); starOldRun()
     (1 to reps).foreach { _ =>
-      cycle("pr_aqe_off", aqeOff = true, () => prRun())
-      cycle("pr_aqe_on", aqeOff = false, () => prRun())
-      cycle("pr_aqe_on", aqeOff = false, () => prRun())
-      cycle("pr_aqe_off", aqeOff = true, () => prRun())
+      cycle("star_probe_new", () => starNewRun()); cycle("star_probe_old", () => starOldRun())
+      cycle("star_probe_old", () => starOldRun()); cycle("star_probe_new", () => starNewRun())
     }
+    labelsNewRun(); labelsOldRun()
     (1 to reps).foreach { _ =>
-      cycle("cl_aqe_off", aqeOff = true, () => clRun())
-      cycle("cl_aqe_on", aqeOff = false, () => clRun())
-      cycle("cl_aqe_on", aqeOff = false, () => clRun())
-      cycle("cl_aqe_off", aqeOff = true, () => clRun())
+      cycle("labels_new", () => labelsNewRun()); cycle("labels_old", () => labelsOldRun())
+      cycle("labels_old", () => labelsOldRun()); cycle("labels_new", () => labelsNewRun())
     }
     BenchKit.sentinel(spark, out, "end", dir)
     spark.stop()

@@ -227,13 +227,15 @@ object DedupOps {
       .toDF("src", "dst").cache()
     // seed = identity labels with one propagation round applied for free
     // (min of self and direct neighbors) — saves a full join+agg round.
-    // Rounds localCheckpoint (eager) rather than cache: each round's plan
-    // embeds the previous round's, so caching alone would let the logical
-    // tree grow exponentially with rounds (see starComponents).
+    // Rounds localCheckpoint rather than cache: each round's plan embeds
+    // the previous round's, so caching alone would let the logical tree
+    // grow exponentially with rounds (see starComponents). LAZY (r22):
+    // the labelSum aggregate below is the materializing action, one job
+    // per round where eager checkpoint + sum scheduled two.
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     // labels only ever DECREASE per node, so the total sum strictly
@@ -255,7 +257,7 @@ object DedupOps {
         val next = labels.join(nbrMin, col("node") === col("dst"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         prevSum = curSum
         curSum = labelSum(next)
         unpersistCheckpoint(labels)
@@ -345,10 +347,37 @@ object DedupOps {
     // each round must CUT LINEAGE, not just cache: a round's plan embeds
     // the previous round's plan several times over, so with plain cache()
     // the logical tree grows exponentially with rounds and plan handling
-    // itself OOMs around round ~10. An eager localCheckpoint materializes
-    // the edge set AND replaces the plan with a leaf scan of it.
+    // itself OOMs around round ~10. The localCheckpoint materializes the
+    // edge set AND replaces the plan with a leaf scan of it; LAZY (r22)
+    // so the count() below materializes it — one job per round where the
+    // eager checkpoint + count pair scheduled two.
+    //
+    // Star-forest probe (r22, guide §1.2 — the fixpoint tail is per-job
+    // fixed overhead, not data): a canonical (u > v) edge set is a star
+    // forest rooted at its minima iff every u appears EXACTLY once and
+    // no node appears as both a u and a v. Such a set is a FIXPOINT of
+    // smallStar∘largeStar — largeStar keeps exactly the root-side rows
+    // (member rows fail nbr > n since v < u) and re-emits (u,
+    // least(v, mn)) = (u, v); smallStar's per-u min is u's single v, so
+    // both branches re-emit F — so once `next` is structurally a star
+    // forest, every later round returns it verbatim and the old
+    // comparison-based check would only observe that after ONE MORE full
+    // identity round. Detecting forest-ness directly stops that round
+    // early with byte-identical output. The comparison stays as the
+    // fallback gate, so termination does not DEPEND on the converse
+    // direction of the theorem (Kiveris et al.: all fixpoints are such
+    // forests); a hypothetical non-forest fixpoint converges exactly as
+    // before.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(explode(array(
+          struct(col("u").as("nd"), lit(1L).as("cu")),
+          struct(col("v").as("nd"), lit(0L).as("cu")))).as("x"))
+        .select(col("x.nd"), col("x.cu"))
+        .groupBy("nd").agg(sum("cu").as("cu"), count(lit(1)).as("ct"))
+        .filter(col("cu") > 1L || (col("cu") === 1L && col("ct") > 1L))
+        .isEmpty
     var cur = pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var curCount = cur.count()
     // the rounds run over EDGE-sized two-column frames that only shrink,
     // so they plan under a partition count derived from the measured
@@ -358,9 +387,10 @@ object DedupOps {
     var converged = false
     IterLoop.withLoopPartitions(pairs.sparkSession, Some(curCount)) {
       while (!converged && rounds < 50) {
-        val next = smallStar(largeStar(cur)).localCheckpoint()
+        val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
         val nextCount = next.count()
-        converged = nextCount == curCount && next.except(cur).isEmpty
+        converged = isStarForest(next) ||
+          (nextCount == curCount && next.except(cur).isEmpty)
         unpersistCheckpoint(cur) // next is lineage-cut, so cur is never re-read
         cur = next
         curCount = nextCount
