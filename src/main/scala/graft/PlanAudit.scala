@@ -254,11 +254,19 @@ object PlanAudit {
     // exclusion must be a co-shuffled LeftAnti (the hot list is corpus-
     // dependent and unbounded — a broadcast build side is an OOM), and
     // no stage of the pair pipeline may broadcast a corpus-sized frame
+    // (r22) the index is localCheckpoint'ed inside the pair pipeline, so
+    // the LeftAnti shape is pinned on the pre-checkpoint probe — the
+    // exact relation the checkpoint materializes
+    val njIdx = graft.operators.DedupOps.ngramIndexProbe(spark, dir)
+    show("dedup_ngram_jaccard index (pre-checkpoint)", njIdx)
+    val njIdxPlan = njIdx.queryExecution.executedPlan.toString
+    assert(njIdxPlan.contains("LeftAnti"),
+      "ngram jaccard must anti-join the hot-shingle list away")
+    assert(!njIdxPlan.contains("BroadcastExchange"),
+      "ngram jaccard must never broadcast the hot list")
     val njDf = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     show("dedup_ngram_jaccard", njDf)
     val njPlan = njDf.queryExecution.executedPlan.toString
-    assert(njPlan.contains("LeftAnti"),
-      "ngram jaccard must anti-join the hot-shingle list away")
     assert(!njPlan.contains("BroadcastExchange"),
       "ngram jaccard must never broadcast the hot list or the index")
     // the mixture planner is scan-bound by design: token counts are a

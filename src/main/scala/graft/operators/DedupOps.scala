@@ -31,6 +31,11 @@ object DedupOps {
     * iterative loops below have advanced past it. (Dataset.unpersist
     * only clears CacheManager entries — checkpoint blocks belong to the
     * underlying RDD.) */
+  /** Instrument-only override (AbR22c's seed-distinct A/B): forces the
+    * star fixpoint's seed distinct on (Some(true)) or off (Some(false)).
+    * Always None in production paths. */
+  @volatile private[graft] var starSeedDistinctOverride: Option[Boolean] = None
+
   private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
@@ -100,21 +105,42 @@ object DedupOps {
     * relation bought them nothing (guide §2.4, "an orderBy used only to
     * make output deterministic"), and the cache/checkpoint boundaries
     * they put above it stopped the optimizer from ever removing it. */
-  private[operators] def ngramJaccardPairs(spark: SparkSession, dir: String,
-                                           maxDf: Int = 64): DataFrame = {
-    // shingles arrive as 60-bit longs: every downstream shuffle/join
-    // moves 8-byte keys instead of ~20-byte strings, and the set
-    // semantics are unchanged (within-pair collision odds ~1e-13)
+  /** Plan probe for the audit harness (and [[ngramJaccardPairs]]'s index
+    * builder): the df-capped inverted index exactly as the pair pipeline
+    * builds it, BEFORE the checkpoint that hides it from the final plan
+    * — PlanAudit asserts the hot-list exclusion stays a co-shuffled
+    * LeftAnti with no broadcast build side here. */
+  private[graft] def ngramIndexProbe(spark: SparkSession, dir: String,
+                                     maxDf: Int = 64): DataFrame = {
     val raw = Caches.cached(shingleTable(spark, dir))
     // document frequency via groupBy (map-side combine absorbs hot keys;
     // a window over h would buffer a hot posting list in one task)
     val hot = raw.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
-    val sh = Caches.cached(raw.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti"))
+    raw.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
+  }
+
+  private[operators] def ngramJaccardPairs(spark: SparkSession, dir: String,
+                                           maxDf: Int = 64): DataFrame = {
+    // shingles arrive as 60-bit longs: every downstream shuffle/join
+    // moves 8-byte keys instead of ~20-byte strings, and the set
+    // semantics are unchanged (within-pair collision odds ~1e-13)
+    // localCheckpoint, not Caches.cached (r22): the checkpoint's
+    // row-format blocks scan cheaper for the self-join's two readers
+    // than the columnar cache (same-JVM A/B of exactly this change +
+    // the counts cache below: 1.10×, tools/ab_r22b.jsonl), and the
+    // anti-join runs exactly once either way. Same MEMORY_AND_DISK
+    // footprint at any scale. The checkpoint hides the index build from
+    // the final plan, so PlanAudit pins the LeftAnti/no-broadcast shape
+    // on [[ngramIndexProbe]] instead.
+    val sh = ngramIndexProbe(spark, dir, maxDf).localCheckpoint()
     // per-doc set sizes are corpus-sized (one row per document): both
     // attaches below co-shuffle on the doc key — never a broadcast
-    // build side that scales with the corpus
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // build side that scales with the corpus. Cached (r22): the relation
+    // is consumed twice (doc_a and doc_b attach) and Catalyst does not
+    // reuse the structurally-identical aggregate subtrees, so the
+    // uncached form scanned and aggregated the shingle relation twice.
+    val counts = Caches.cached(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     val inter = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -376,8 +402,21 @@ object DedupOps {
         .groupBy("nd").agg(sum("cu").as("cu"), count(lit(1)).as("ct"))
         .filter(col("cu") > 1L || (col("cu") === 1L && col("ct") > 1L))
         .isEmpty
-    var cur = pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
-      .distinct().localCheckpoint(eager = false)
+    // NO seed distinct (r22): every production caller feeds unique
+    // canonical pairs (groupBy outputs or mutualized top-k edges), so
+    // the distinct was a full no-op exchange + hash-dedup of the edge
+    // relation — dropped at a measured 1.11× on the fixpoint (same-JVM
+    // A/B both orders, outputs asserted identical:
+    // tools/ab_r22c2.jsonl via the override below). Safe even for a
+    // hypothetical duplicate-feeding caller: round 1's largeStar ends
+    // in distinct() and re-establishes the invariant, the forest probe
+    // cannot fire on a duplicated round (a dup u fails the
+    // exactly-once test), and the fallback convergence check compares
+    // SETS (count equality gates an except) — only the round-0 count
+    // would shift, never the labeling.
+    val seed0 = pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
+    var cur = (if (starSeedDistinctOverride.getOrElse(false)) seed0.distinct() else seed0)
+      .localCheckpoint(eager = false)
     var curCount = cur.count()
     // the rounds run over EDGE-sized two-column frames that only shrink,
     // so they plan under a partition count derived from the measured
@@ -420,7 +459,13 @@ object DedupOps {
     val simhashCol = (0 until 60).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val simh = sums.select(col("doc_id"), simhashCol.as("simhash"))
+    // checkpoint the n-row sketch relation (r22): the chunk self-join
+    // below references it twice, and Catalyst does not reuse the
+    // structurally-identical aggregate subtrees — the uncached form ran
+    // the 60-column bit-sum aggregation over the corpus-scale shingle
+    // relation once PER SIDE (dedup_simhash_before.txt: 6 HashAggregates,
+    // two full agg pyramids). 16 bytes per document at any scale.
+    val simh = sums.select(col("doc_id"), simhashCol.as("simhash")).localCheckpoint()
     val chunks = simh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c => struct(lit(c).as("c"),
           shiftright(col("simhash"), 15 * c).bitwiseAND(lit(32767L)).as("ck"))): _*)).as("ch"))

@@ -845,6 +845,18 @@ object SimilarityOps {
             (col("center") * lit(48271L) + col("nbr") * lit(104729L) +
               lit(round * 9973L)) % lit(100L) < lit(rhoPct.toLong))
           .filter(!col("is_new") || col("act"))
+      // FoF pair generation stays the co-shuffled self-join (r22
+      // NEGATIVE RESULT): a per-center bounded combination explode
+      // (groupBy center → sort_array(collect_list(nbr, act)) →
+      // slice-after-self transform/filter HOFs) generates the identical
+      // pair multiset with ONE evaluation + ONE exchange of `part`
+      // where the join evaluates and co-shuffles it once per side — but
+      // the balanced A/B (identical build, only this expression
+      // flipped; tools/ab_r22c.jsonl) measured the explode form 1.32×
+      // SLOWER on the full build: the ObjectHashAggregate list buffers
+      // and the non-codegen HOF lambdas cost more per candidate than
+      // the whole-stage-codegen'd join saves in exchanges (guide §4 —
+      // prefer codegen'd operators in the hot path).
       val twoHop = part.as("x").join(part.as("y").hint("shuffle_hash"),
           col("x.center") === col("y.center") && col("x.nbr") < col("y.nbr") &&
             (col("x.act") || col("y.act")))

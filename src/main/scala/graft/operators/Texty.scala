@@ -513,8 +513,14 @@ object TextOps {
     // task, never a broadcast of the unbounded hot set
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
+    // localCheckpoint, not Caches.cached (r22): the anti join leaves the
+    // relation hash-partitioned on h and the checkpoint's LogicalRDD
+    // carries that partitioning where the in-memory cache reports it
+    // unknown — the self-join below then plans without re-exchanging
+    // both sides (the same change A/B'd at 1.10× on the ngram-Jaccard
+    // twin of this pipeline, tools/ab_r22b.jsonl; footprint unchanged)
     val pruned = sh.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
-      .transform(graft.Caches.cached(_)) // read twice: both sides of the self-join
+      .localCheckpoint() // read twice: both sides of the self-join
     // the index is corpus-sized: co-shuffle on h (reusing the partitioning
     // the anti-join already established) rather than letting AQE broadcast
     // it at toy SF — the same discipline as distinctiveTerms' df attach
