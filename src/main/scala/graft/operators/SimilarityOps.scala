@@ -798,6 +798,11 @@ object SimilarityOps {
       // ([[DescentRhoPct]]). Generated pair volume collapses as the
       // graph converges (ARCHITECTURE.md has the measured per-round
       // volumes).
+      // flagged re-evaluates per reference (twoHop's two sides + the
+      // early-exit probe) DELIBERATELY: checkpointing it per round was
+      // A/B'd flat (1.01x, tools/ab_r22d.jsonl) — the join of two
+      // checkpointed narrow relations costs about what the checkpoint
+      // materialization does, so the dedup buys nothing.
       val flagged = prevUsed match {
         case None => und.withColumn("is_new", lit(true))
         case Some(p) => und.join(
