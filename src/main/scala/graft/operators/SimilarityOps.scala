@@ -895,6 +895,16 @@ object SimilarityOps {
         if (n <= broadcastVecs)
           (broadcast(qn).as("a"), broadcast(qn).as("b"))
         else (qn.as("a").hint("shuffle_hash"), qn.as("b").hint("shuffle_hash"))
+      // The retention pairs DO re-score through the vector attach (r22
+      // NEGATIVE RESULT): carrying sd's already-computed cosines into
+      // the contraction as a separate union leg — saving n·k'
+      // bit-identical dot products per round — measured 1.05× SLOWER on
+      // the full build (balanced A/B, tools/ab_r22d2.jsonl): on the
+      // broadcast path the re-scoring is map-side-free while the union
+      // leg splits the contraction's input into two partial-aggregation
+      // pipelines. The analytical at-scale saving (the dots are not
+      // free at 10⁹ vectors) cannot be measured on this harness's data
+      // sizes, so the measured form ships.
       val scored = cand
         .join(qa, col("ida") === col("a.vec_id"))
         .join(qb, col("idb") === col("b.vec_id"))
