@@ -27,15 +27,15 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
 
-  /** Drop the storage behind an eagerly-localCheckpointed frame once the
-    * iterative loops below have advanced past it. (Dataset.unpersist
-    * only clears CacheManager entries — checkpoint blocks belong to the
-    * underlying RDD.) */
   /** Instrument-only override (AbR22c's seed-distinct A/B): forces the
     * star fixpoint's seed distinct on (Some(true)) or off (Some(false)).
     * Always None in production paths. */
   @volatile private[graft] var starSeedDistinctOverride: Option[Boolean] = None
 
+  /** Drop the storage behind an eagerly-localCheckpointed frame once the
+    * iterative loops below have advanced past it. (Dataset.unpersist
+    * only clears CacheManager entries — checkpoint blocks belong to the
+    * underlying RDD.) */
   private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
@@ -100,11 +100,6 @@ object DedupOps {
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame =
     ngramJaccardPairs(spark, dir, maxDf).orderBy("doc_a", "doc_b")
 
-  /** [[ngramJaccard]] without the presentation sort (r21): the cluster
-    * fixpoints consume the pair SET — the global sort of the corpus-pair
-    * relation bought them nothing (guide §2.4, "an orderBy used only to
-    * make output deterministic"), and the cache/checkpoint boundaries
-    * they put above it stopped the optimizer from ever removing it. */
   /** Plan probe for the audit harness (and [[ngramJaccardPairs]]'s index
     * builder): the df-capped inverted index exactly as the pair pipeline
     * builds it, BEFORE the checkpoint that hides it from the final plan
@@ -120,6 +115,11 @@ object DedupOps {
     raw.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
   }
 
+  /** [[ngramJaccard]] without the presentation sort (r21): the cluster
+    * fixpoints consume the pair SET — the global sort of the corpus-pair
+    * relation bought them nothing (guide §2.4, "an orderBy used only to
+    * make output deterministic"), and the cache/checkpoint boundaries
+    * they put above it stopped the optimizer from ever removing it. */
   private[operators] def ngramJaccardPairs(spark: SparkSession, dir: String,
                                            maxDf: Int = 64): DataFrame = {
     // shingles arrive as 60-bit longs: every downstream shuffle/join
@@ -375,8 +375,9 @@ object DedupOps {
     // the logical tree grows exponentially with rounds and plan handling
     // itself OOMs around round ~10. The localCheckpoint materializes the
     // edge set AND replaces the plan with a leaf scan of it; LAZY (r22)
-    // so the count() below materializes it — one job per round where the
-    // eager checkpoint + count pair scheduled two.
+    // so the round's ONE aggregate action below materializes it — one
+    // scheduled job per round where eager checkpoint + count + probe
+    // scheduled three.
     //
     // Star-forest probe (r22, guide §1.2 — the fixpoint tail is per-job
     // fixed overhead, not data): a canonical (u > v) edge set is a star
@@ -394,14 +395,25 @@ object DedupOps {
     // direction of the theorem (Kiveris et al.: all fixpoints are such
     // forests); a hypothetical non-forest fixpoint converges exactly as
     // before.
-    def isStarForest(e: DataFrame): Boolean =
-      e.select(explode(array(
+    // ONE aggregation pass returns (edge count, forest-ness) together —
+    // the edge count is the per-node sum of u-occurrences (each edge
+    // contributes exactly one) — so the round schedules a single action
+    // that materializes the lazy checkpoint, counts, and probes at once.
+    // An empty edge set aggregates to nulls → (0, forest), correct: the
+    // empty set is trivially a fixpoint.
+    def countAndForest(e: DataFrame): (Long, Boolean) = {
+      val st = e.select(explode(array(
           struct(col("u").as("nd"), lit(1L).as("cu")),
           struct(col("v").as("nd"), lit(0L).as("cu")))).as("x"))
         .select(col("x.nd"), col("x.cu"))
         .groupBy("nd").agg(sum("cu").as("cu"), count(lit(1)).as("ct"))
-        .filter(col("cu") > 1L || (col("cu") === 1L && col("ct") > 1L))
-        .isEmpty
+        .agg(sum("cu").as("edges"),
+          max(when(col("cu") > 1L || (col("cu") === 1L && col("ct") > 1L), 1L)
+            .otherwise(0L)).as("viol"))
+        .head()
+      (if (st.isNullAt(0)) 0L else st.getLong(0),
+        st.isNullAt(1) || st.getLong(1) == 0L)
+    }
     // NO seed distinct (r22): every production caller feeds unique
     // canonical pairs (groupBy outputs or mutualized top-k edges), so
     // the distinct was a full no-op exchange + hash-dedup of the edge
@@ -427,8 +439,8 @@ object DedupOps {
     IterLoop.withLoopPartitions(pairs.sparkSession, Some(curCount)) {
       while (!converged && rounds < 50) {
         val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
-        val nextCount = next.count()
-        converged = isStarForest(next) ||
+        val (nextCount, isForest) = countAndForest(next)
+        converged = isForest ||
           (nextCount == curCount && next.except(cur).isEmpty)
         unpersistCheckpoint(cur) // next is lineage-cut, so cur is never re-read
         cur = next
