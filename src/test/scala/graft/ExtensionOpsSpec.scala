@@ -187,6 +187,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     Caches.release()
   }
 
+  test("dedup: star contraction is duplicate-input-safe and stops on the first star forest") {
+    import spark.implicits._
+    // r22 dropped the seed distinct (every production caller feeds
+    // unique canonical pairs) — a duplicate-feeding caller must still
+    // get the identical labeling: round-1 largeStar ends in distinct
+    // and re-establishes the invariant, and the structural forest
+    // probe only ever runs on post-round (deduplicated) edge sets
+    val dup = Seq((0L, 1L), (0L, 1L), (1L, 2L), (1L, 2L), (1L, 2L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val uniq = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def labeling(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.starComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(labeling(dup) === labeling(uniq))
+    // an input that is ALREADY a star forest rooted at its minima
+    // (u = doc_b > v = doc_a, each u once, no u also a v) converges on
+    // the first round via the r22 structural probe — with the labeling
+    // the forest itself encodes
+    val forest = Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val f = DedupOps.starComponents(forest).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("dedup: clusters are a fixpoint labeling consistent with the pairs") {
     val pairs = DedupOps.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
